@@ -1,23 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries over SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. Failed queries are recorded as -1.0 and excluded
+  * from the total (they are failures, not timings). */
 object Bench {
+
+  /** Headline subset — the expensive/representative operators; the full map
+    * is exercised by Verify, correctness is not re-checked here. */
+  val headline: Seq[String] = Seq(
+    "q_agg_groupby", "q_join_orders_customer", "q_topk", "q_filter_numeric",
+    "q_window_rank", "q_month_groupby", "q_distinct", "q_count_distinct",
+    "q_tumbling_window", "q_session_like_gap", "q_chunk_rows", "q_text_tokens",
+    "q_cosine_topk", "q_embed_neardup_pairs", "q_minhash_neardup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JVM/codegen warmup so the first timed query doesn't pay session init
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

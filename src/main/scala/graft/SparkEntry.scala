@@ -1,13 +1,314 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is wired here as a named query over
+  * `/root/testdata/<sf>` plus (where SQL-expressible) an equivalent DuckDB
+  * oracle. Column names and value determinism (decimal-exact sums, explicit
+  * ORDER BY, rounded doubles) are aligned between both sides — see
+  * `graft.ops.Tables.dsum` for the float-determinism strategy.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.qAggGroupby(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational surface (SURVEY §2b)
+    "q_scan"                  -> (Relational.qScan _),
+    "q_multifile_scan"        -> (Relational.qMultifileScan _),
+    "q_count"                 -> (Relational.qCount _),
+    "q_limit_provenance"      -> (Relational.qLimitProvenance _),
+    "q_union_by_name"         -> (Relational.qUnionByName _),
+    "q_join_orders_customer"  -> (Relational.qJoinOrdersCustomer _),
+    "q_filter_numeric"        -> (Relational.qFilterNumeric _),
+    "q_filter_daterange"      -> (Relational.qFilterDaterange _),
+    "q_filter_string_eq"      -> (Relational.qFilterStringEq _),
+    "q_agg_global"            -> (Relational.qAggGlobal _),
+    "q_agg_groupby"           -> (Relational.qAggGroupby _),
+    "q_sort"                  -> (Relational.qSort _),
+    "q_topk"                  -> (Relational.qTopk _),
+    "q_null_handling"         -> (Relational.qNullHandling _),
+    "q_distinct"              -> (Relational.qDistinct _),
+    "q_count_distinct"        -> (Relational.qCountDistinct _),
+    "q_approx_count_distinct" -> (Relational.qApproxCountDistinct _),
+    "q_month_groupby"         -> (Relational.qMonthGroupby _),
+    "q_pivot_month"           -> (Relational.qPivotMonth _),
+    "q_except_semi"           -> (Relational.qExceptSemi _),
+    "q_window_rank"           -> (Relational.qWindowRank _),
+    // scalar suites (SURVEY §2c)
+    "q_string_funcs"          -> (Relational.qStringFuncs _),
+    "q_date_funcs"            -> (Relational.qDateFuncs _),
+    "q_math_funcs"            -> (Relational.qMathFuncs _),
+    "q_json_extract"          -> (EventOps.qJsonExtract _),
+    // events / windows (SURVEY §2e)
+    "q_tumbling_window"       -> (EventOps.qTumblingWindow _),
+    "q_session_like_gap"      -> (EventOps.qSessionLikeGap _),
+    "q_window_running_sum"    -> (EventOps.qWindowRunningSum _),
+    // catalog / profiling / ingestion (SURVEY §2a, V10)
+    "q_describe"              -> (ProfileOps.qDescribe _),
+    "q_profile_stats"         -> (ProfileOps.qProfileStats _),
+    "q_clean_columns"         -> (IngestOps.qCleanColumns _),
+    "q_ingest_csv_roundtrip"  -> (IngestOps.qIngestCsvRoundtrip _),
+    // text / vector / dedup (SURVEY §2d + north star)
+    "q_chunk_rows"            -> (TextOps.qChunkRows _),
+    "q_text_tokens"           -> (TextOps.qTextTokens _),
+    "q_quality_score"         -> (TextOps.qQualityScore _),
+    "q_doc_fingerprint"       -> (TextOps.qDocFingerprint _),
+    "q_exact_dedup"           -> (TextOps.qExactDedup _),
+    "q_lang_id"               -> (TextOps.qLangId _),
+    "q_simhash"               -> (TextOps.qSimhash _),
+    "q_minhash_neardup"       -> (DedupOps.qMinhashNeardup _),
+    "q_binary_meta"           -> (MultimodalOps.qBinaryMeta _),
+    "q_cosine_topk"           -> (VectorOps.qCosineTopk _),
+    "q_collection_routing"    -> (VectorOps.qCollectionRouting _),
+    "q_cross_collection_merge" -> (VectorOps.qCrossCollectionMerge _),
+    "q_embed_neardup_pairs"   -> (VectorOps.qEmbedNeardupPairs _),
+    "q_embed_neardup_lsh"     -> (VectorOps.qEmbedNeardupLsh _)
+  )
+
+  // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
+
+  private val dsumP  = "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** DuckDB cosine matching the Spark HOF bit-for-bit: sequential double
+    * fold (DuckDB's builtin `list_cosine_similarity` accumulates in float32
+    * and differs in the 7th decimal). */
+  private def cosSql(a: String, b: String): String = {
+    def sq(v: String) =
+      s"list_reduce(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)"
+    s"(list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)" +
+      s" / (sqrt(${sq(a)}) * sqrt(${sq(b)})))"
+  }
+
+  private def e6(expr: String): String = s"CAST(round($expr * 1000000, 0) AS BIGINT)"
+
+  private def profileUnion: String =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .map(c => s"SELECT '$c' AS column_name, CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders")
+      .mkString("", " UNION ALL ", " ORDER BY column_name")
+
+  private def pivotCols: String =
+    (1 to 12).map(m =>
+      f"COALESCE(CAST(sum(CASE WHEN month(o_orderdate) = $m THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS m$m%02d")
+      .mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_multifile_scan" ->
+      """SELECT c_custkey, count(*) AS n_copies FROM
+        |(SELECT * FROM customer UNION ALL SELECT * FROM customer)
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "q_limit_provenance" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |'orders' AS __table__ FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "q_union_by_name" ->
+      """SELECT id, name, acctbal, nationkey FROM (
+        |  SELECT c_custkey AS id, c_name AS name, CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_suppkey AS id, s_name AS name, CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+        |) ORDER BY name""".stripMargin,
+    "q_join_orders_customer" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders, $dsumP AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_filter_numeric" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_daterange" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_filter_string_eq" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "q_agg_global" ->
+      """SELECT count(*) AS n_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount) AS avg_disc
+        |FROM lineitem""".stripMargin,
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_sort" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_acctbal DESC, s_suppkey ASC",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_null_handling" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |count(nullif(o_orderstatus, 'O')) AS n_nonnull,
+        |count(DISTINCT coalesce(nullif(o_orderstatus, 'O'), 'OPEN')) AS n_distinct_coalesced
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+        |count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin,
+    "q_month_groupby" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin,
+    "q_pivot_month" ->
+      s"SELECT o_orderpriority, $pivotCols FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q_except_semi" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN
+        |(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_mktsegment, rn, rnk, drnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+        |    rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS up_name, lower(c_mktsegment) AS lo_seg,
+        |substring(c_name, 1, 8) AS name_prefix, CAST(length(c_name) AS BIGINT) AS name_len,
+        |concat_ws('-', c_mktsegment, c_name) AS seg_name,
+        |replace(c_name, 'Customer', 'Cust') AS short_name,
+        |CAST(CASE WHEN c_name LIKE '%001%' THEN 1 ELSE 0 END AS BIGINT) AS has_001
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |CAST(day(o_orderdate) AS BIGINT) AS dom, CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |strftime(o_orderdate, '%Y-%m') AS ym,
+        |CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch0,
+        |CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS d_plus_30,
+        |last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS disc_price,
+        |abs(l_discount - CAST(0.05 AS DOUBLE)) AS abs_dev,
+        |pow(l_quantity, 2) AS qty_sq, sqrt(l_quantity) AS qty_sqrt,
+        |round(ln(l_extendedprice), 6) AS ln_price,
+        |CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |l_orderkey % 7 AS key_mod7
+        |FROM lineitem WHERE l_orderkey <= 1500 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, event_type, json_extract_string(props, '$.k') AS k_str,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_session_like_gap" ->
+      """WITH x AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_window_running_sum" ->
+      """SELECT user_id, event_id, value,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
+    "q_describe" ->
+      """SELECT column_name,
+        |CASE WHEN column_type LIKE 'TIMESTAMP%' THEN 'TIMESTAMP' ELSE column_type END AS column_type
+        |FROM (DESCRIBE SELECT * FROM lineitem) ORDER BY column_name""".stripMargin,
+    "q_profile_stats" -> profileUnion,
+    "q_clean_columns" ->
+      """SELECT o_orderkey AS order_key, o_totalprice AS total_price,
+        |o_orderstatus AS status, o_orderpriority AS status_1
+        |FROM orders ORDER BY order_key""".stripMargin,
+    "q_ingest_csv_roundtrip" ->
+      """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |count(DISTINCT o_orderstatus) AS n_status FROM orders""".stripMargin,
+    "q_chunk_rows" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  '[index ' || doc_id || '] ' || 'doc_id:' || doc_id || ' | text:' || text ||
+        |  ' | lang:' || lang || ' | source:' || source || ' | n_chars:' || n_chars AS row_text
+        |  FROM documents),
+        |l AS (SELECT source, doc_id, row_text, CAST(length(row_text) AS BIGINT) AS len FROM r),
+        |c AS (SELECT source, doc_id, row_text, len,
+        |  CAST(floor((sum(len) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len) / 1000.0) AS BIGINT) AS chunk_id
+        |  FROM l)
+        |SELECT source, chunk_id, count(*) AS n_rows, CAST(sum(len) AS BIGINT) AS chunk_chars,
+        |min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |md5(string_agg(row_text, chr(10) ORDER BY doc_id)) AS chunk_md5
+        |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_score" ->
+      """WITH x AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS alnum FROM documents),
+        |y AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS stop_cnt,
+        |  alnum FROM x),
+        |z AS (SELECT doc_id, n_tokens,
+        |  round(stop_cnt / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+        |  round(alnum / CAST(n_tokens AS DOUBLE), 6) AS avg_word_len FROM y)
+        |SELECT doc_id, n_tokens, stop_ratio, avg_word_len,
+        |round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+        |  CAST(0.5 AS DOUBLE) + CAST(0.05 AS DOUBLE) * avg_word_len
+        |  - CAST(0.8 AS DOUBLE) * stop_ratio)), 6) AS quality
+        |FROM z ORDER BY doc_id""".stripMargin,
+    "q_doc_fingerprint" ->
+      """WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS fp, md5(substring(norm, 1, 64)) AS prefix_fp,
+        |CAST(length(norm) AS BIGINT) AS norm_len FROM n ORDER BY doc_id""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT source, count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique,
+        |count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |md5(text) AS digest FROM documents ORDER BY doc_id""".stripMargin,
+    "q_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${e6(cosSql("embedding", "qv"))} AS score_e6
+         |FROM embeddings, q ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_collection_routing" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT label, ${cosSql("embedding", "qv")} AS s FROM embeddings, q)
+         |SELECT label, ${e6("max(s)")} AS score_e6 FROM s GROUP BY label
+         |HAVING ${e6("max(s)")} >= 500000
+         |ORDER BY score_e6 DESC, label ASC LIMIT 10""".stripMargin,
+    "q_cross_collection_merge" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, label, ${cosSql("embedding", "qv")} AS s FROM embeddings, q),
+         |r AS (SELECT vec_id, label, s,
+         |  row_number() OVER (PARTITION BY label ORDER BY s DESC, vec_id ASC) AS rn FROM s)
+         |SELECT vec_id, 'collection_' || label AS source_collection,
+         |${e6("s")} AS score_e6
+         |FROM r WHERE rn <= 3 ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_embed_neardup_pairs" ->
+      s"""WITH p AS (
+         |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${e6(cosSql("a.embedding", "b.embedding"))} AS sim_e6
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, id_a, id_b, sim_e6 FROM p WHERE sim_e6 >= 300000
+         |ORDER BY id_a, id_b""".stripMargin
+  )
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Ingestion operators: format dispatch, CSV/TSV/JSON → zstd parquet
+  * conversion, column cleaning on ingest. The reference converts with chunked
+  * pandas + DuckDB COPY (`ingestion_pipeline_langgraph.py:175-339`,
+  * `duckdb_util.py:315-317`); here a distributed scan replaces chunking and
+  * `df.write.option("compression","zstd").parquet` replaces COPY.
+  */
+object IngestOps {
+
+  /** S7: extension → reader dispatch (`ingestion_pipeline_langgraph.py:158-172`). */
+  def readAny(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    val raw =
+      if (lower.endsWith(".csv"))
+        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      else if (lower.endsWith(".tsv"))
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("sep", "\t").csv(path)
+      else if (lower.endsWith(".json"))
+        spark.read.option("multiLine", "true").json(path)
+      else if (lower.endsWith(".parquet"))
+        spark.read.parquet(path)
+      else sys.error(s"unsupported format: $path")
+    CleanColumns(raw)
+  }
+
+  /** S8: zstd parquet sink (reference: COPY … COMPRESSION ZSTD,
+    * ROW_GROUP_SIZE 100000 — `duckdb_util.py:315-317`). */
+  def writeParquetZstd(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
+
+  /** S2+S8+S10: CSV round-trip — export a table to CSV, re-ingest with schema
+    * inference + name cleaning, write zstd parquet, re-read, aggregate.
+    * The aggregate must equal the same aggregate over the original table. */
+  def qIngestCsvRoundtrip(s: SparkSession, sf: String): DataFrame = {
+    val work = "target/tmp_ingest"
+    t(s, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$work/orders_csv")
+    // readAny keys off file extension; for a directory of part files read
+    // the csv source explicitly with the same options + cleaning:
+    val csvBack = CleanColumns(
+      s.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"$work/orders_csv"))
+    writeParquetZstd(csvBack, s"$work/orders_pq")
+    s.read.parquet(s"$work/orders_pq").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey").cast("long")).as("sum_key"),
+      dsum(col("o_totalprice"), 2).as("sum_price"),
+      countDistinct(col("o_orderstatus")).as("n_status"))
+  }
+
+  /** S10: column-name cleaning applied to messy aliases
+    * (`duckdb_util.py:29-61`) — "Order Key"→order_key,
+    * "Total-Price($)"→total_price, "STATUS"/" status "→status, status_1. */
+  def qCleanColumns(s: SparkSession, sf: String): DataFrame = {
+    val messy = t(s, sf, "orders").select(
+      col("o_orderkey").as("Order Key"),
+      col("o_totalprice").as("Total-Price($)"),
+      col("o_orderstatus").as("STATUS"),
+      col("o_orderpriority").as(" status "))
+    CleanColumns(messy).orderBy("order_key")
+  }
+}

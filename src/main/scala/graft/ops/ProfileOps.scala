@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Catalog/profiling operators: schema introspection rendered as rows
+  * (reference `DESCRIBE` — `duckdb_util.py:174-206`) and the deterministic
+  * per-column profile that replaces the LLM profiler
+  * (`ingestion_pipeline_langgraph.py:428-526`: nullability, distinctness,
+  * duplicate detection — computed natively in one aggregation pass).
+  */
+object ProfileOps {
+
+  /** Spark type → the type name DuckDB's DESCRIBE prints, so schema
+    * introspection is oracle-comparable. */
+  def duckTypeName(dt: DataType): String = dt match {
+    case LongType             => "BIGINT"
+    case IntegerType          => "INTEGER"
+    case ShortType            => "SMALLINT"
+    case DoubleType           => "DOUBLE"
+    case FloatType            => "FLOAT"
+    case StringType           => "VARCHAR"
+    case BooleanType          => "BOOLEAN"
+    case DateType             => "DATE"
+    case _: TimestampType     => "TIMESTAMP"
+    case TimestampNTZType     => "TIMESTAMP"
+    case ArrayType(e, _)      => duckTypeName(e) + "[]"
+    case d: DecimalType       => s"DECIMAL(${d.precision},${d.scale})"
+    case other                => other.sql
+  }
+
+  /** R3: schema introspection — `DESCRIBE (SELECT * FROM read_parquet(...))`
+    * (`duckdb_util.py:174-180`, `ingestion_pipeline_langgraph.py:536-541`). */
+  def qDescribe(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    t(s, sf, "lineitem").schema.fields.toSeq
+      .map(f => (f.name, duckTypeName(f.dataType)))
+      .toDF("column_name", "column_type")
+      .orderBy("column_name")
+  }
+
+  /** V10: deterministic per-column profile (null count + distinct count per
+    * column, one aggregation pass, unpivoted via stack). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
+        countDistinct(col(c)).as(s"${c}__ndist"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `${c}__nnull`, `${c}__ndist`").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.length}, $stackArgs) as (column_name, n_nulls, n_distinct)")
+      .orderBy("column_name")
+  }
+
+  def qProfileStats(s: SparkSession, sf: String): DataFrame =
+    profile(t(s, sf, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+}

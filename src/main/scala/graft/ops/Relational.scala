@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** The relational surface the reference guarantees through its SQL-generation
+  * prompts (router rules `langgraph_pipeline.py:306-315`, SQL instructions
+  * `:461-492`) plus the natively-implemented scan/union/join/limit paths
+  * (`duckdb_util.py:166-225`). Each method is a `(SparkSession, sfDir) =>
+  * DataFrame` wired into `SparkEntry.queries` with a DuckDB oracle.
+  *
+  * Scale notes: every query is fully declarative (Catalyst pushes filters and
+  * prunes columns into the parquet scan); top-k lowers to
+  * TakeOrderedAndProject (no global sort); the orders×customer join
+  * broadcasts the small dimension side explicitly.
+  */
+object Relational {
+
+  /** R1: bare scan — `SELECT * FROM read_parquet(...)` (`duckdb_util.py:194`). */
+  def qScan(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "nation").orderBy("n_nationkey")
+
+  /** R2: multi-file scan — `read_parquet([p1,p2], union_by_name=true)`
+    * (`duckdb_util.py:166-172`). Same file listed twice ⇒ every key seen 2×. */
+  def qMultifileScan(s: SparkSession, sf: String): DataFrame = {
+    val p = s"$sf/customer.parquet"
+    s.read.parquet(p, p)
+      .groupBy("c_custkey").agg(count(lit(1)).as("n_copies"))
+      .orderBy("c_custkey")
+  }
+
+  /** R4: row-count profile (`ingestion_pipeline_langgraph.py:544-546`). */
+  def qCount(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem").agg(count(lit(1)).as("n_rows"))
+
+  /** R5: LIMIT-sample with injected provenance column
+    * (`duckdb_util.py:212-225`, provenance col at `:222`). */
+  def qLimitProvenance(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "orders").orderBy("o_orderkey").limit(10)
+      .withColumn("__table__", lit("orders"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("__table__"))
+
+  /** R6: schema-merging union; missing columns null-filled
+    * (`duckdb_util.py:166-182`, decision `langgraph_pipeline.py:228`). */
+  def qUnionByName(s: SparkSession, sf: String): DataFrame = {
+    val a = t(s, sf, "customer").select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_acctbal").cast("double").as("acctbal"))
+    val b = t(s, sf, "supplier").select(
+      col("s_suppkey").as("id"), col("s_name").as("name"),
+      col("s_nationkey").cast("long").as("nationkey"))
+    a.unionByName(b, allowMissingColumns = true)
+      .select("id", "name", "acctbal", "nationkey")
+      .orderBy("name")
+  }
+
+  /** R7: equi-join on the inferred key (`duckdb_util.py:184-225`,
+    * `multi_file_util.py:8-31`), aggregated per segment. Customer is the
+    * small dimension — broadcast it so orders never shuffles. */
+  def qJoinOrdersCustomer(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "orders")
+      .join(broadcast(t(s, sf, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  /** R8a: precise numeric filter (`langgraph_pipeline.py:306-315`). */
+  def qFilterNumeric(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** R8b: date-range filter (`langgraph_pipeline.py:310`). */
+  def qFilterDaterange(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** R8c: exact (case-sensitive) string equality (`langgraph_pipeline.py:429-437`). */
+  def qFilterStringEq(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** R10a: global (ungrouped) aggregate suite. */
+  def qAggGlobal(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      dsum(col("l_extendedprice"), 2).as("sum_price"),
+      davg(col("l_discount"), 6).as("avg_disc"))
+
+  /** R10b: grouped aggregation — the TPC-H-Q1-shaped flagship
+    * (`langgraph_pipeline.py:306-309`, `:483-485`). */
+  def qAggGroupby(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // The stored doubles are exact 2-dp decimals; recover them as DECIMAL and
+    // do the whole product in decimal arithmetic. Casting a *derived* double
+    // (price*(1-disc)) to decimal instead would round differently across
+    // engines on near-tie values.
+    val priceD = col("l_extendedprice").cast(DecimalType(12, 2))
+    val discD  = col("l_discount").cast(DecimalType(4, 2))
+    val taxD   = col("l_tax").cast(DecimalType(4, 2))
+    val oneD   = lit(1).cast(DecimalType(3, 2))
+    val li = t(s, sf, "lineitem")
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        sum(priceD * (oneD - discD)).cast("double").as("sum_disc_price"),
+        sum(priceD * (oneD - discD) * (oneD + taxD)).cast("double").as("sum_charge"),
+        davg(col("l_quantity"), 2).as("avg_qty"),
+        davg(col("l_extendedprice"), 2).as("avg_price"),
+        davg(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** R11: multi-column sort with direction (`langgraph_pipeline.py:483`). */
+  def qSort(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+
+  /** R12: top-k — must lower to TakeOrderedAndProject, not a global sort
+    * (`langgraph_pipeline.py:920-924`). */
+  def qTopk(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** R13: NULL handling (`langgraph_pipeline.py:484`) — nulls injected via
+    * nullif since the synthetic tables are null-free. */
+  def qNullHandling(s: SparkSession, sf: String): DataFrame = {
+    val o = t(s, sf, "orders")
+      .withColumn("status_or_null", nullif(col("o_orderstatus"), lit("O")))
+    o.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("status_or_null").isNull, 1L).otherwise(0L)).as("n_null"),
+      count(col("status_or_null")).as("n_nonnull"),
+      countDistinct(coalesce(col("status_or_null"), lit("OPEN"))).as("n_distinct_coalesced"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** R14a: DISTINCT (`ingestion_pipeline_langgraph.py:466`). */
+  def qDistinct(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** R14b: exact distinct counts. */
+  def qCountDistinct(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** R14c: approximate distinct (HLL) — engine-specific estimates, so no
+    * DuckDB oracle; exact count rides along for the rows-only sanity check. */
+  def qApproxCountDistinct(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem").agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** R15: month bucketing (`langgraph_pipeline.py:923`). */
+  def qMonthGroupby(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy("yr", "mon")
+
+  /** R15b: month pivot — grouped time-series matrix (`README.md:266-269`). */
+  def qPivotMonth(s: SparkSession, sf: String): DataFrame = {
+    val piv = t(s, sf, "orders")
+      .groupBy("o_orderpriority")
+      .pivot(month(col("o_orderdate")), 1 to 12)
+      .agg(dsum(col("o_totalprice"), 2))
+    val renamed = (1 to 12).map(m => coalesce(col(s"$m"), lit(0.0)).as(f"m$m%02d"))
+    piv.select(col("o_orderpriority") +: renamed: _*).orderBy("o_orderpriority")
+  }
+
+  /** R16: anti-join (set difference) — customers with no 1996 order. */
+  def qExceptSemi(s: SparkSession, sf: String): DataFrame = {
+    val o96 = t(s, sf, "orders").filter(year(col("o_orderdate")) === 1996)
+    t(s, sf, "customer")
+      .join(o96, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** R17a: ranking windows — top-3 customers per segment by balance. */
+  def qWindowRank(s: SparkSession, sf: String): DataFrame = {
+    val byBal = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val byBalOnly = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+    t(s, sf, "customer")
+      .withColumn("rn", row_number().over(byBal).cast("long"))
+      .withColumn("rnk", rank().over(byBalOnly).cast("long"))
+      .withColumn("drnk", dense_rank().over(byBalOnly).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("c_mktsegment", "rn", "rnk", "drnk", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** C1: string scalar suite (`langgraph_pipeline.py:481`; cleaning analog
+    * `duckdb_util.py:42-48`). */
+  def qStringFuncs(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "customer").select(
+      col("c_custkey"),
+      upper(col("c_name")).as("up_name"),
+      lower(col("c_mktsegment")).as("lo_seg"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      length(col("c_name")).cast("long").as("name_len"),
+      concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"),
+      regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
+      when(col("c_name").like("%001%"), 1L).otherwise(0L).as("has_001"))
+      .orderBy("c_custkey")
+
+  /** C2: date/time scalar suite (`langgraph_pipeline.py:310`). */
+  def qDateFuncs(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "orders").select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("d"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      month(col("o_orderdate")).cast("long").as("mon"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("days_since_epoch0"),
+      date_add(col("o_orderdate").cast("date"), 30).as("d_plus_30"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"))
+      .orderBy("o_orderkey")
+
+  /** C3: math scalar suite (`langgraph_pipeline.py:922`). */
+  def qMathFuncs(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem")
+      .filter(col("l_orderkey") <= 1500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+        abs(col("l_discount") - 0.05).as("abs_dev"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+        (col("l_orderkey") % 7).as("key_mod7"))
+      .orderBy("l_orderkey", "l_linenumber")
+}

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Text operators over the `documents` table: the row-chunker (reference
+  * `chunk_dataframe_dynamic`, `chroma_ingestion_util.py:97-143`), token/length
+  * statistics, quality scoring, fingerprinting, language-ID heuristic — the
+  * text-analysis layer a training-data pipeline needs at scale.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Serialize one documents-row exactly like the reference chunker does:
+    * `[index i] col:val | col:val | …` (`chroma_ingestion_util.py:106-113`;
+    * NULL → "NULL"). */
+  private def rowText: Column = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val body = cols.map(c =>
+      concat(lit(s"$c:"), coalesce(col(c).cast("string"), lit("NULL"))))
+    concat(lit("[index "), col("doc_id"), lit("] "), concat_ws(" | ", body: _*))
+  }
+
+  /** V1 (scalable formulation): deterministic char-budget chunking. Rows are
+    * serialized, then bucketed by `floor(running_chars_before / budget)`
+    * within each source partition — a window running sum, fully distributed
+    * (PARTITION BY source), unlike the reference's sequential greedy loop
+    * which cannot parallelize. Greedy parity lives in `chunkGreedy` (tested
+    * against reference semantics in ChunkerSpec); this is the 100-TB path.
+    */
+  def qChunkRows(s: SparkSession, sf: String): DataFrame = {
+    val budget = 1000 // chars — reference `max_tokens_per_chunk` (chroma_ingestion_util.py:225)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, sf, "documents")
+      .select(col("source"), col("doc_id"), rowText.as("row_text"))
+      .withColumn("len", length(col("row_text")).cast("long"))
+      .withColumn("chunk_id",
+        floor((sum(col("len")).over(w) - col("len")) / lit(budget.toDouble)).cast("long"))
+      .groupBy("source", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("len")).as("chunk_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("row_text")))),
+            x => x.getField("row_text")), "\n")).as("chunk_md5"))
+      .orderBy("source", "chunk_id")
+  }
+
+  /** V1 (reference-parity formulation): greedy sequential packing with the
+    * exact `chunk_dataframe_dynamic` semantics (`chroma_ingestion_util.py:
+    * 97-143`): flush when current_size + row_size would exceed the budget and
+    * the chunk is non-empty; sizes exclude separators. Sequential by nature —
+    * used per-partition (e.g. per source) at scale. */
+  def chunkGreedy(rows: Seq[(Long, String)], budget: Int): Seq[(Seq[Long], String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], String)]
+    var curIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var curTexts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var curSize = 0
+    rows.foreach { case (id, text) =>
+      if (curSize + text.length > budget && curTexts.nonEmpty) {
+        out += ((curIds.toSeq, curTexts.mkString("\n")))
+        curIds = scala.collection.mutable.ArrayBuffer.empty
+        curTexts = scala.collection.mutable.ArrayBuffer.empty
+        curSize = 0
+      }
+      curIds += id; curTexts += text; curSize += text.length
+    }
+    if (curTexts.nonEmpty) out += ((curIds.toSeq, curTexts.mkString("\n")))
+    out.toSeq
+  }
+
+  /** V12: per-language token/length statistics (BASELINE north star;
+    * `documents.parquet`). */
+  def qTextTokens(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "documents")
+      .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        (sum(length(col("text")).cast("long")).cast("double") / count(lit(1)))
+          .as("avg_chars"))
+      .orderBy("lang")
+
+  /** Quality scoring: token count, stopword ratio, average word length, and a
+    * bounded linear quality score (length/stopword heuristics — the
+    * deterministic analog of the reference's LLM quality_score field,
+    * `ingestion_pipeline_langgraph.py:462-466`). */
+  def qQualityScore(s: SparkSession, sf: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nTok = size(toks).cast("long")
+    val stopCnt = size(filter(toks, x => x.isInCollection(stopwords))).cast("long")
+    val alnumChars = length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+    t(s, sf, "documents")
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(stopCnt.cast("double") / nTok.cast("double"), 6).as("stop_ratio"),
+        round(alnumChars / nTok.cast("double"), 6).as("avg_word_len"))
+      .withColumn("quality",
+        round(least(lit(1.0), greatest(lit(0.0),
+          lit(0.5) + lit(0.05) * col("avg_word_len") - lit(0.8) * col("stop_ratio"))), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 of whitespace-normalized lowercase text,
+    * plus a 64-char-prefix fingerprint (near-dup blocking key). */
+  def qDocFingerprint(s: SparkSession, sf: String): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    t(s, sf, "documents")
+      .select(
+        col("doc_id"),
+        md5(norm).as("fp"),
+        md5(substring(norm, 1, 64)).as("prefix_fp"),
+        length(norm).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
+  /** V13 (exact): duplicate-text detection per source via hash-groupBy —
+    * `has_duplicates` profiling (`ingestion_pipeline_langgraph.py:466`). */
+  def qExactDedup(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+      .orderBy("source")
+
+  /** Language-ID heuristic: score each candidate language by its
+    * marker-token hit rate and take the argmax (deterministic n-gram/stopword
+    * heuristic; no oracle — DuckDB has no equivalent builtin). */
+  def qLangId(s: SparkSession, sf: String): DataFrame = {
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "a", "is", "of"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "es" -> Seq("el", "la", "de", "y"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "zh" -> Seq("de", "le", "shi", "he"))
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val scores = markers.toSeq.sortBy(_._1).map { case (lg, ws) =>
+      struct(
+        (size(filter(toks, x => x.isInCollection(ws))).cast("double") /
+          size(toks).cast("double")).as("score"),
+        lit(lg).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    t(s, sf, "documents")
+      .select(col("doc_id"), col("lang").as("label_lang"),
+        best.getField("lang").as("pred_lang"),
+        round(best.getField("score"), 6).as("confidence"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash (64-bit) per document: xxhash64 per token, bitwise
+    * majority-vote over token hashes — near-dup docs land within small
+    * Hamming distance. Pure DataFrame ops; no oracle (engine-specific hash). */
+  def simhash(df: DataFrame, textCol: String): DataFrame = {
+    val toks = array_distinct(split(trim(lower(col(textCol))), "\\s+"))
+    val withTok = df.withColumn("tok", explode(toks))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val votes = withTok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def qSimhash(s: SparkSession, sf: String): DataFrame =
+    simhash(t(s, sf, "documents"), "text").orderBy("doc_id")
+}

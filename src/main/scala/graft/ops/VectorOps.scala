@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Vector-similarity operators over `embeddings.parquet` (array<float>):
+  * brute-force exact cosine top-k (the reference's Chroma retrieval —
+  * `chroma_retrieval_util.py:112-142`), collection routing by max relevance
+  * (`:145-242`), blocked near-duplicate pairs, and LSH-bucketed variants as
+  * the 100-TB scale path.
+  */
+object VectorOps {
+
+  /** Query vector = the embedding of `vec_id = 0` (a 1-row broadcast). */
+  private def withQueryVec(s: SparkSession, sf: String): DataFrame = {
+    val e = t(s, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+  }
+
+  /** Scores are emitted as micro-units (`round(score*1e6)` as BIGINT):
+    * `round(x, 6)` yields a *double* whose last ulp differs between engines
+    * (different rounding algorithms), which breaks hash comparison; the
+    * scaled integer is exact in both. */
+  private def microScore(c: org.apache.spark.sql.Column) =
+    round(c * 1000000, 0).cast("long")
+
+  /** V3: exact cosine top-k — score every row against the query vector,
+    * take the global top 10 (`chroma_retrieval_util.py:112-142`, k at
+    * `langgraph_pipeline.py:371`). orderBy+limit lowers to
+    * TakeOrderedAndProject: per-partition heaps, no global sort. */
+  def qCosineTopk(s: SparkSession, sf: String): DataFrame =
+    withQueryVec(s, sf)
+      .select(col("vec_id"), col("label"),
+        microScore(cosine(col("embedding"), col("qv"))).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("vec_id").asc)
+      .limit(10)
+
+  /** V4: collection routing — per-collection (label) max similarity, keep
+    * score ≥ 0.5, top 10 collections (`chroma_retrieval_util.py:203-229`;
+    * threshold/k at `:148-149`). */
+  def qCollectionRouting(s: SparkSession, sf: String): DataFrame =
+    withQueryVec(s, sf)
+      .select(col("label"), cosine(col("embedding"), col("qv")).as("s"))
+      .groupBy("label")
+      .agg(microScore(max(col("s"))).as("score_e6"))
+      .filter(col("score_e6") >= 500000)
+      .orderBy(col("score_e6").desc, col("label").asc)
+      .limit(10)
+
+  /** V5: cross-collection merge — per-label top-3 hits pooled and re-sorted
+    * globally with source attribution (`chroma_retrieval_util.py:411-459`). */
+  def qCrossCollectionMerge(s: SparkSession, sf: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("s").desc, col("vec_id").asc)
+    withQueryVec(s, sf)
+      .select(col("vec_id"), col("label"), cosine(col("embedding"), col("qv")).as("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"),
+        concat(lit("collection_"), col("label")).as("source_collection"),
+        microScore(col("s")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Near-dup pairs, blocked by label (exact within each block — the
+    * brute-force baseline; LSH variant below is the scale path). Blocking
+    * bounds the pair count: the join shuffles on `label`, never all-pairs. */
+  def qEmbedNeardupPairs(s: SparkSession, sf: String): DataFrame = {
+    val e = t(s, sf, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        microScore(cosine(col("va"), col("vb"))).as("sim_e6"))
+      .filter(col("sim_e6") >= 300000)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** ANN scale path: random-hyperplane LSH (SimHash for vectors). Each
+    * vector gets a b-bit signature from sign(dot(v, r_i)) over deterministic
+    * pseudo-random hyperplanes; candidate pairs share a signature band and
+    * are re-scored exactly. No all-pairs stage: the join is on (band, key).
+    * Deterministic hyperplanes are derived from xxhash64(seed, dim-index) so
+    * the plan needs no driver-side randomness or broadcast data. */
+  def lshCandidatePairs(e: DataFrame, bits: Int, bands: Int): DataFrame = {
+    val dims = 64 // embedding dim in testdata
+    // hyperplane r(bit, d) in {-1, +1}: parity of a deterministic hash
+    def planeSign(bit: Int, d: Int): Double =
+      if (((bit * 1315423911L + d * 2654435761L) >>> 7) % 2 == 0) 1.0 else -1.0
+    val sigBits = (0 until bits).map { bit =>
+      val dot = (0 until dims).map { d =>
+        element_at(col("embedding"), d + 1).cast("double") * lit(planeSign(bit, d))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << (bit % 60))).otherwise(lit(0L))
+    }
+    val rowsPerBand = bits / bands
+    val bandCols = (0 until bands).map { bd =>
+      sigBits.slice(bd * rowsPerBand, (bd + 1) * rowsPerBand)
+        .reduce((x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+          x.bitwiseOR(y)).as(s"band$bd")
+    }
+    val sig = e.select(Seq(col("vec_id"), col("embedding")) ++ bandCols: _*)
+    val exploded = sig.select(col("vec_id"), col("embedding"),
+      explode(array((0 until bands).map(bd =>
+        struct(lit(bd).as("band"), col(s"band$bd").as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = exploded.select(col("band"), col("key"),
+      col("vec_id").as("id_a"), col("embedding").as("va"))
+    val r = exploded.select(col("band"), col("key"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .distinct()
+  }
+
+  /** ANN near-dup via LSH bucketing + exact re-score (no oracle: candidate
+    * recall is probabilistic; invariants tested in VectorSpec). */
+  def qEmbedNeardupLsh(s: SparkSession, sf: String): DataFrame =
+    lshCandidatePairs(t(s, sf, "embeddings"), bits = 16, bands = 4)
+      .select(col("id_a"), col("id_b"),
+        microScore(cosine(col("va"), col("vb"))).as("sim_e6"))
+      .filter(col("sim_e6") >= 300000)
+      .orderBy("id_a", "id_b")
+}
