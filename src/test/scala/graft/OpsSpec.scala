@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Spark-level operator specs over tiny in-memory data + sf0.001 testdata. */
+class OpsSpec extends SparkTestBase {
+  import scala.jdk.CollectionConverters._
+
+  test("cosine: identical vectors score 1, orthogonal score 0, range is [-1,1]") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 30).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val self = df.select(Tables.cosine(col("v"), col("v")).as("c")).collect()
+    self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(Tables.cosine(col("a.v"), col("b.v")).as("c")).collect()
+    pairs.foreach(r => assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9))
+    val ortho = Seq((Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+      .select(Tables.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(ortho) < 1e-12)
+  }
+
+  test("unionByName null-fills missing columns on both sides") {
+    import spark.implicits._
+    val a = Seq((1, "x")).toDF("id", "only_a")
+    val b = Seq((2, 9.5)).toDF("id", "only_b")
+    val u = a.unionByName(b, allowMissingColumns = true).orderBy("id")
+    val rows = u.collect()
+    assert(u.columns.toSeq == Seq("id", "only_a", "only_b"))
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 9.5)
+  }
+
+  test("simhash: identical docs hash identically, disjoint docs differ") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark table scan join filter agg"),
+      (2L, "spark table scan join filter agg"),
+      (3L, "zebra yak xylophone walrus vulture")).toDF("doc_id", "text")
+    val out = TextOps.simhash(df, "text").orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == out(1).getLong(1))
+    assert(out(0).getLong(1) != out(2).getLong(1))
+  }
+
+  test("minhash LSH finds exact-duplicate documents as jaccard-1 pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base), (2L, base),                      // exact dup pair
+      (3L, "completely different words forming another document body here"),
+      (4L, base + " with a small tail change"))    // near dup of 1/2
+    .toDF("doc_id", "text")
+    val sigs = DedupOps.minhashSignatures(df, k = 32)
+    val cands = DedupOps.minhashCandidates(sigs, k = 32, bands = 8)
+    val jac = DedupOps.jaccardForPairs(df, cands).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the exact-dup pair must be found with jaccard 1.0 (minhash sigs equal
+    // => same buckets in every band)
+    val key = jac.keys.find(k => Set(k._1, k._2) == Set(1L, 2L))
+    assert(key.isDefined, s"dup pair not among candidates: ${jac.keys}")
+    assert(jac(key.get) == 1.0)
+    // doc 3 shares no shingles with 1: if it appears as a candidate its
+    // jaccard must be 0 and it must not pair with jaccard >= 0.4
+    jac.foreach { case ((a, b), j) =>
+      if (Set(a, b).contains(3L)) assert(j == 0.0)
+    }
+  }
+
+  test("multimodal: sniffFormat detects magic bytes; decodeFeatures is deterministic") {
+    assert(MultimodalOps.sniffFormat(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)) == "jpeg")
+    assert(MultimodalOps.sniffFormat(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) == "png")
+    assert(MultimodalOps.sniffFormat("RIFFxxxx".getBytes) == "riff")
+    assert(MultimodalOps.sniffFormat("plain".getBytes) == "unknown")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val rows = Seq(Row(1L, "RIFF1234".getBytes), Row(2L, Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out1 = MultimodalOps.decodeFeatures(df).orderBy("doc_id").collect()
+    val out2 = MultimodalOps.decodeFeatures(df).orderBy("doc_id").collect()
+    assert(out1.toSeq == out2.toSeq)
+    assert(out1(0).getString(2) == "riff" && out1(0).getLong(1) == 8L)
+    assert(out1(1).getString(2) == "jpeg")
+    assert(out1(0).getSeq[Float](3).length == MultimodalOps.featureDim)
+  }
+
+  test("profile counts nulls and distincts correctly") {
+    import spark.implicits._
+    val df = Seq((1, Some("a")), (2, None), (3, Some("a")), (4, None))
+      .toDF("id", "v")
+    val p = ProfileOps.profile(df, Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p("id") == (0L, 4L))
+    assert(p("v") == (2L, 1L))
+  }
+
+  test("xlsx-free ingest: csv/tsv/json dispatch reads and cleans names") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ingest_spec").toString
+    Seq((1, "x", 2.5), (2, "y", 3.5)).toDF("Order Key", "STATUS", "Total-Price($)")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    val csvFile = new java.io.File(s"$dir/c").listFiles()
+      .find(_.getName.endsWith(".csv")).get.getAbsolutePath
+    val back = IngestOps.readAny(spark, csvFile)
+    assert(back.columns.toSeq == Seq("order_key", "status", "total_price"))
+    assert(back.count() == 2)
+  }
+
+  test("events table reads ns timestamps as usable timestamps") {
+    val e = Tables.events(spark, sf)
+    assert(e.schema("ts").dataType.typeName.startsWith("timestamp"))
+    assert(e.count() > 0)
+    val hours = e.select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("h"))
+      .distinct().count()
+    assert(hours > 1)
+  }
+
+  test("chunk query covers every document exactly once") {
+    val chunks = TextOps.qChunkRows(spark, sf)
+    val docs = Tables.t(spark, sf, "documents").count()
+    val covered = chunks.agg(sum("n_rows")).head.getLong(0)
+    assert(covered == docs)
+  }
+}
