@@ -33,7 +33,7 @@ object VectorOps {
   def qCosineTopk(s: SparkSession, sf: String): DataFrame =
     withQueryVec(s, sf)
       .select(col("vec_id"), col("label"),
-        microScore(cosine(col("embedding"), col("qv"))).as("score_e6"))
+        microScore(cosineFast(col("embedding"), col("qv"))).as("score_e6"))
       .orderBy(col("score_e6").desc, col("vec_id").asc)
       .limit(10)
 
@@ -42,7 +42,7 @@ object VectorOps {
     * threshold/k at `:148-149`). */
   def qCollectionRouting(s: SparkSession, sf: String): DataFrame =
     withQueryVec(s, sf)
-      .select(col("label"), cosine(col("embedding"), col("qv")).as("s"))
+      .select(col("label"), cosineFast(col("embedding"), col("qv")).as("s"))
       .groupBy("label")
       .agg(microScore(max(col("s"))).as("score_e6"))
       .filter(col("score_e6") >= 500000)
@@ -55,7 +55,7 @@ object VectorOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("label").orderBy(col("s").desc, col("vec_id").asc)
     withQueryVec(s, sf)
-      .select(col("vec_id"), col("label"), cosine(col("embedding"), col("qv")).as("s"))
+      .select(col("vec_id"), col("label"), cosineFast(col("embedding"), col("qv")).as("s"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("vec_id"),
@@ -75,7 +75,7 @@ object VectorOps {
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
-        microScore(cosine(col("va"), col("vb"))).as("sim_e6"))
+        microScore(cosineFast(col("va"), col("vb"))).as("sim_e6"))
       .filter(col("sim_e6") >= 300000)
       .orderBy("id_a", "id_b")
   }
@@ -124,7 +124,7 @@ object VectorOps {
   def qEmbedNeardupLsh(s: SparkSession, sf: String): DataFrame =
     lshCandidatePairs(t(s, sf, "embeddings"), bits = 16, bands = 4)
       .select(col("id_a"), col("id_b"),
-        microScore(cosine(col("va"), col("vb"))).as("sim_e6"))
+        microScore(cosineFast(col("va"), col("vb"))).as("sim_e6"))
       .filter(col("sim_e6") >= 300000)
       .orderBy("id_a", "id_b")
 }

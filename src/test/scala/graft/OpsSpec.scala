@@ -24,6 +24,23 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(ortho) < 1e-12)
   }
 
+  test("cosineFast (codegen expression) is bit-identical to the HOF cosine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (1 to 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val q = vecs(17)._2
+    val both = df.select(
+      Tables.cosine(col("v"), lit(q)).as("hof"),
+      Tables.cosineFast(col("v"), lit(q)).as("fused")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"ulp mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("unionByName null-fills missing columns on both sides") {
     import spark.implicits._
     val a = Seq((1, "x")).toDF("id", "only_a")
@@ -54,9 +71,10 @@ class OpsSpec extends SparkTestBase {
       (3L, "completely different words forming another document body here"),
       (4L, base + " with a small tail change"))    // near dup of 1/2
     .toDF("doc_id", "text")
-    val sigs = DedupOps.minhashSignatures(df, k = 32)
+    val shingled = DedupOps.withShingles(df)
+    val sigs = DedupOps.minhashSignatures(shingled, k = 32)
     val cands = DedupOps.minhashCandidates(sigs, k = 32, bands = 8)
-    val jac = DedupOps.jaccardForPairs(df, cands).collect()
+    val jac = DedupOps.jaccardForPairs(shingled, cands).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // the exact-dup pair must be found with jaccard 1.0 (minhash sigs equal
     // => same buckets in every band)
