@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops._
+
+/** Physical-plan hygiene: the properties that keep these operators viable at
+  * 1000-executor / 100-TB scale, asserted so regressions fail the build.
+  * (VERDICT r1 plan-audit list.) */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("orders x customer join broadcasts the dimension side") {
+    val p = plan(Relational.qJoinOrdersCustomer(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join must not sort-merge:\n$p")
+  }
+
+  test("top-k lowers to TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.qTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("cosine top-k also avoids a global sort") {
+    val p = plan(VectorOps.qCosineTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("numeric filter is pushed into the parquet scan and columns are pruned") {
+    val p = plan(Relational.qFilterNumeric(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_returnflag"),
+      s"column pruning failed (unused column read):\n$p")
+  }
+
+  test("date-range filter reaches the scan") {
+    val p = plan(Relational.qFilterDaterange(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"date filter not pushed:\n$p")
+  }
+
+  test("grouped aggregation is partial (map-side) + final") {
+    val p = plan(Relational.qAggGroupby(spark, sf))
+    val hashAggs = p.split("HashAggregate", -1).length - 1
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("whole-stage codegen covers the hot expressions") {
+    import org.apache.spark.sql.execution.ExplainMode
+    // AQE defers codegen collapse to stage materialization; snapshot the
+    // static plan to see the WholeStageCodegen spans.
+    def codegen(mk: => org.apache.spark.sql.DataFrame): String = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try mk.queryExecution.explainString(ExplainMode.fromString("codegen"))
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val p = codegen(Relational.qAggGroupby(spark, sf))
+    assert(p.contains("WholeStageCodegen") && !p.contains("Found 0 WholeStageCodegen"),
+      s"no codegen spans:\n${p.take(500)}")
+    val pc = codegen(VectorOps.qEmbedNeardupPairs(spark, sf))
+    assert(pc.contains("java.lang.Math.sqrt"),
+      s"fused cosine kernel missing from generated code:\n${pc.take(500)}")
+  }
+
+  test("query functions never collect to the driver") {
+    // structural check: every wired query returns a lazy DataFrame whose
+    // plan materializes without an action having run
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (name != "q_ingest_csv_roundtrip") { // roundtrip legitimately writes temp files
+        val df = fn(spark, sf)
+        assert(df.queryExecution.logical != null, s"$name produced no plan")
+      }
+    }
+  }
+}
