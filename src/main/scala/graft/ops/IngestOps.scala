@@ -25,6 +25,9 @@ object IngestOps {
         spark.read.option("multiLine", "true").json(path)
       else if (lower.endsWith(".parquet"))
         spark.read.parquet(path)
+      else if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
+        // first non-empty sheet; per-sheet tables via ExcelSource.readXlsx
+        graft.sources.ExcelSource.readXlsx(spark, path).head._2
       else sys.error(s"unsupported format: $path")
     CleanColumns(raw)
   }

@@ -1,0 +1,195 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.CleanColumns
+
+import java.util.zip.ZipFile
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable
+
+/** Excel (.xlsx) source without external dependencies: xlsx is a zip of XML
+  * parts, streamed here with JDK StAX. Mirrors the reference's Excel
+  * ingestion semantics (`ingestion_pipeline_langgraph.py:342-402`): every
+  * non-empty sheet becomes one table, column names are cleaned, types are
+  * inferred. Parsing happens on the driver (workbooks are small,
+  * operator-provided files — the reference caps runs at a handful of
+  * workbooks, `config.py:184-193`); the resulting DataFrame is distributed
+  * and inference runs as Spark jobs.
+  *
+  * Supported cell types: shared strings (`t="s"`), inline strings
+  * (`t="inlineStr"`), formula strings (`t="str"`), booleans (`t="b"`) and
+  * numbers (default). Date-styled numerics are out of scope — the fixture
+  * stores dates as ISO strings (FIXTURES.md §A).
+  */
+object ExcelSource {
+
+  /** Read all non-empty sheets: sheet name → DataFrame with cleaned columns
+    * and inferred types. */
+  def readXlsx(spark: SparkSession, path: String): Map[String, DataFrame] = {
+    val zip = new ZipFile(path)
+    try {
+      val shared = readSharedStrings(zip)
+      sheetTargets(zip).flatMap { case (name, target) =>
+        val rows = readSheetRows(zip, target, shared)
+        if (rows.size < 2) None // header-only or empty sheet
+        else {
+          val header = CleanColumns.cleanColumnNames(rows.head.map(_.getOrElse("")))
+          val width = header.size
+          val data = rows.tail.map(r =>
+            Row.fromSeq((0 until width).map(i => r.lift(i).flatten.orNull)))
+          val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+          val raw = spark.createDataFrame(
+            spark.sparkContext.parallelize(data.toSeq), schema)
+          Some(name -> inferTypes(raw))
+        }
+      }.toMap
+    } finally zip.close()
+  }
+
+  /** Distributed type inference over an all-string frame: a column becomes
+    * BIGINT / DOUBLE / BOOLEAN when every non-null value casts cleanly
+    * (one aggregation pass, the Spark analog of pandas inference the
+    * reference relies on via `pd.read_excel`). */
+  def inferTypes(raw: DataFrame): DataFrame = {
+    val cols = raw.columns.toSeq
+    def badCasts(to: String) = cols.map(c =>
+      sum(when(col(c).isNotNull && try_cast_fail(col(c), to), 1L).otherwise(0L)).as(c))
+    val longBad = raw.agg(badCasts("long").head, badCasts("long").tail: _*).head()
+    val dblBad  = raw.agg(badCasts("double").head, badCasts("double").tail: _*).head()
+    val boolBad = raw.agg(badCasts("boolean").head, badCasts("boolean").tail: _*).head()
+    val casted = cols.zipWithIndex.map { case (c, i) =>
+      if (longBad.getLong(i) == 0L) col(c).cast("long").as(c)
+      else if (dblBad.getLong(i) == 0L) col(c).cast("double").as(c)
+      else if (boolBad.getLong(i) == 0L) col(c).cast("boolean").as(c)
+      else col(c)
+    }
+    raw.select(casted: _*)
+  }
+
+  /** ANSI-safe "does this string fail to cast" predicate. */
+  private def try_cast_fail(c: org.apache.spark.sql.Column, to: String) =
+    expr(s"try_cast(${c.toString} AS $to)").isNull
+
+  // ---- xlsx part parsing (driver-side, streaming) ----
+
+  private def readSharedStrings(zip: ZipFile): IndexedSeq[String] = {
+    val entry = zip.getEntry("xl/sharedStrings.xml")
+    if (entry == null) return IndexedSeq.empty
+    val rdr = XMLInputFactory.newInstance()
+      .createXMLStreamReader(zip.getInputStream(entry))
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inSi = false
+    while (rdr.hasNext) {
+      rdr.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          if (rdr.getLocalName == "si") { inSi = true; cur.clear() }
+          else if (inSi && rdr.getLocalName == "t") cur.append(rdr.getElementText)
+        case XMLStreamConstants.END_ELEMENT =>
+          if (rdr.getLocalName == "si") { out += cur.toString; inSi = false }
+        case _ =>
+      }
+    }
+    rdr.close()
+    out.toIndexedSeq
+  }
+
+  /** workbook.xml sheet names joined to their part targets via the rels. */
+  private def sheetTargets(zip: ZipFile): Seq[(String, String)] = {
+    val rels = mutable.Map.empty[String, String]
+    val relEntry = zip.getEntry("xl/_rels/workbook.xml.rels")
+    if (relEntry != null) {
+      val r = XMLInputFactory.newInstance()
+        .createXMLStreamReader(zip.getInputStream(relEntry))
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
+          rels(r.getAttributeValue(null, "Id")) =
+            r.getAttributeValue(null, "Target")
+      }
+      r.close()
+    }
+    val out = mutable.ArrayBuffer.empty[(String, String)]
+    val wb = XMLInputFactory.newInstance()
+      .createXMLStreamReader(zip.getInputStream(zip.getEntry("xl/workbook.xml")))
+    while (wb.hasNext) {
+      if (wb.next() == XMLStreamConstants.START_ELEMENT && wb.getLocalName == "sheet") {
+        val name = wb.getAttributeValue(null, "name")
+        val rid = (0 until wb.getAttributeCount)
+          .find(i => wb.getAttributeLocalName(i) == "id")
+          .map(wb.getAttributeValue)
+        val target = rid.flatMap(rels.get)
+          .getOrElse(s"worksheets/sheet${out.size + 1}.xml")
+        val full = if (target.startsWith("/")) target.drop(1)
+          else if (target.startsWith("xl/")) target else s"xl/$target"
+        out += ((name, full))
+      }
+    }
+    wb.close()
+    out.toSeq
+  }
+
+  /** Stream one sheet's rows; each row is a dense vector of Option[String]
+    * indexed by column (missing cells → None). */
+  private def readSheetRows(zip: ZipFile, target: String,
+      shared: IndexedSeq[String]): mutable.ArrayBuffer[Vector[Option[String]]] = {
+    val rows = mutable.ArrayBuffer.empty[Vector[Option[String]]]
+    val entry = zip.getEntry(target)
+    if (entry == null) return rows
+    val r = XMLInputFactory.newInstance()
+      .createXMLStreamReader(zip.getInputStream(entry))
+    var row = mutable.ArrayBuffer.empty[Option[String]]
+    var cellCol = 0
+    var cellType = ""
+    var cellValue: Option[String] = None
+    var inValue = false
+    var inInline = false
+    val text = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "row" => row = mutable.ArrayBuffer.empty
+          case "c" =>
+            cellCol = colIndex(Option(r.getAttributeValue(null, "r")), row.size)
+            cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+            cellValue = None
+          case "v" => inValue = true; text.clear()
+          case "is" => inInline = true
+          case "t" if inInline => text.clear(); text.append(r.getElementText)
+            cellValue = Some(text.toString)
+          case _ =>
+        }
+        case XMLStreamConstants.CHARACTERS if inValue =>
+          text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "v" =>
+            inValue = false
+            cellValue = Some(cellType match {
+              case "s" => shared.lift(text.toString.trim.toInt).getOrElse("")
+              case "b" => if (text.toString.trim == "1") "true" else "false"
+              case _   => text.toString
+            })
+          case "is" => inInline = false
+          case "c" =>
+            while (row.size < cellCol) row += None
+            row += cellValue.filter(_.nonEmpty)
+          case "row" => rows += row.toVector
+          case _ =>
+        }
+        case _ =>
+      }
+    }
+    r.close()
+    rows
+  }
+
+  /** "C7" → 0-based column index 2; absent ref → next position. */
+  private def colIndex(ref: Option[String], default: Int): Int = ref match {
+    case Some(s) =>
+      val letters = s.takeWhile(_.isLetter)
+      if (letters.isEmpty) default
+      else letters.foldLeft(0)((a, ch) => a * 26 + (ch.toUpper - 'A' + 1)) - 1
+    case None => default
+  }
+}
