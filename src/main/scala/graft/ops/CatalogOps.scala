@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Table catalog: the deterministic analog of the reference's metadata
+  * catalog (`duckdb_util.py:372-406` `build_global_catalog` and the rich
+  * per-file entries of `ingestion_pipeline_langgraph.py:529-604`, JSON shape
+  * at `:1011-1080`). LLM-generated text fields (descriptions, tags, topics)
+  * are out of the engine's correctness surface; everything computable is
+  * computed natively: schema, row counts, per-column null/distinct stats.
+  */
+object CatalogOps {
+
+  case class ColumnMeta(name: String, dataType: String, nNulls: Long, nDistinct: Long)
+  case class TableEntry(
+      logicalName: String,
+      parquetPath: String,
+      rowCount: Long,
+      columns: Seq[ColumnMeta]) {
+
+    /** Catalog string rendered for planner prompts/hooks — the analog of the
+      * reference's human-readable catalog text (`duckdb_util.py:396-404`). */
+    def describe: String =
+      s"$logicalName (${rowCount} rows): " +
+        columns.map(c => s"${c.name} ${c.dataType}").mkString(", ")
+
+    def toJson: String = {
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val cols = columns.map(c =>
+        s"""{"name":${q(c.name)},"type":${q(c.dataType)},"n_nulls":${c.nNulls},"n_distinct":${c.nDistinct}}""")
+        .mkString("[", ",", "]")
+      s"""{"table":${q(logicalName)},"path":${q(parquetPath)},"row_count":$rowCount,"columns":$cols}"""
+    }
+  }
+
+  /** Profile one table in a single aggregation pass (never per-column scans). */
+  def profileTable(spark: SparkSession, sfDir: String, name: String): TableEntry = {
+    val path = s"$sfDir/$name.parquet"
+    val df = t(spark, sfDir, name)
+    val cols = df.schema.fields.toSeq
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { f =>
+      Seq(
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nnull"),
+        // distinct over array columns isn't hashable pre-3.x-semantics; cast to string
+        countDistinct(col(f.name).cast("string")).as(s"${f.name}__ndist"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val metas = cols.zipWithIndex.map { case (f, i) =>
+      ColumnMeta(f.name, ProfileOps.duckTypeName(f.dataType),
+        row.getLong(1 + 2 * i), row.getLong(2 + 2 * i))
+    }
+    TableEntry(name, path, row.getLong(0), metas)
+  }
+
+  /** S11: the global catalog over every testdata table, rendered as one JSON
+    * array (the reference's final catalog JSON, generate_output
+    * `ingestion_pipeline_langgraph.py:913-1144`). */
+  def buildGlobalCatalog(spark: SparkSession, sfDir: String,
+      tables: Seq[String]): String =
+    tables.map(profileTable(spark, sfDir, _).toJson).mkString("[", ",", "]")
+
+  val allTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+}
