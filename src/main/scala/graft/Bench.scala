@@ -26,8 +26,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first timed query doesn't pay session init
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // JVM/codegen warmup: run every headline query once at the smallest SF so
+    // the timed runs measure execution, not plan compilation (the generated
+    // code is shape-keyed, so the codegen cache carries over across SF dirs).
+    val warmSf = "/root/testdata/sf0.001"
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmSf).count()
+      catch { case _: Throwable => () }
+    }
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

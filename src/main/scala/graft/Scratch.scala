@@ -18,6 +18,15 @@ object Scratch {
           df.printSchema()
           df.show(3, truncate = false)
         }
+      case "pipeline" =>
+        val res = graft.pipeline.IngestionPipeline.run(spark,
+          Seq("/root/reference/loan.xlsx"), "target/scratch_pipeline")
+        res.files.foreach(f => println(s"[scratch] ${f.input} -> ${f.parquetPath} (${f.rows} rows)"))
+        println(s"[scratch] catalog: ${res.catalogJson.take(200)}...")
+        val coll = spark.read.parquet(
+          "target/scratch_pipeline/collections/data_source_loan_data.parquet")
+        println(s"[scratch] collection chunks=${coll.count()}")
+        coll.select("chunk_id", "n_rows", "row_indices").show(3, truncate = 60)
       case "entry" =>
         val df = SparkEntry.entry(spark)
         println(s"[scratch] entry rows=${df.count()}")

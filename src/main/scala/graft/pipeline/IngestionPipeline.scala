@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{CatalogOps, CleanColumns, IngestOps, ProfileOps}
+import graft.sources.ExcelSource
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** The end-to-end ingestion pipeline — the deterministic Spark rebuild of the
+  * reference's `run_ingestion_pipeline` (`ingestion_pipeline_langgraph.py:
+  * 1231-1306`): fetch → format dispatch → column cleaning → zstd parquet →
+  * catalog profiling → row chunking → vector-store sink. The reference
+  * orchestrates this through a LangGraph state machine with thread pools;
+  * here each per-file stage is a Spark job and the "graph" is function
+  * composition (SURVEY §3.2: the graph is orchestration sugar, not
+  * semantics).
+  */
+object IngestionPipeline {
+
+  case class FileResult(input: String, table: String, parquetPath: String, rows: Long)
+  case class PipelineResult(files: Seq[FileResult], catalogJson: String)
+
+  /** S6: URL fetch — streams `http(s)://` or `file://` sources to a local
+    * temp file (`download_file_from_url`,
+    * `ingestion_pipeline_langgraph.py:138-155`); plain paths pass through. */
+  def fetch(url: String, workDir: String): String =
+    if (url.contains("://")) {
+      val name = url.split("/").last
+      val dest = Paths.get(workDir, name)
+      Files.createDirectories(dest.getParent)
+      val in = new java.net.URI(url).toURL.openStream()
+      try Files.copy(in, dest, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      dest.toString
+    } else url
+
+  /** One input file → one or more cleaned tables (xlsx: one per non-empty
+    * sheet, named `<base>_<sheet>`; the reference's naming scheme,
+    * `duckdb_util.py:302-306`). */
+  def readTables(spark: SparkSession, path: String): Seq[(String, DataFrame)] = {
+    val base = path.split("/").last.replaceAll("\\.[^.]+$", "")
+    val lower = path.toLowerCase
+    if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
+      ExcelSource.readXlsx(spark, path).toSeq.map { case (sheet, df) =>
+        (CleanColumns.cleanName(s"${base}_$sheet"), df)
+      }
+    else Seq((CleanColumns.cleanName(base), IngestOps.readAny(spark, path)))
+  }
+
+  /** Serialize every row like the reference chunker
+    * (`chroma_ingestion_util.py:106-113`) and pack into char-budget chunks
+    * (running-sum bucketing over the given order column — the scalable
+    * formulation; see `graft.ops.TextOps.qChunkRows`). */
+  def chunkTable(df: DataFrame, orderCol: String, budget: Int): DataFrame = {
+    val cols = df.columns.toSeq
+    val body = cols.map(c =>
+      concat(lit(s"$c:"), coalesce(col(c).cast("string"), lit("NULL"))))
+    val rowText = concat(lit("[index "), col(orderCol), lit("] "),
+      concat_ws(" | ", body: _*))
+    df.select(col(orderCol).as("__idx"), rowText.as("row_text"))
+      .withColumn("len", length(col("row_text")).cast("long"))
+      .withColumn("chunk_id",
+        floor((sum(col("len")).over(Window.orderBy("__idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("len"))
+          / lit(budget.toDouble)).cast("long"))
+      .groupBy("chunk_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("row_text")))),
+          x => x.getField("row_text")), "\n").as("text"),
+        collect_list(col("__idx")).as("row_indices"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** V2 seam: the embedding kernel is pluggable; the default is a STUB — a
+    * deterministic hash-derived vector (the real service call is a network
+    * dependency the reference satisfies with Azure ada-002,
+    * `chroma_ingestion_util.py:147-160`; this environment has no network).
+    * Plumbing (batching, schema `array<float>`) is real. */
+  def stubEmbed(dim: Int)(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(textCol, i), lit(1000L)).cast("double") / 500.0 - 1.0)
+        .cast("float"))
+
+  /** S12: vector-store sink — one "collection" per table
+    * (`data_source_<base>`, `chroma_ingestion_util.py:190-205`), written as
+    * a parquet table of chunks + embeddings + metadata, overwrite =
+    * delete-then-recreate freshness (`:267-327`). */
+  def writeCollection(chunks: DataFrame, table: String, outDir: String, dim: Int = 64): String = {
+    val path = s"$outDir/collections/data_source_$table.parquet"
+    chunks
+      .withColumn("embedding", stubEmbed(dim)(col("text")))
+      .withColumn("source_table", lit(table))
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
+    path
+  }
+
+  /** Full run: inputs → parquet tables + catalog JSON + chunk collections. */
+  def run(spark: SparkSession, inputs: Seq[String], outDir: String,
+      chunkBudget: Int = 1000): PipelineResult = {
+    Files.createDirectories(Paths.get(s"$outDir/parquet_files"))
+    val files = inputs.flatMap { url =>
+      val local = fetch(url, s"$outDir/downloads")
+      readTables(spark, local).map { case (table, df) =>
+        val pq = s"$outDir/parquet_files/$table.parquet"
+        IngestOps.writeParquetZstd(df, pq)
+        val persisted = spark.read.parquet(pq)
+        val orderCol = persisted.columns.head
+        val chunks = chunkTable(persisted, orderCol, chunkBudget)
+        writeCollection(chunks, table, outDir)
+        FileResult(url, table, pq, persisted.count())
+      }
+    }
+    val catalogEntries = files.map { f =>
+      val df = spark.read.parquet(f.parquetPath)
+      val cols = df.schema.fields.toSeq
+      val aggs = count(lit(1)).as("__n") +: cols.flatMap { fld =>
+        Seq(sum(when(col(fld.name).isNull, 1L).otherwise(0L)).as(s"${fld.name}__nnull"),
+          countDistinct(col(fld.name).cast("string")).as(s"${fld.name}__ndist"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      CatalogOps.TableEntry(f.table, f.parquetPath, row.getLong(0),
+        cols.zipWithIndex.map { case (fld, i) =>
+          CatalogOps.ColumnMeta(fld.name, ProfileOps.duckTypeName(fld.dataType),
+            row.getLong(1 + 2 * i), row.getLong(2 + 2 * i))
+        })
+    }
+    val json = catalogEntries.map(_.toJson).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/catalog.json"), json)
+    PipelineResult(files, json)
+  }
+}
