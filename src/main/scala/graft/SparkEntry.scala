@@ -54,9 +54,13 @@ object SparkEntry {
     "q_profile_stats"         -> (ProfileOps.qProfileStats _),
     "q_clean_columns"         -> (IngestOps.qCleanColumns _),
     "q_ingest_csv_roundtrip"  -> (IngestOps.qIngestCsvRoundtrip _),
+    "q_ingest_tsv_roundtrip"  -> (IngestOps.qIngestTsvRoundtrip _),
+    "q_ingest_json_roundtrip" -> (IngestOps.qIngestJsonRoundtrip _),
     // text / vector / dedup (SURVEY §2d + north star)
     "q_chunk_rows"            -> (TextOps.qChunkRows _),
     "q_text_tokens"           -> (TextOps.qTextTokens _),
+    "q_token_bpe"             -> (TextOps.qTokenBpe _),
+    "q_ngram_jaccard_pairs"   -> (DedupOps.qNgramJaccardPairs _),
     "q_quality_score"         -> (TextOps.qQualityScore _),
     "q_doc_fingerprint"       -> (TextOps.qDocFingerprint _),
     "q_exact_dedup"           -> (TextOps.qExactDedup _),
@@ -68,7 +72,8 @@ object SparkEntry {
     "q_collection_routing"    -> (VectorOps.qCollectionRouting _),
     "q_cross_collection_merge" -> (VectorOps.qCrossCollectionMerge _),
     "q_embed_neardup_pairs"   -> (VectorOps.qEmbedNeardupPairs _),
-    "q_embed_neardup_lsh"     -> (VectorOps.qEmbedNeardupLsh _)
+    "q_embed_neardup_lsh"     -> (VectorOps.qEmbedNeardupLsh _),
+    "q_ivf_topk"              -> (VectorOps.qIvfTopk _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -240,6 +245,32 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |count(DISTINCT o_orderstatus) AS n_status FROM orders""".stripMargin,
+    "q_ingest_tsv_roundtrip" ->
+      """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |count(DISTINCT o_orderstatus) AS n_status FROM orders""".stripMargin,
+    "q_ingest_json_roundtrip" ->
+      """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |count(DISTINCT o_orderstatus) AS n_status FROM orders""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        |CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_ngram_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(len(string_split_regex(trim(lower(text)), '\s+')) - 2), i ->
+        |    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+        |    string_split_regex(trim(lower(text)), '\s+')[i+2] || ' ' ||
+        |    string_split_regex(trim(lower(text)), '\s+')[i+3])) AS sh
+        |  FROM documents),
+        |p AS (SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(round((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000, 0) AS BIGINT) AS jaccard_e6
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, id_a, id_b, jaccard_e6 FROM p WHERE jaccard_e6 >= 20000
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_chunk_rows" ->
       """WITH r AS (SELECT source, doc_id,
         |  '[index ' || doc_id || '] ' || 'doc_id:' || doc_id || ' | text:' || text ||

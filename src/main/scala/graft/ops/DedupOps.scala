@@ -67,6 +67,27 @@ object DedupOps {
         round(inter / (size(col("sa")) + size(col("sb")) - inter), 6).as("jaccard"))
   }
 
+  /** N-gram Jaccard near-dup (exact, blocked by source): every within-source
+    * pair scored on word-3-shingle Jaccard via array_intersect — the
+    * oracle-checkable baseline for the MinHash path. Blocking bounds the
+    * pair count; at scale the block key would be a cheaper prefilter
+    * (length bucket, simhash band) with identical structure. */
+  def qNgramJaccardPairs(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+    val shingled = withShingles(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val a = shingled.select(col("doc_id").as("id_a"), col("source"), col("sh").as("sa"))
+    val b = shingled.select(col("doc_id").as("id_b"), col("source"), col("sh").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val j = inter / (size(col("sa")) + size(col("sb")) - inter)
+    a.join(b, Seq("source"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("source"), col("id_a"), col("id_b"),
+        round(j * 1000000, 0).cast("long").as("jaccard_e6"))
+      .filter(col("jaccard_e6") >= 20000)
+      .orderBy("id_a", "id_b")
+  }
+
   /** V13 scale path: MinHash+LSH near-dup pairs with exact Jaccard verify.
     * No oracle (hash-dependent candidate set); invariants in OpsSpec. */
   def qMinhashNeardup(s: SparkSession, sf: String): DataFrame = {

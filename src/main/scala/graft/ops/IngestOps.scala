@@ -58,6 +58,41 @@ object IngestOps {
       countDistinct(col("o_orderstatus")).as("n_status"))
   }
 
+  /** S3: TSV round-trip — same contract as the CSV path with tab separator
+    * (`ingestion_pipeline_langgraph.py:233-288`). */
+  def qIngestTsvRoundtrip(s: SparkSession, sf: String): DataFrame = {
+    val work = "target/tmp_ingest_tsv"
+    t(s, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("sep", "\t").csv(s"$work/orders_tsv")
+    val back = CleanColumns(
+      s.read.option("header", "true").option("inferSchema", "true")
+        .option("sep", "\t").csv(s"$work/orders_tsv"))
+    writeParquetZstd(back, s"$work/orders_pq")
+    s.read.parquet(s"$work/orders_pq").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey").cast("long")).as("sum_key"),
+      dsum(col("o_totalprice"), 2).as("sum_price"),
+      countDistinct(col("o_orderstatus")).as("n_status"))
+  }
+
+  /** S4: JSON round-trip — export to JSON lines, re-ingest with inference
+    * (`ingestion_pipeline_langgraph.py:291-329`), zstd parquet, aggregate. */
+  def qIngestJsonRoundtrip(s: SparkSession, sf: String): DataFrame = {
+    val work = "target/tmp_ingest_json"
+    t(s, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).json(s"$work/orders_json")
+    val back = CleanColumns(s.read.json(s"$work/orders_json"))
+    writeParquetZstd(back, s"$work/orders_pq")
+    s.read.parquet(s"$work/orders_pq").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey").cast("long")).as("sum_key"),
+      dsum(col("o_totalprice"), 2).as("sum_price"),
+      countDistinct(col("o_orderstatus")).as("n_status"))
+  }
+
   /** S10: column-name cleaning applied to messy aliases
     * (`duckdb_util.py:29-61`) — "Order Key"→order_key,
     * "Total-Price($)"→total_price, "STATUS"/" status "→status, status_1. */

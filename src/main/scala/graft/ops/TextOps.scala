@@ -89,6 +89,22 @@ object TextOps {
           .as("avg_chars"))
       .orderBy("lang")
 
+  /** Token counting, BPE-ish: alongside whitespace tokens, count subword-ish
+    * units via the regex `[a-z]+|[0-9]+|[^a-z0-9\s]` (letter runs, digit
+    * runs, single punctuation — the shape BPE pre-tokenizers use). */
+  def qTokenBpe(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "documents")
+      .withColumn("ws_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("bpe_tok",
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tok")).as("ws_tokens"),
+        sum(col("bpe_tok")).as("bpe_tokens"))
+      .orderBy("lang")
+
   /** Quality scoring: token count, stopword ratio, average word length, and a
     * bounded linear quality score (length/stopword heuristics — the
     * deterministic analog of the reference's LLM quality_score field,

@@ -119,6 +119,40 @@ object VectorOps {
       .distinct()
   }
 
+  /** IVF-style ANN: inverted lists keyed by the store's coarse partitions
+    * (`label`), per-list centroids from an elementwise average (posexplode +
+    * groupBy(list, dim) — fully distributed), query probes the `nprobe`
+    * nearest lists only, exact cosine inside probed lists. At scale the
+    * centroid table is tiny (one row per list) and broadcast; the big scan
+    * prunes to probed lists before any cosine work. */
+  def ivfTopk(e: DataFrame, qv: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v")).as("cv"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv").cast("float")).as("centroid"))
+    val probed = centroids.crossJoin(broadcast(qv))
+      .select(col("label"), cosineFast(col("centroid"), col("qv")).as("cs"))
+      .orderBy(col("cs").desc).limit(nprobe)
+      .select("label")
+    e.join(broadcast(probed), Seq("label"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        microScore(cosineFast(col("embedding"), col("qv"))).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** ANN top-k via IVF probing (no oracle: approximate by construction —
+    * recall vs brute force asserted in OpsSpec). */
+  def qIvfTopk(s: SparkSession, sf: String): DataFrame = {
+    val e = t(s, sf, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    ivfTopk(e, qv, nprobe = 3, k = 10)
+  }
+
   /** ANN near-dup via LSH bucketing + exact re-score (no oracle: candidate
     * recall is probabilistic; invariants tested in VectorSpec). */
   def qEmbedNeardupLsh(s: SparkSession, sf: String): DataFrame =

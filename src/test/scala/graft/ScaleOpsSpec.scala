@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{SkewOps, Tables, VectorOps}
+
+/** Scale-pattern specs: SQL extension registration, salted aggregation
+  * equivalence, IVF probing recall. */
+class ScaleOpsSpec extends SparkTestBase {
+
+  test("GraftExtensions registers graft_cosine and word_shingles for spark.sql") {
+    // getOrCreate would hand back the shared extension-less session; force a
+    // fresh one (same SparkContext) with the extensions applied, restore after
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+    val cos = s2.sql(
+      "SELECT graft_cosine(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS c").head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val sh = s2.sql("SELECT word_shingles('a b c d', 3) AS s")
+      .head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val sh2 = s2.sql("SELECT word_shingles('one two three four') AS s")
+      .head.getSeq[String](0)
+    assert(sh2 == Seq("one two three", "two three four"))
+  }
+
+  test("salted count+sum equals plain groupBy on a skewed frame") {
+    import spark.implicits._
+    // hot key: 10k rows on one key, a handful elsewhere
+    val hot = (1 to 10000).map(i => ("hot", i.toDouble / 100))
+    val cold = (1 to 50).map(i => (s"k$i", i.toDouble))
+    val df = (hot ++ cold).toDF("k", "v")
+    val got = SkewOps.saltedCountSum(df, Seq("k"), "v", salts = 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = df.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("IVF top-k finds the true best hit and achieves high top-10 recall") {
+    val e = Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+    val brute = VectorOps.qCosineTopk(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getLong(0)).toSeq
+    val ivf = VectorOps.qIvfTopk(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf.head == brute.head, "IVF must find the exact self-match")
+    val recall = (brute.toSet & ivf.toSet).size.toDouble / brute.size
+    assert(recall >= 0.5, s"top-10 recall too low: $recall (ivf=$ivf brute=$brute)")
+  }
+}
