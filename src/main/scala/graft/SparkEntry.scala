@@ -298,12 +298,12 @@ object SparkEntry {
         |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS stop_cnt,
         |  alnum FROM x),
         |z AS (SELECT doc_id, n_tokens,
-        |  round(stop_cnt / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
-        |  round(alnum / CAST(n_tokens AS DOUBLE), 6) AS avg_word_len FROM y)
-        |SELECT doc_id, n_tokens, stop_ratio, avg_word_len,
-        |round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
-        |  CAST(0.5 AS DOUBLE) + CAST(0.05 AS DOUBLE) * avg_word_len
-        |  - CAST(0.8 AS DOUBLE) * stop_ratio)), 6) AS quality
+        |  CAST(round(stop_cnt / CAST(n_tokens AS DOUBLE) * 1000000, 0) AS BIGINT) AS stop_ratio_e6,
+        |  CAST(round(alnum / CAST(n_tokens AS DOUBLE) * 1000000, 0) AS BIGINT) AS avg_word_len_e6 FROM y)
+        |SELECT doc_id, n_tokens, stop_ratio_e6, avg_word_len_e6,
+        |CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+        |  CAST(0.5 AS DOUBLE) + CAST(0.05 AS DOUBLE) * (CAST(avg_word_len_e6 AS DOUBLE) / 1000000.0)
+        |  - CAST(0.8 AS DOUBLE) * (CAST(stop_ratio_e6 AS DOUBLE) / 1000000.0))) * 1000000, 0) AS BIGINT) AS quality_e6
         |FROM z ORDER BY doc_id""".stripMargin,
     "q_doc_fingerprint" ->
       """WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM documents)

@@ -110,6 +110,10 @@ object TextOps {
     * deterministic analog of the reference's LLM quality_score field,
     * `ingestion_pipeline_langgraph.py:462-466`). */
   def qQualityScore(s: SparkSession, sf: String): DataFrame = {
+    // Ratios and score are emitted as micro-ints: rounding a double at the
+    // 6th decimal is tie-unstable across engines (x.xxxxxx5 is not exactly
+    // representable), while integer-scale ties ARE exact doubles and round
+    // identically — observed as a 1-ulp quality mismatch at sf0.1.
     val toks = split(trim(col("text")), "\\s+")
     val nTok = size(toks).cast("long")
     val stopCnt = size(filter(toks, x => x.isInCollection(stopwords))).cast("long")
@@ -118,11 +122,15 @@ object TextOps {
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
-        round(stopCnt.cast("double") / nTok.cast("double"), 6).as("stop_ratio"),
-        round(alnumChars / nTok.cast("double"), 6).as("avg_word_len"))
-      .withColumn("quality",
+        round(stopCnt.cast("double") / nTok.cast("double") * 1000000, 0)
+          .cast("long").as("stop_ratio_e6"),
+        round(alnumChars / nTok.cast("double") * 1000000, 0)
+          .cast("long").as("avg_word_len_e6"))
+      .withColumn("quality_e6",
         round(least(lit(1.0), greatest(lit(0.0),
-          lit(0.5) + lit(0.05) * col("avg_word_len") - lit(0.8) * col("stop_ratio"))), 6))
+          lit(0.5) + lit(0.05) * (col("avg_word_len_e6").cast("double") / 1000000.0)
+            - lit(0.8) * (col("stop_ratio_e6").cast("double") / 1000000.0))) * 1000000, 0)
+          .cast("long"))
       .orderBy("doc_id")
   }
 
