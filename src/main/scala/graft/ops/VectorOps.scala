@@ -50,17 +50,25 @@ object VectorOps {
       .limit(10)
 
   /** V5: cross-collection merge — per-label top-3 hits pooled and re-sorted
-    * globally with source attribution (`chroma_retrieval_util.py:411-459`). */
+    * globally with source attribution (`chroma_retrieval_util.py:411-459`).
+    * Per-label top-3 runs through the bounded-heap `TopKByScore` Aggregator
+    * (partial buffers of ≤3 rows, O(n log k)) instead of a window sort of
+    * every label partition; WindowVsHeapSpec proves the two formulations
+    * identical. */
   def qCrossCollectionMerge(s: SparkSession, sf: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("label").orderBy(col("s").desc, col("vec_id").asc)
-    withQueryVec(s, sf)
-      .select(col("vec_id"), col("label"), cosineFast(col("embedding"), col("qv")).as("s"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("vec_id"),
+    import s.implicits._
+    val scored = withQueryVec(s, sf)
+      .select(col("label"), col("vec_id").as("id"),
+        cosineFast(col("embedding"), col("qv")).as("score"))
+      .as[graft.functions.LabeledScore]
+    scored
+      .groupByKey(_.label)
+      .agg(new graft.functions.TopKByScore(3).toColumn.name("hits"))
+      .toDF("label", "hits")
+      .select(col("label"), explode(col("hits")).as("hit"))
+      .select(col("hit.id").as("vec_id"),
         concat(lit("collection_"), col("label")).as("source_collection"),
-        microScore(col("s")).as("score_e6"))
+        microScore(col("hit.score")).as("score_e6"))
       .orderBy(col("score_e6").desc, col("vec_id").asc)
       .limit(10)
   }
