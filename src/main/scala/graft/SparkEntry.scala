@@ -73,7 +73,8 @@ object SparkEntry {
     "q_cross_collection_merge" -> (VectorOps.qCrossCollectionMerge _),
     "q_embed_neardup_pairs"   -> (VectorOps.qEmbedNeardupPairs _),
     "q_embed_neardup_lsh"     -> (VectorOps.qEmbedNeardupLsh _),
-    "q_ivf_topk"              -> (VectorOps.qIvfTopk _)
+    "q_ivf_topk"              -> (VectorOps.qIvfTopk _),
+    "q_salted_agg"            -> (SkewOps.qSaltedAgg _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -162,6 +163,11 @@ object SparkEntry {
         |count(nullif(o_orderstatus, 'O')) AS n_nonnull,
         |count(DISTINCT coalesce(nullif(o_orderstatus, 'O'), 'OPEN')) AS n_distinct_coalesced
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

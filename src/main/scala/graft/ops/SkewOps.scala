@@ -29,4 +29,11 @@ object SkewOps {
       .agg(sum(col("__pn")).as("n"),
         sum(col("__psum")).cast("double").as("sum_value"))
   }
+
+  /** Oracle-checked wiring: salted aggregation over lineitem must equal the
+    * plain GROUP BY the oracle runs — the salt must never change results. */
+  def qSaltedAgg(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame =
+    saltedCountSum(Tables.t(s, sf, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"), "l_extendedprice", salts = 16)
+      .orderBy("l_returnflag", "l_linestatus")
 }
