@@ -31,6 +31,13 @@ class CleanColumnsSpec extends AnyFunSuite {
     names.foreach(n => assert(cleanName(cleanName(n)) == cleanName(n)))
   }
 
+  test("unicode word characters survive like Python's \\w (reference parity)") {
+    // Python re \w is unicode by default; the (?U) flag mirrors that
+    assert(cleanName("Café Größe") == "café_größe")
+    assert(cleanName("数量 (units)") == "数量_units")
+    assert(cleanName("prix-€") == "prix")
+  }
+
   test("property: outputs are always unique and regex-clean") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcXYZ 09._-$%()\n\r\t"

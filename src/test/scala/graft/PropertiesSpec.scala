@@ -72,13 +72,11 @@ object TopKProps extends Properties("TopKByScore") {
   property("buffer sorted desc, bounded by k, equals brute-force top-k") =
     forAll(Gen.listOf(rowGen)) { rows =>
       val buf = rows.foldLeft(agg.zero)(agg.reduce)
+      // the aggregator keeps duplicate (id, score) rows — compare against
+      // the sorted prefix of the multiset
       val want = rows.map(r => ScoredRow(r.id, r.score))
-        .sortBy(r => (-r.score, r.id)).distinct
-      // aggregator keeps duplicates (it aggregates rows, not ids) — compare
-      // against sorted prefix of the multiset
-      val wantMulti = rows.map(r => ScoredRow(r.id, r.score))
         .sortBy(r => (-r.score, r.id)).take(4)
-      buf.size <= 4 && buf == wantMulti
+      buf.size <= 4 && buf == want
     }
 
   property("merge is order-insensitive") = forAll(Gen.listOf(rowGen), Gen.listOf(rowGen)) {

@@ -42,6 +42,33 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("watermark finalizes windows and drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = EventStream.hourlyCounts(stream.toDF.toDF("ts", "event_type", "value"),
+      watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("wmk")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((ts(1, 10), "click", 1.0), (ts(1, 20), "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("wmk").count() == 0) // window 01:00 not finalized yet
+      stream.addData((ts(9, 0), "view", 1.0)) // watermark -> 08:00, finalizes 01:00
+      q.processAllAvailable()
+      val row = spark.table("wmk")
+        .filter(col("event_type") === "click").head
+      assert(row.getLong(2) == 2L) // both on-time clicks counted
+      // a late click in hour 01 is older than the watermark: dropped
+      stream.addData((ts(1, 30), "click", 100.0))
+      q.processAllAvailable()
+      assert(spark.table("wmk").filter(col("event_type") === "click").count() == 1)
+      assert(spark.table("wmk").filter(col("event_type") === "click")
+        .head.getLong(2) == 2L)
+    } finally q.stop()
+  }
+
   test("gap sessionization emits closed sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
