@@ -66,6 +66,7 @@ object SparkEntry {
     "q_exact_dedup"           -> (TextOps.qExactDedup _),
     "q_lang_id"               -> (TextOps.qLangId _),
     "q_simhash"               -> (TextOps.qSimhash _),
+    "q_simhash_neardup"       -> (TextOps.qSimhashNeardup _),
     "q_minhash_neardup"       -> (DedupOps.qMinhashNeardup _),
     "q_binary_meta"           -> (MultimodalOps.qBinaryMeta _),
     "q_cosine_topk"           -> (VectorOps.qCosineTopk _),

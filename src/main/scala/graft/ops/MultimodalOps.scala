@@ -61,6 +61,37 @@ object MultimodalOps {
       bytes(2) == 'F' && bytes(3) == 'F') "riff"
     else "unknown"
 
+  /** STUB frame sampler: every-nth-frame extraction from a video payload.
+    * The real kernel would demux/decode; the fake treats the payload as
+    * fixed-size "frames" of `frameBytes` and emits one row per sampled
+    * frame — the explode-shaped plumbing (one input row → N output rows,
+    * schema, ordering) is the real part. */
+  def sampleFrames(df: DataFrame, everyNth: Int, frameBytes: Int = 256): DataFrame = {
+    val nFrames = floor(length(col("payload")) / frameBytes).cast("int")
+    df.select(col("doc_id"), col("payload"), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))).as("frame_idx"))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame_bytes"))
+  }
+
+  /** STUB resize: average-pool a feature vector down to `outDim` (the array
+    * math is real; a real image resize would pool pixels the same way). */
+  def resizeFeatures(df: DataFrame, outDim: Int): DataFrame = {
+    val inSize = size(col("features"))
+    val pooled = transform(sequence(lit(0), lit(outDim - 1)), i => {
+      val start = ((i * inSize) / lit(outDim)).cast("int")
+      val end = (((i + lit(1)) * inSize) / lit(outDim)).cast("int")
+      val window = slice(col("features"), start + 1, greatest(end - start, lit(1)))
+      aggregate(window, lit(0.0d), (acc, x) => acc + x.cast("double"),
+        acc => (acc / size(window)).cast("float"))
+    })
+    df.withColumn("features_resized", pooled)
+  }
+
   /** Binary-column metadata over a synthesized payload (text bytes stand in
     * for media bytes): byte length + md5 digest — oracle-checkable since
     * both engines hash the same UTF-8 bytes. */

@@ -202,4 +202,32 @@ object TextOps {
 
   def qSimhash(s: SparkSession, sf: String): DataFrame =
     simhash(t(s, sf, "documents"), "text").orderBy("doc_id")
+
+  /** SimHash near-dup pairs: candidates share one of 4 16-bit signature
+    * bands (docs within Hamming distance 3 of a 64-bit signature must agree
+    * on ≥1 band — pigeonhole), then exact Hamming verify via bit_count(xor).
+    * Join key is (band, 16-bit chunk): bounded shuffle, no all-pairs. */
+  def simhashNeardupPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col("band"), col("key"),
+      col("doc_id").as("id_a"), col("simhash").as("ha"))
+    val r = banded.select(col("band"), col("key"),
+      col("doc_id").as("id_b"), col("simhash").as("hb"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def qSimhashNeardup(s: SparkSession, sf: String): DataFrame =
+    simhashNeardupPairs(simhash(t(s, sf, "documents"), "text"), maxHamming = 3)
+      .orderBy("id_a", "id_b")
 }

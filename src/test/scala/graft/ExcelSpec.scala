@@ -36,4 +36,60 @@ class ExcelSpec extends SparkTestBase {
     assert(df.filter(df("collateral").isNull).count() > 0)
     assert(df.select("loan_application_id").distinct().count() == 1000)
   }
+
+  test("synthetic workbook: multi-sheet, shared strings, sparse cells, empty sheet") {
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "xlsx_spec").resolve("t.xlsx").toString
+    writeXlsx(path)
+    val sh = ExcelSource.readXlsx(spark, path)
+    assert(sh.keySet == Set("S1", "S2")) // Empty sheet skipped
+    val s1 = sh("S1").orderBy("id").collect()
+    assert(sh("S1").columns.toSeq == Seq("id", "name", "val"))
+    assert(s1.length == 2)
+    assert(s1(0).getLong(0) == 1L && s1(0).getString(1) == "alpha" && s1(0).getDouble(2) == 1.5)
+    // sparse row: B missing -> null name
+    assert(s1(1).getLong(0) == 2L && s1(1).isNullAt(1) && s1(1).getDouble(2) == 2.5)
+    assert(sh("S2").collect().map(_.getString(0)).toSeq == Seq("x"))
+  }
+
+  /** Hand-built minimal xlsx: S1 (shared strings + a sparse row), S2 (inline
+    * string), Empty (header only). */
+  private def writeXlsx(path: String): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S1" sheetId="1" r:id="rId1"/>
+        |<sheet name="S2" sheetId="2" r:id="rId2"/>
+        |<sheet name="Empty" sheetId="3" r:id="rId3"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>
+        |<Relationship Id="rId3" Type="t" Target="worksheets/sheet3.xml"/></Relationships>""".stripMargin)
+    put("xl/sharedStrings.xml",
+      """<sst><si><t>id</t></si><si><t>name</t></si><si><t>val</t></si>
+        |<si><t>alpha</t></si></sst>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>1.5</v></c></row>
+        |<row r="3"><c r="A3"><v>2</v></c><c r="C3"><v>2.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    put("xl/worksheets/sheet2.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>col</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>x</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    put("xl/worksheets/sheet3.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>only_header</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+  }
 }
