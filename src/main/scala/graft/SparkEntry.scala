@@ -67,6 +67,7 @@ object SparkEntry {
     "q_lang_id"               -> (TextOps.qLangId _),
     "q_simhash"               -> (TextOps.qSimhash _),
     "q_simhash_neardup"       -> (TextOps.qSimhashNeardup _),
+    "q_winnow_fingerprint"    -> (TextOps.qWinnowFingerprint _),
     "q_minhash_neardup"       -> (DedupOps.qMinhashNeardup _),
     "q_binary_meta"           -> (MultimodalOps.qBinaryMeta _),
     "q_cosine_topk"           -> (VectorOps.qCosineTopk _),

@@ -230,4 +230,23 @@ object TextOps {
   def qSimhashNeardup(s: SparkSession, sf: String): DataFrame =
     simhashNeardupPairs(simhash(t(s, sf, "documents"), "text"), maxHamming = 3)
       .orderBy("id_a", "id_b")
+
+  /** Winnowing fingerprints (rolling k-gram hash + window minima — the
+    * MOSS/SIGMOD'03 algorithm, compiled kernel in `graft.functions.Winnow`):
+    * any shared run of ≥ w+k-1 chars between two docs shares a fingerprint,
+    * so explode+groupBy on the fingerprint value gives local-similarity
+    * candidates at scale. */
+  def winnowFingerprints(df: DataFrame, textCol: String, k: Int = 12, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    df.select(col("doc_id"),
+      GraftColumnBridge.column(graft.functions.Winnow(
+        GraftColumnBridge.expression(col(textCol)), k, w)).as("fingerprints"))
+  }
+
+  def qWinnowFingerprint(s: SparkSession, sf: String): DataFrame =
+    winnowFingerprints(t(s, sf, "documents"), "text")
+      .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
+        xxhash64(concat_ws(",", transform(col("fingerprints"), _.cast("string"))))
+          .as("fp_digest"))
+      .orderBy("doc_id")
 }

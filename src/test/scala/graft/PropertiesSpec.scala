@@ -87,6 +87,36 @@ object TopKProps extends Properties("TopKByScore") {
   }
 }
 
+object WinnowProps extends Properties("Winnow") {
+  import graft.functions.Winnow
+
+  private def fps(s: String, k: Int = 8, w: Int = 4): Seq[Long] = {
+    val arr = Winnow.compute(UTF8String.fromString(s), k, w)
+    (0 until arr.numElements()).map(arr.getLong)
+  }
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("spark", "table", "join", "scan", "merge", "row"))
+      .map(_.mkString(" "))
+
+  property("deterministic and whitespace/case normalized") = forAll(textGen) { s =>
+    fps(s) == fps("  " + s.toUpperCase.replace(" ", "   ") + " ")
+  }
+
+  property("identical docs share all fingerprints; guarantee holds for long matches") =
+    forAll(textGen.suchThat(_.length > 30)) { s =>
+      val a = fps(s).toSet
+      // append a suffix: the long shared prefix must still share >= 1 fingerprint
+      val b = fps(s + " zzz unique tail").toSet
+      (a & b).nonEmpty
+    }
+
+  property("output size is sublinear: at most #kgrams, at least 1") = forAll(textGen) { s =>
+    val n = fps(s).size
+    n >= 1 && n <= math.max(1, s.length)
+  }
+}
+
 object ShingleProps extends Properties("WordShingles") {
 
   private val textGen: Gen[String] =
