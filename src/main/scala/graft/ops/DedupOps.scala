@@ -23,13 +23,14 @@ object DedupOps {
         GraftColumnBridge.expression(col("text")), 3)).as("sh"))
   }
 
-  /** MinHash signatures: k independent permutations approximated by
-    * xxhash64(seed_i, shingle); signature entry i = min hash under seed i.
-    * One explode + one groupBy (map-side combinable partial min). */
+  /** MinHash signatures via the compiled `MinHashSig` kernel: one
+    * projection, no explode/groupBy shuffle — each doc's k-entry signature
+    * is computed in a single pass over its shingle array. */
   def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
-    val exploded = shingled.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    import org.apache.spark.sql.GraftColumnBridge
+    shingled.select(col("doc_id"),
+      GraftColumnBridge.column(graft.functions.MinHashSig(
+        GraftColumnBridge.expression(col("sh")), k)).as("sig"))
   }
 
   /** LSH candidate pairs: band the k-entry signature into `bands` groups;
@@ -39,7 +40,7 @@ object DedupOps {
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"mh$i")): _*).as("bucket"))
+          .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
     }
     val exploded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
