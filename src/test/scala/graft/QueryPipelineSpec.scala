@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.CatalogOps
+import graft.pipeline.{IngestionPipeline, QueryPipeline}
+import graft.planner.PlannerHooks
+import graft.planner.PlannerHooks.SqlGenerator
+
+/** End-to-end query lifecycle: decompose → identify → route → execute →
+  * summarize, hermetic (canned SQL generator standing in for the LLM). */
+class QueryPipelineSpec extends SparkTestBase {
+
+  /** Canned text-to-SQL: the LLM seam bound to a deterministic template. */
+  object CannedSqlGen extends SqlGenerator {
+    def generate(question: String, catalogText: String): Option[String] =
+      if (question.toLowerCase.contains("per segment"))
+        Some("""SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS bal
+                FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      else None
+  }
+
+  test("multi-intent question runs SQL + semantic sub-queries and summarizes") {
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "qp_spec").toString
+    // build a collection over the documents table for the semantic leg
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+    val chunks = IngestionPipeline.chunkTable(docs, "doc_id", 1000)
+    val collPath = IngestionPipeline.writeCollection(chunks, "documents", out)
+
+    val catalog = Seq("customer", "orders").map(CatalogOps.profileTable(spark, sf, _))
+    val ans = QueryPipeline.run(spark,
+      "total balance per segment; documents similar to spark join",
+      catalog,
+      QueryPipeline.Hooks(sqlGen = CannedSqlGen),
+      collectionPath = Some(collPath))
+
+    assert(ans.subResults.size == 2)
+    val sqlLeg = ans.subResults.head
+    assert(sqlLeg.intent == PlannerHooks.SqlQuery && sqlLeg.error.isEmpty)
+    assert(sqlLeg.result.columns.toSeq == Seq("c_mktsegment", "n", "bal"))
+    assert(sqlLeg.result.count() == 5)
+    assert(sqlLeg.tables.contains("customer"))
+
+    val semLeg = ans.subResults(1)
+    assert(semLeg.intent == PlannerHooks.SemanticSearch && semLeg.error.isEmpty)
+    assert(semLeg.result.count() == 10)
+    assert(semLeg.result.columns.contains("score_e6"))
+
+    assert(ans.summary.contains("5 rows") && ans.summary.contains("10 rows"))
+  }
+
+  test("failures degrade to an error-column frame, never throw") {
+    object BrokenGen extends SqlGenerator {
+      def generate(q: String, c: String): Option[String] =
+        Some("SELECT * FROM table_that_does_not_exist")
+    }
+    val catalog = Seq(CatalogOps.profileTable(spark, sf, "customer"))
+    val ans = QueryPipeline.run(spark, "sum of everything", catalog,
+      QueryPipeline.Hooks(sqlGen = BrokenGen))
+    val r = ans.subResults.head
+    assert(r.error.isDefined)
+    assert(r.result.columns.toSeq == Seq("error"))
+    assert(ans.summary.contains("ERROR"))
+  }
+
+  test("markdown renderer matches the reference's context shape") {
+    import spark.implicits._
+    val md = QueryPipeline.renderMarkdown(
+      Seq((1, "a"), (2, null.asInstanceOf[String])).toDF("id", "v"), 5)
+    val lines = md.split("\n")
+    assert(lines(0) == "| id | v |")
+    assert(lines(1) == "| --- | --- |")
+    assert(lines(2) == "| 1 | a |")
+    assert(lines(3) == "| 2 | NULL |")
+  }
+}
