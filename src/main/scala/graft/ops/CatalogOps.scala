@@ -13,7 +13,8 @@ import Tables._
   */
 object CatalogOps {
 
-  case class ColumnMeta(name: String, dataType: String, nNulls: Long, nDistinct: Long)
+  case class ColumnMeta(name: String, dataType: String, nNulls: Long,
+      nDistinct: Long, minValue: Option[String] = None, maxValue: Option[String] = None)
   case class TableEntry(
       logicalName: String,
       parquetPath: String,
@@ -28,9 +29,13 @@ object CatalogOps {
 
     def toJson: String = {
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      val cols = columns.map(c =>
-        s"""{"name":${q(c.name)},"type":${q(c.dataType)},"n_nulls":${c.nNulls},"n_distinct":${c.nDistinct}}""")
-        .mkString("[", ",", "]")
+      val cols = columns.map { c =>
+        val mm = (c.minValue, c.maxValue) match {
+          case (Some(a), Some(b)) => s""","min":${q(a)},"max":${q(b)}"""
+          case _ => ""
+        }
+        s"""{"name":${q(c.name)},"type":${q(c.dataType)},"n_nulls":${c.nNulls},"n_distinct":${c.nDistinct}$mm}"""
+      }.mkString("[", ",", "]")
       s"""{"table":${q(logicalName)},"path":${q(parquetPath)},"row_count":$rowCount,"columns":$cols}"""
     }
   }
@@ -43,13 +48,18 @@ object CatalogOps {
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { f =>
       Seq(
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nnull"),
-        // distinct over array columns isn't hashable pre-3.x-semantics; cast to string
-        countDistinct(col(f.name).cast("string")).as(s"${f.name}__ndist"))
+        // distinct over array columns isn't hashable; count via string.
+        // min/max compare on the NATIVE type (string min of "9"/"24" would
+        // order lexicographically) and only render the result as string.
+        countDistinct(col(f.name).cast("string")).as(s"${f.name}__ndist"),
+        min(col(f.name)).cast("string").as(s"${f.name}__min"),
+        max(col(f.name)).cast("string").as(s"${f.name}__max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val metas = cols.zipWithIndex.map { case (f, i) =>
       ColumnMeta(f.name, ProfileOps.duckTypeName(f.dataType),
-        row.getLong(1 + 2 * i), row.getLong(2 + 2 * i))
+        row.getLong(1 + 4 * i), row.getLong(2 + 4 * i),
+        Option(row.getString(3 + 4 * i)), Option(row.getString(4 + 4 * i)))
     }
     TableEntry(name, path, row.getLong(0), metas)
   }

@@ -54,6 +54,23 @@ object QueryPipeline {
       .limit(k)
   }
 
+  /** Multi-table load: the reference's composition rule
+    * (`langgraph_pipeline.py:211-229`): >1 table and no join key →
+    * schema-merging union with provenance; a join key → equi-join of all
+    * tables on it; single table → plain load. */
+  def loadContext(spark: SparkSession, entries: Seq[TableEntry],
+      joinKey: Option[String]): DataFrame = {
+    val dfs = entries.map(e => (e.logicalName, spark.read.parquet(e.parquetPath)))
+    (dfs, joinKey) match {
+      case (Seq((_, only)), _) => only
+      case (many, None) =>
+        many.map { case (name, df) => df.withColumn("__table__", lit(name)) }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      case (many, Some(key)) =>
+        many.map(_._2).reduce((a, b) => a.join(b, Seq(key)))
+    }
+  }
+
   /** Run one question end to end. Tables from `catalog` are registered as
     * temp views so generated SQL addresses logical names, like the
     * reference's `read_parquet` path map (`langgraph_pipeline.py:461-492`).

@@ -25,6 +25,24 @@ object EventStream {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming file-source reader for the events layout: parquet dirs carry
+    * ns timestamps which the streaming reader also rejects, so the stream
+    * reads `ts` as raw nano longs (explicit schema + nanosAsLong) and
+    * truncates to micros with exact integer division — mirror of the batch
+    * path in `graft.ops.Tables.events`. */
+  def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, start_micros: Long, end_micros: Long, n_events: Long)

@@ -18,6 +18,12 @@ class CatalogPlannerSpec extends SparkTestBase {
     assert(nation.columns.find(_.name == "n_nationkey").get.nDistinct == 25)
   }
 
+  test("profile captures min/max rendered values") {
+    val nation = catalog.find(_.logicalName == "nation").get
+    val key = nation.columns.find(_.name == "n_nationkey").get
+    assert(key.minValue.contains("0") && key.maxValue.contains("24"))
+  }
+
   test("catalog JSON renders and parses") {
     val json = CatalogOps.buildGlobalCatalog(spark, sf, Seq("nation", "region"))
     assert(json.startsWith("[{\"table\":\"nation\""))

@@ -48,6 +48,34 @@ class QueryPipelineSpec extends SparkTestBase {
     assert(ans.summary.contains("5 rows") && ans.summary.contains("10 rows"))
   }
 
+  test("loadContext follows the reference union-vs-join decision") {
+    val catalog = Seq("customer", "supplier").map(CatalogOps.profileTable(spark, sf, _))
+    // >1 table, no join key -> union by name with provenance
+    val u = QueryPipeline.loadContext(spark, catalog, None)
+    assert(u.columns.contains("__table__"))
+    assert(u.count() == catalog.map(_.rowCount).sum)
+    assert(u.select("__table__").distinct().count() == 2)
+    // single table -> plain load
+    val one = QueryPipeline.loadContext(spark, catalog.take(1), None)
+    assert(one.columns.toSeq == Seq("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment"))
+    // join key -> equi-join on the shared column
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "loadctx").toString
+    spark.read.parquet(s"$sf/customer.parquet")
+      .withColumnRenamed("c_nationkey", "nationkey")
+      .write.mode("overwrite").parquet(s"$out/cust.parquet")
+    spark.read.parquet(s"$sf/nation.parquet")
+      .withColumnRenamed("n_nationkey", "nationkey")
+      .write.mode("overwrite").parquet(s"$out/nat.parquet")
+    val entries = Seq(
+      CatalogOps.TableEntry("cust", s"$out/cust.parquet", 0, Nil),
+      CatalogOps.TableEntry("nat", s"$out/nat.parquet", 0, Nil))
+    val joined = QueryPipeline.loadContext(spark, entries, Some("nationkey"))
+    assert(joined.columns.contains("n_name"))
+    assert(joined.count() == spark.read.parquet(s"$sf/customer.parquet").count())
+  }
+
   test("failures degrade to an error-column frame, never throw") {
     object BrokenGen extends SqlGenerator {
       def generate(q: String, c: String): Option[String] =

@@ -42,6 +42,28 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("file-source stream over the real ns-timestamp events parquet") {
+    // the file source wants a directory: stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "evt_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streaming = EventStream.readEventsStream(spark, dir.toString)
+    assert(streaming.isStreaming)
+    val q = EventStream.hourlyCounts(streaming)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("file_hourly")
+      .select(col("hour_start").cast("string"), col("event_type"), col("n"))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val want = EventStream.hourlyCounts(graft.ops.Tables.events(spark, sf))
+      .select(col("hour_start").cast("string"), col("event_type"), col("n"))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("watermark finalizes windows and drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
