@@ -63,6 +63,23 @@ class PlanSpec extends SparkTestBase {
       s"fused cosine kernel missing from generated code:\n${pc.take(500)}")
   }
 
+  test("identically-bucketed tables join with zero Exchange") {
+    import graft.ops.{BucketOps, Tables}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      BucketOps.writeBucketed(
+        Tables.t(spark, sf, "orders").withColumnRenamed("o_custkey", "custkey"),
+        "orders_b", "custkey", 8)
+      BucketOps.writeBucketed(
+        Tables.t(spark, sf, "customer").withColumnRenamed("c_custkey", "custkey"),
+        "customer_b", "custkey", 8)
+      val joined = BucketOps.bucketedJoin(spark, "orders_b", "customer_b", "custkey")
+      val p = plan(joined)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() == Tables.t(spark, sf, "orders").count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("query functions never collect to the driver") {
     // structural check: every wired query returns a lazy DataFrame whose
     // plan materializes without an action having run
