@@ -65,6 +65,7 @@ object SparkEntry {
     "q_doc_fingerprint"       -> (TextOps.qDocFingerprint _),
     "q_exact_dedup"           -> (TextOps.qExactDedup _),
     "q_lang_id"               -> (TextOps.qLangId _),
+    "q_lang_id_nb"            -> (TextOps.qLangIdNb _),
     "q_simhash"               -> (TextOps.qSimhash _),
     "q_simhash_neardup"       -> (TextOps.qSimhashNeardup _),
     "q_winnow_fingerprint"    -> (TextOps.qWinnowFingerprint _),

@@ -183,6 +183,61 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Trained language-ID: multinomial naive Bayes over tokens, fully
+    * distributed — profiles are a groupBy((lang, token)) count with add-1
+    * smoothing, scoring is a broadcast join of the (tiny) vocabulary
+    * weights + per-(doc, lang) log-prob sum + argmax. The honest
+    * statistical upgrade of the marker heuristic; on the synthetic corpus
+    * (near-uniform token distributions) accuracy is near chance, which the
+    * spec demonstrates is a data property: on separable vocabularies the
+    * same model is exact. */
+  def trainLangProfiles(train: DataFrame): DataFrame = {
+    val toks = train.select(col("lang"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val counts = toks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val totals = toks.groupBy("lang").agg(count(lit(1)).as("total"))
+    val vocabSize = toks.select("tok").distinct().count()
+    counts.join(totals, Seq("lang"))
+      .select(col("lang"), col("tok"),
+        log((col("n") + 1).cast("double") /
+          (col("total") + vocabSize + 1).cast("double")).as("logp"),
+        log(lit(1.0) / (col("total") + vocabSize + 1).cast("double")).as("unseen_logp"))
+  }
+
+  def classifyLang(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    val docToks = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val docLen = docToks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // tokens unknown to a language contribute that language's smoothed
+    // unseen log-prob: score = Σ hit logp + (len − hits) · unseen_logp
+    val scored = docToks
+      .join(broadcast(profiles), Seq("tok"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("logp")).as("hit_score"), count(lit(1)).as("n_hit"),
+        first(col("unseen_logp")).as("unseen"))
+      .join(docLen, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        (col("hit_score") + (col("len") - col("n_hit")) * col("unseen")).as("score"))
+    val best = max_by(
+      struct(col("lang"), round(col("score"), 6).as("score")),
+      struct(col("score"), col("lang")))
+    scored.groupBy("doc_id")
+      .agg(best.as("best"))
+      .select(col("doc_id"), col("best.lang").as("pred_lang"),
+        col("best.score").as("log_prob"))
+  }
+
+  def qLangIdNb(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+    val train = docs.filter(col("doc_id") % 10 < 8)
+    val test = docs.filter(col("doc_id") % 10 >= 8)
+    classifyLang(test, trainLangProfiles(train))
+      .join(docs.select(col("doc_id"), col("lang").as("label_lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("pred_lang"), col("label_lang"),
+        when(col("pred_lang") === col("label_lang"), 1L).otherwise(0L).as("correct"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (64-bit) per document: xxhash64 per token, bitwise
     * majority-vote over token hashes — near-dup docs land within small
     * Hamming distance. Pure DataFrame ops; no oracle (engine-specific hash). */

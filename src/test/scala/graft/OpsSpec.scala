@@ -107,6 +107,26 @@ class OpsSpec extends SparkTestBase {
     assert(out1(0).getSeq[Float](3).length == MultimodalOps.featureDim)
   }
 
+  test("naive-Bayes lang-id is exact on separable vocabularies") {
+    import spark.implicits._
+    val langWords = Map(
+      "aa" -> Seq("apfel", "birne", "kirsche", "traube"),
+      "bb" -> Seq("apple", "pear", "cherry", "grape"),
+      "cc" -> Seq("pomme", "poire", "cerise", "raisin"))
+    val rnd = new scala.util.Random(5)
+    val docs = (1 to 120).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 3)
+      val words = (1 to 12).map(_ => langWords(lang)(rnd.nextInt(4)))
+      (i.toLong, words.mkString(" "), lang)
+    }.toDF("doc_id", "text", "lang")
+    val train = docs.filter($"doc_id" % 4 =!= 0)
+    val test = docs.filter($"doc_id" % 4 === 0)
+    val pred = TextOps.classifyLang(test, TextOps.trainLangProfiles(train))
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+    assert(pred.count() == test.count())
+    assert(pred.filter($"pred_lang" =!= $"lang").count() == 0)
+  }
+
   test("profile counts nulls and distincts correctly") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, None), (3, Some("a")), (4, None))
