@@ -39,6 +39,8 @@ object SparkEntry {
     "q_month_groupby"         -> (Relational.qMonthGroupby _),
     "q_pivot_month"           -> (Relational.qPivotMonth _),
     "q_except_semi"           -> (Relational.qExceptSemi _),
+    "q_rollup"                -> (Relational.qRollup _),
+    "q_intersect"             -> (Relational.qIntersect _),
     "q_window_rank"           -> (Relational.qWindowRank _),
     // scalar suites (SURVEY §2c)
     "q_string_funcs"          -> (Relational.qStringFuncs _),
@@ -187,6 +189,18 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN
         |(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
         |ORDER BY c_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+        |ORDER BY o_custkey""".stripMargin,
     "q_window_rank" ->
       """SELECT c_mktsegment, rn, rnk, drnk, c_custkey, c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -201,6 +201,24 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** R10c: ROLLUP subtotals — hierarchical aggregates with grouping flags
+    * (the Del surface's GROUP BY extended to subtotal queries). */
+  def qRollup(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** R16b: INTERSECT — customers active in both 1995 and 2000. */
+  def qIntersect(s: SparkSession, sf: String): DataFrame = {
+    val o = t(s, sf, "orders")
+    o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      .intersect(o.filter(year(col("o_orderdate")) === 2000).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
   /** R17a: ranking windows — top-3 customers per segment by balance. */
   def qWindowRank(s: SparkSession, sf: String): DataFrame = {
     val byBal = Window.partitionBy("c_mktsegment")
