@@ -11,15 +11,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketOps {
 
-  /** Write a table bucketed by `key` into the session catalog. */
+  /** Write a table bucketed by `key` into the session catalog. Drops any
+    * previous registration AND its location first: a table created by an
+    * earlier session dies with that catalog but leaves its warehouse
+    * directory behind, which blocks re-creation (LOCATION_ALREADY_EXISTS). */
   def writeBucketed(df: DataFrame, tableName: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, tableName.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .option("compression", "zstd")
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   /** Join two identically-bucketed tables on the bucket key — planned
     * without any Exchange when bucket layouts match. */
