@@ -25,6 +25,9 @@ object SparkEntry {
     "q_limit_provenance"      -> (Relational.qLimitProvenance _),
     "q_union_by_name"         -> (Relational.qUnionByName _),
     "q_join_orders_customer"  -> (Relational.qJoinOrdersCustomer _),
+    "q_join3_revenue"         -> (Relational.qJoin3Revenue _),
+    "q_explode_tokens"        -> (Relational.qExplodeTokens _),
+    "q_null_safe_eq"          -> (Relational.qNullSafeEq _),
     "q_filter_numeric"        -> (Relational.qFilterNumeric _),
     "q_filter_daterange"      -> (Relational.qFilterDaterange _),
     "q_filter_string_eq"      -> (Relational.qFilterStringEq _),
@@ -130,6 +133,29 @@ object SparkEntry {
       s"""SELECT c_mktsegment, count(*) AS n_orders, $dsumP AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join3_revenue" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_explode_tokens" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 50),
+        |e AS (SELECT doc_id,
+        |  unnest(list_transform(range(len(toks)), i -> {pos: i, tok: toks[i+1]})) AS u FROM d)
+        |SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok
+        |FROM e ORDER BY doc_id, pos""".stripMargin,
+    "q_null_safe_eq" ->
+      """SELECT o_orderpriority,
+        |CAST(sum(CASE WHEN nullif(o_orderstatus,'O') IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |CAST(sum(CASE WHEN nullif(o_orderstatus,'O') IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_eq,
+        |CAST(sum(CASE WHEN nullif(o_orderstatus,'O') = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f_plain
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_filter_numeric" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,

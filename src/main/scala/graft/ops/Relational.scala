@@ -233,6 +233,47 @@ object Relational {
       .orderBy("c_mktsegment", "rn")
   }
 
+  /** R7b: the classic 3-way fact/dimension plan (TPC-H Q3 shape): broadcast
+    * the filtered dimension, shuffle-join the two facts, aggregate, top-k. */
+  def qJoin3Revenue(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cust = t(s, sf, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, sf, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val li = t(s, sf, "lineitem")
+    val revenue = sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+      .cast("double")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** R9b: explode / table-generating projection — one row per token with
+    * its position (the Generate operator, oracle-checked via
+    * unnest WITH ORDINALITY). */
+  def qExplodeTokens(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .orderBy("doc_id", "pos")
+
+  /** R13b: null-safe equality (`<=>` ≡ IS NOT DISTINCT FROM). */
+  def qNullSafeEq(s: SparkSession, sf: String): DataFrame = {
+    val o = t(s, sf, "orders")
+      .withColumn("maybe_status", nullif(col("o_orderstatus"), lit("O")))
+    o.groupBy("o_orderpriority").agg(
+      sum(when(col("maybe_status") <=> lit("F"), 1L).otherwise(0L)).as("n_f"),
+      sum(when(col("maybe_status") <=> lit(null), 1L).otherwise(0L)).as("n_null_eq"),
+      sum(when(col("maybe_status") === lit("F"), 1L).otherwise(0L)).as("n_f_plain"))
+      .orderBy("o_orderpriority")
+  }
+
   /** C1: string scalar suite (`langgraph_pipeline.py:481`; cleaning analog
     * `duckdb_util.py:42-48`). */
   def qStringFuncs(s: SparkSession, sf: String): DataFrame =
