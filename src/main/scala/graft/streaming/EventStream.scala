@@ -79,6 +79,13 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: suppress repeated event ids with state bounded
+    * by the watermark (ids older than the delay are expired from state —
+    * the streaming face of the batch `dropDuplicates` dedup family). */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Flush helper for finite streams/tests: sessions still open in state are
     * surfaced by sending a sentinel event far past the gap for each user. */
   def flushSentinels(users: Seq[Long], afterMicros: Long, gapSec: Long): Seq[Evt] =

@@ -80,6 +80,13 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("contract consistency: every oracle key is a wired query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+    assert(SparkEntry.queries.size >= 55)
+    assert(SparkEntry.oracleSql.size >= 50)
+  }
+
   test("query functions never collect to the driver") {
     // structural check: every wired query returns a lazy DataFrame whose
     // plan materializes without an action having run

@@ -91,6 +91,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicate event ids across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-02-01 10:$m%02d:00")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventStream.dedupEvents(
+      stream.toDF.toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(2), 99.0))
+      q.processAllAvailable()
+      stream.addData((2L, ts(3), 98.0), (3L, ts(4), 3.0)) // 2 is a dup
+      q.processAllAvailable()
+      val got = spark.table("dedup").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally q.stop()
+  }
+
   test("gap sessionization emits closed sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
