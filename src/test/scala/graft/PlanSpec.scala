@@ -40,6 +40,15 @@ class PlanSpec extends SparkTestBase {
       s"date filter not pushed:\n$p")
   }
 
+  test("3-way join broadcasts the dimension and avoids a global sort") {
+    // at test scale AQE may legitimately broadcast the orders side too;
+    // the pinned properties are: customer broadcasts, no fact-side
+    // sort-merge at this size, and the top-10 never global-sorts
+    val p = plan(Relational.qJoin3Revenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"customer side must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+  }
+
   test("grouped aggregation is partial (map-side) + final") {
     val p = plan(Relational.qAggGroupby(spark, sf))
     val hashAggs = p.split("HashAggregate", -1).length - 1
