@@ -19,6 +19,12 @@ for t in TABLES:
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails, passes, skipped = [], [], []
 
+# a query that failed before writing produces no output dir — that must be
+# a FAIL, not a silent omission
+produced = {n for n in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, n))}
+for missing in sorted(set(oracle) - produced):
+    fails.append((missing, "no spark output directory (query failed in Verify?)"))
+
 for name in sorted(os.listdir(OUT)):
     d = os.path.join(OUT, name)
     if not os.path.isdir(d):

@@ -308,12 +308,14 @@ object SparkEntry {
         |CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_ngram_jaccard_pairs" ->
-      """WITH d AS (SELECT doc_id, source,
-        |  list_distinct(list_transform(range(len(string_split_regex(trim(lower(text)), '\s+')) - 2), i ->
-        |    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
-        |    string_split_regex(trim(lower(text)), '\s+')[i+2] || ' ' ||
-        |    string_split_regex(trim(lower(text)), '\s+')[i+3])) AS sh
-        |  FROM documents),
+      """WITH t0 AS (SELECT doc_id, source,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, source,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(len(toks) - 2), i ->
+        |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t0),
         |p AS (SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(round((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000, 0) AS BIGINT) AS jaccard_e6

@@ -47,10 +47,17 @@ object DedupOps {
     // Pairs are generated bucket-locally (groupBy + in-bucket combinations)
     // rather than by self-joining the signature subtree — signatures are
     // computed once, and the shuffle key (band, bucket) bounds every task.
+    // Degenerate-bucket guard: a bucket holding a large fraction of the
+    // corpus (e.g. empty docs all sharing one constant signature) would
+    // make collect_list unbounded and pair generation quadratic. Such
+    // buckets carry no near-dup signal beyond "these are all identical-ish"
+    // — exact dedup (hash-groupBy) is the right tool for them — so they are
+    // dropped here with an explicit cap instead of OOMing an executor.
+    val maxBucket = 10000
     exploded
       .groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2),

@@ -196,12 +196,13 @@ object TextOps {
       explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
     val counts = toks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
     val totals = toks.groupBy("lang").agg(count(lit(1)).as("total"))
-    val vocabSize = toks.select("tok").distinct().count()
-    counts.join(totals, Seq("lang"))
+    // vocabulary size joins in as a 1-row frame — no eager driver action
+    val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+    counts.join(totals, Seq("lang")).crossJoin(broadcast(vocab))
       .select(col("lang"), col("tok"),
         log((col("n") + 1).cast("double") /
-          (col("total") + vocabSize + 1).cast("double")).as("logp"),
-        log(lit(1.0) / (col("total") + vocabSize + 1).cast("double")).as("unseen_logp"))
+          (col("total") + col("v") + 1).cast("double")).as("logp"),
+        log(lit(1.0) / (col("total") + col("v") + 1).cast("double")).as("unseen_logp"))
   }
 
   def classifyLang(docs: DataFrame, profiles: DataFrame): DataFrame = {

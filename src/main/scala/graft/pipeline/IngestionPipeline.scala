@@ -66,12 +66,17 @@ object IngestionPipeline {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("len"))
           / lit(budget.toDouble)).cast("long"))
       .groupBy("chunk_id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("__idx"), col("row_text")))),
-          x => x.getField("row_text")), "\n").as("text"),
-        collect_list(col("__idx")).as("row_indices"),
+      .agg(array_sort(collect_list(struct(col("__idx"), col("row_text"))))
+        .as("sorted_rows"),
         count(lit(1)).as("n_rows"))
+      // text lines and row_indices are derived from the SAME sorted array so
+      // line i always corresponds to row_indices[i] (collect_list alone is
+      // partition-order nondeterministic)
+      .select(col("chunk_id"),
+        array_join(transform(col("sorted_rows"), x => x.getField("row_text")), "\n")
+          .as("text"),
+        transform(col("sorted_rows"), x => x.getField("__idx")).as("row_indices"),
+        col("n_rows"))
   }
 
   /** V2 seam: the embedding kernel is pluggable; the default is a STUB — a

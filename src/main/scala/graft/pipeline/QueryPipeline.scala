@@ -26,7 +26,11 @@ object QueryPipeline {
       sqlGen: SqlGenerator = NoOpSqlGenerator)
 
   case class SubResult(subQuery: String, intent: Intent, tables: Seq[String],
-      result: DataFrame, error: Option[String])
+      result: DataFrame, error: Option[String]) {
+    /** Row count, executed once on first access — summarize() and callers
+      * share this instead of re-running the sub-query's job. */
+    lazy val rowCount: Long = result.count()
+  }
 
   case class Answer(question: String, subResults: Seq[SubResult], summary: String)
 
@@ -113,7 +117,7 @@ object QueryPipeline {
     * shape the reference feeds its summarizer (`summary_util.py:10-84`). */
   def summarize(rs: Seq[SubResult]): String =
     rs.map { r =>
-      val status = r.error.map(e => s"ERROR($e)").getOrElse(s"${r.result.count()} rows")
+      val status = r.error.map(e => s"ERROR($e)").getOrElse(s"${r.rowCount} rows")
       s"Q: ${r.subQuery}\nA: $status over [${r.tables.mkString(", ")}]"
     }.mkString("\n\n")
 

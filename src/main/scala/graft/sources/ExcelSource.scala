@@ -35,7 +35,13 @@ object ExcelSource {
         val rows = readSheetRows(zip, target, shared)
         if (rows.size < 2) None // header-only or empty sheet
         else {
-          val header = CleanColumns.cleanColumnNames(rows.head.map(_.getOrElse("")))
+          // blank/symbol-only headers clean to "": name them like pandas
+          // ("Unnamed: N" → unnamed_N) so downstream SQL stays valid
+          val rawHeader = rows.head.zipWithIndex.map { case (h, i) =>
+            val cleaned = CleanColumns.cleanName(h.getOrElse(""))
+            if (cleaned.isEmpty) s"unnamed_$i" else h.getOrElse(s"unnamed_$i")
+          }
+          val header = CleanColumns.cleanColumnNames(rawHeader)
           val width = header.size
           val data = rows.tail.map(r =>
             Row.fromSeq((0 until width).map(i => r.lift(i).flatten.orNull)))
@@ -68,9 +74,10 @@ object ExcelSource {
     raw.select(casted: _*)
   }
 
-  /** ANSI-safe "does this string fail to cast" predicate. */
+  /** ANSI-safe "does this string fail to cast" predicate (name is
+    * backtick-quoted — cleaned headers are safe but quoting costs nothing). */
   private def try_cast_fail(c: org.apache.spark.sql.Column, to: String) =
-    expr(s"try_cast(${c.toString} AS $to)").isNull
+    expr(s"try_cast(`${c.toString}` AS $to)").isNull
 
   // ---- xlsx part parsing (driver-side, streaming) ----
 
@@ -155,8 +162,11 @@ object ExcelSource {
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
             cellValue = None
           case "v" => inValue = true; text.clear()
-          case "is" => inInline = true
-          case "t" if inInline => text.clear(); text.append(r.getElementText)
+          case "is" => inInline = true; text.clear()
+          case "t" if inInline =>
+            // rich-text inline cells carry multiple <r><t>…</t></r> runs —
+            // concatenate them all (same as the sharedStrings parser)
+            text.append(r.getElementText)
             cellValue = Some(text.toString)
           case _ =>
         }
