@@ -53,7 +53,7 @@ object VectorOps {
     * globally with source attribution (`chroma_retrieval_util.py:411-459`).
     * Per-label top-3 runs through the bounded-heap `TopKByScore` Aggregator
     * (partial buffers of ≤3 rows, O(n log k)) instead of a window sort of
-    * every label partition; WindowVsHeapSpec proves the two formulations
+    * every label partition; TopKSpec proves the two formulations
     * identical. */
   def qCrossCollectionMerge(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
@@ -162,7 +162,7 @@ object VectorOps {
   }
 
   /** ANN near-dup via LSH bucketing + exact re-score (no oracle: candidate
-    * recall is probabilistic; invariants tested in VectorSpec). */
+    * recall is probabilistic; invariants tested in ScaleOpsSpec). */
   def qEmbedNeardupLsh(s: SparkSession, sf: String): DataFrame =
     lshCandidatePairs(t(s, sf, "embeddings"), bits = 16, bands = 4)
       .select(col("id_a"), col("id_b"),
