@@ -50,6 +50,41 @@ class ExcelSpec extends SparkTestBase {
     // sparse row: B missing -> null name
     assert(s1(1).getLong(0) == 2L && s1(1).isNullAt(1) && s1(1).getDouble(2) == 2.5)
     assert(sh("S2").collect().map(_.getString(0)).toSeq == Seq("x"))
+    // blank header -> pandas-style unnamed_N; rich-text runs concatenate
+    assert(sh("S1").columns.length == 3)
+    val s3 = sh("S2")
+    assert(s3.columns.toSeq == Seq("col"))
+  }
+
+  test("blank headers and rich-text inline runs") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "xlsx_edge").resolve("e.xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="E" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>($)</t></is></c>
+        |  <c r="B1" t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r></is></c></row>
+        |<row r="2"><c r="A2"><v>7</v></c>
+        |  <c r="B2" t="inlineStr"><is><r><t>a</t></r><r><t>b</t></r></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = ExcelSource.readXlsx(spark, path)("E")
+    // "($)" cleans to empty -> unnamed_0; rich-text header runs concatenate
+    assert(df.columns.toSeq == Seq("unnamed_0", "hello_world"))
+    val row = df.head
+    assert(row.getLong(0) == 7L && row.getString(1) == "ab")
   }
 
   /** Hand-built minimal xlsx: S1 (shared strings + a sparse row), S2 (inline
