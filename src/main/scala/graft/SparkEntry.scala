@@ -43,6 +43,7 @@ object SparkEntry {
     "q_pivot_month"           -> (Relational.qPivotMonth _),
     "q_except_semi"           -> (Relational.qExceptSemi _),
     "q_rollup"                -> (Relational.qRollup _),
+    "q_percentiles"           -> (Relational.qPercentiles _),
     "q_intersect"             -> (Relational.qIntersect _),
     "q_window_rank"           -> (Relational.qWindowRank _),
     // scalar suites (SURVEY §2c)
@@ -222,6 +223,12 @@ object SparkEntry {
         |CAST(grouping(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |CAST(round(quantile_cont(l_quantity, 0.5) * 1000000, 0) AS BIGINT) AS med_qty_e6,
+        |CAST(round(quantile_cont(l_extendedprice, 0.25) * 1000000, 0) AS BIGINT) AS p25_price_e6,
+        |CAST(round(quantile_cont(l_extendedprice, 0.9) * 1000000, 0) AS BIGINT) AS p90_price_e6
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT

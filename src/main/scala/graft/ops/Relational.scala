@@ -201,6 +201,23 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** R10d: exact interpolated percentiles (median / p25 / p90) — micro-int
+    * outputs since the interpolation arithmetic may differ in the last ulp
+    * across engines. Exact percentile buffers per-group values; at 100 TB
+    * swap in `approx_percentile` (t-digest, fixed-size sketch) — same query
+    * shape, no oracle parity. */
+  def qPercentiles(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)") * 1000000, 0)
+          .cast("long").as("med_qty_e6"),
+        round(expr("percentile(l_extendedprice, 0.25)") * 1000000, 0)
+          .cast("long").as("p25_price_e6"),
+        round(expr("percentile(l_extendedprice, 0.9)") * 1000000, 0)
+          .cast("long").as("p90_price_e6"))
+      .orderBy("l_returnflag")
+
   /** R10c: ROLLUP subtotals — hierarchical aggregates with grouping flags
     * (the Del surface's GROUP BY extended to subtotal queries). */
   def qRollup(s: SparkSession, sf: String): DataFrame =
