@@ -44,6 +44,7 @@ object SparkEntry {
     "q_except_semi"           -> (Relational.qExceptSemi _),
     "q_rollup"                -> (Relational.qRollup _),
     "q_percentiles"           -> (Relational.qPercentiles _),
+    "q_stats_moments"         -> (Relational.qStatsMoments _),
     "q_intersect"             -> (Relational.qIntersect _),
     "q_window_rank"           -> (Relational.qWindowRank _),
     // scalar suites (SURVEY §2c)
@@ -229,6 +230,23 @@ object SparkEntry {
         |CAST(round(quantile_cont(l_extendedprice, 0.25) * 1000000, 0) AS BIGINT) AS p25_price_e6,
         |CAST(round(quantile_cont(l_extendedprice, 0.9) * 1000000, 0) AS BIGINT) AS p90_price_e6
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_moments" ->
+      """WITH s AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows AS n,
+        |CAST(round((sq / n) * 1000000, 0) AS BIGINT) AS mean_qty_e6,
+        |CAST(round(((sqq - sq * sq / n) / (n - 1)) * 1000, 0) AS BIGINT) AS var_qty_e3,
+        |CAST(round(sqrt((sqq - sq * sq / n) / (n - 1)) * 1000000, 0) AS BIGINT) AS sd_qty_e6,
+        |CAST(round(sqrt((spp - sp * sp / n) / (n - 1)) * 100, 0) AS BIGINT) AS sd_price_e2,
+        |CAST(round(((sqp - sq * sp / n) / (n - 1)) /
+        |  (sqrt((sqq - sq * sq / n) / (n - 1)) * sqrt((spp - sp * sp / n) / (n - 1))) * 1000000, 0) AS BIGINT) AS corr_e6
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT

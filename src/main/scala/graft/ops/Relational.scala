@@ -218,6 +218,34 @@ object Relational {
           .cast("long").as("p90_price_e6"))
       .orderBy("l_returnflag")
 
+  /** R10e: statistical moments (variance / stddev / covariance /
+    * correlation) from decimal-exact power sums. The builtin stddev/corr
+    * aggregates merge double partials in nondeterministic order (no oracle
+    * hash parity); the closed forms over exact Σx, Σx², Σxy are
+    * reduction-order independent and bit-identical across engines. */
+  def qStatsMoments(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q  = col("l_quantity").cast(DecimalType(12, 2))
+    val p  = col("l_extendedprice").cast(DecimalType(12, 2))
+    val n  = count(lit(1)).cast("double")
+    val sq  = sum(q).cast("double");  val sp  = sum(p).cast("double")
+    val sqq = sum(q * q).cast("double"); val spp = sum(p * p).cast("double")
+    val sqp = sum(q * p).cast("double")
+    val varQ = (sqq - sq * sq / n) / (n - 1)
+    val varP = (spp - sp * sp / n) / (n - 1)
+    val covQP = (sqp - sq * sp / n) / (n - 1)
+    t(s, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round((sq / n) * 1000000, 0).cast("long").as("mean_qty_e6"),
+        round(varQ * 1000, 0).cast("long").as("var_qty_e3"),
+        round(sqrt(varQ) * 1000000, 0).cast("long").as("sd_qty_e6"),
+        round(sqrt(varP) * 100, 0).cast("long").as("sd_price_e2"),
+        round((covQP / (sqrt(varQ) * sqrt(varP))) * 1000000, 0).cast("long").as("corr_e6"))
+      .orderBy("l_returnflag")
+  }
+
   /** R10c: ROLLUP subtotals — hierarchical aggregates with grouping flags
     * (the Del surface's GROUP BY extended to subtotal queries). */
   def qRollup(s: SparkSession, sf: String): DataFrame =
