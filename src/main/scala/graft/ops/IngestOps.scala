@@ -26,7 +26,9 @@ object IngestOps {
       else if (lower.endsWith(".parquet"))
         spark.read.parquet(path)
       else if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
-        // first non-empty sheet; per-sheet tables via ExcelSource.readXlsx
+        // first non-empty sheet in WORKBOOK order (readXlsx returns an
+        // ordered Seq); per-sheet tables via ExcelSource.readXlsx. A true
+        // OLE2 .xls fails inside readXlsx with an actionable message.
         graft.sources.ExcelSource.readXlsx(spark, path).head._2
       else sys.error(s"unsupported format: $path")
     CleanColumns(raw)
@@ -36,6 +38,13 @@ object IngestOps {
     * ROW_GROUP_SIZE 100000 — `duckdb_util.py:315-317`). */
   def writeParquetZstd(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
+
+  /** S8 (incremental): append into an existing parquet table — the Spark
+    * analog of the reference's chunked `INSERT INTO '<file>.parquet'` load
+    * (`ingestion_pipeline_langgraph.py:206`): each incremental batch lands
+    * as new part files in the same directory, no rewrite of existing data. */
+  def appendParquetZstd(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).option("compression", "zstd").parquet(path)
 
   /** S2+S8+S10: CSV round-trip — export a table to CSV, re-ingest with schema
     * inference + name cleaning, write zstd parquet, re-read, aggregate.

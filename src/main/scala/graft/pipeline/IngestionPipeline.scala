@@ -43,7 +43,8 @@ object IngestionPipeline {
     val base = path.split("/").last.replaceAll("\\.[^.]+$", "")
     val lower = path.toLowerCase
     if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
-      ExcelSource.readXlsx(spark, path).toSeq.map { case (sheet, df) =>
+      // workbook order preserved (readXlsx returns an ordered Seq)
+      ExcelSource.readXlsx(spark, path).map { case (sheet, df) =>
         (CleanColumns.cleanName(s"${base}_$sheet"), df)
       }
     else Seq((CleanColumns.cleanName(base), IngestOps.readAny(spark, path)))
@@ -52,19 +53,53 @@ object IngestionPipeline {
   /** Serialize every row like the reference chunker
     * (`chroma_ingestion_util.py:106-113`) and pack into char-budget chunks
     * (running-sum bucketing over the given order column — the scalable
-    * formulation; see `graft.ops.TextOps.qChunkRows`). */
-  def chunkTable(df: DataFrame, orderCol: String, budget: Int): DataFrame = {
+    * formulation; see `graft.ops.TextOps.qChunkRows`).
+    *
+    * Two-level chunking, so NO window ever sees the whole table in one task:
+    *   1. rows are range-split into order-contiguous blocks of at most
+    *      `rowsPerBlock` rows (`repartitionByRange`, so block i holds strictly
+    *      smaller order keys than block i+1);
+    *   2. the char-budget running sum runs per block
+    *      (`Window.partitionBy(block)`) — bounded task size by construction;
+    *   3. per-block chunk counts (one row per block — a tiny frame) are
+    *      prefix-summed into block offsets, and `chunk_id = offset +
+    *      chunk_in_block` keeps ids dense and globally ordered.
+    * A block boundary forces a chunk break; with the default block size that
+    * only differs from a single global running sum on tables of 65k+ rows,
+    * where chunk layout is an artifact anyway (coverage and row order are
+    * invariant — PipelineSpec asserts both). Inputs that fit one block are
+    * bit-identical to the single-window formulation. */
+  def chunkTable(df: DataFrame, orderCol: String, budget: Int,
+      rowsPerBlock: Int = 65536): DataFrame = {
     val cols = df.columns.toSeq
     val body = cols.map(c =>
       concat(lit(s"$c:"), coalesce(col(c).cast("string"), lit("NULL"))))
     val rowText = concat(lit("[index "), col(orderCol), lit("] "),
       concat_ws(" | ", body: _*))
-    df.select(col(orderCol).as("__idx"), rowText.as("row_text"))
+    val nBlocks = math.max(1L, (df.count() + rowsPerBlock - 1L) / rowsPerBlock).toInt
+    val rows = df.select(col(orderCol).as("__idx"), rowText.as("row_text"))
       .withColumn("len", length(col("row_text")).cast("long"))
-      .withColumn("chunk_id",
-        floor((sum(col("len")).over(Window.orderBy("__idx")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("len"))
-          / lit(budget.toDouble)).cast("long"))
+    // works for any orderable key (including string ids): blocks are range
+    // partitions of the order column, not arithmetic on its value
+    val blocked =
+      if (nBlocks == 1) rows.withColumn("block", lit(0L))
+      else rows.repartitionByRange(nBlocks, col("__idx"))
+        .withColumn("block", spark_partition_id().cast("long"))
+    val wRun = Window.partitionBy("block").orderBy("__idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withChunk = blocked.withColumn("chunk_in_block",
+      floor((sum(col("len")).over(wRun) - col("len")) / lit(budget.toDouble))
+        .cast("long"))
+    // block → first global chunk id; one row per block, so the unpartitioned
+    // prefix-sum window is over ≤ nBlocks rows, never the data
+    val offsets = withChunk.groupBy("block")
+      .agg((max(col("chunk_in_block")) + 1L).as("n_chunks"))
+      .withColumn("offset",
+        coalesce(sum(col("n_chunks")).over(Window.orderBy("block")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("block", "offset")
+    withChunk.join(broadcast(offsets), Seq("block"))
+      .withColumn("chunk_id", col("offset") + col("chunk_in_block"))
       .groupBy("chunk_id")
       .agg(array_sort(collect_list(struct(col("__idx"), col("row_text"))))
         .as("sorted_rows"),

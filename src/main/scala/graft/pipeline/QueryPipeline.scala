@@ -26,11 +26,7 @@ object QueryPipeline {
       sqlGen: SqlGenerator = NoOpSqlGenerator)
 
   case class SubResult(subQuery: String, intent: Intent, tables: Seq[String],
-      result: DataFrame, error: Option[String]) {
-    /** Row count, executed once on first access — summarize() and callers
-      * share this instead of re-running the sub-query's job. */
-    lazy val rowCount: Long = result.count()
-  }
+      result: DataFrame, error: Option[String], rowCount: Long)
 
   case class Answer(question: String, subResults: Seq[SubResult], summary: String)
 
@@ -90,23 +86,30 @@ object QueryPipeline {
       val intent =
         try hooks.router.route(sub)
         catch { case _: Throwable => SqlQuery } // reference fallback :346-349
+      // Execution is FORCED inside this try: Spark analyzes lazily, so a
+      // sub-query that passes analysis can still fail at runtime (ANSI
+      // cast/overflow errors — Spark 4 default). The reference's degrade
+      // contract covers those too (`duckdb_util.py:242-243`): they become
+      // error frames, never throws. NOTE `df.count()` would NOT force them —
+      // the count(1) re-plan prunes every projected column, so a failing
+      // expression is optimized away; counting the df's own compiled RDD
+      // evaluates the full projection (still distributed, nothing collected).
       try {
-        intent match {
+        val (df, err, intentOut) = intent match {
           case SemanticSearch if collectionPath.isDefined =>
-            SubResult(sub, intent, tables,
-              semanticSearch(spark, collectionPath.get, sub), None)
+            (semanticSearch(spark, collectionPath.get, sub), None, intent)
           case _ =>
             hooks.sqlGen.generate(sub, catalogText) match {
-              case Some(sql) => SubResult(sub, SqlQuery, tables, spark.sql(sql), None)
-              case None => SubResult(sub, SqlQuery, tables,
-                errorFrame(spark, s"no SQL generator bound for: $sub"),
-                Some("no_sql_generator"))
+              case Some(sql) => (spark.sql(sql), None, SqlQuery)
+              case None => (errorFrame(spark, s"no SQL generator bound for: $sub"),
+                Some("no_sql_generator"), SqlQuery)
             }
         }
+        SubResult(sub, intentOut, tables, df, err, df.queryExecution.toRdd.count())
       } catch {
         case e: Throwable =>
           SubResult(sub, intent, tables,
-            errorFrame(spark, e.getMessage), Some(e.getClass.getSimpleName))
+            errorFrame(spark, e.getMessage), Some(e.getClass.getSimpleName), 1L)
       }
     }
 

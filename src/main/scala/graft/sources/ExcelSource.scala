@@ -25,10 +25,22 @@ import scala.collection.mutable
   */
 object ExcelSource {
 
-  /** Read all non-empty sheets: sheet name → DataFrame with cleaned columns
-    * and inferred types. */
-  def readXlsx(spark: SparkSession, path: String): Map[String, DataFrame] = {
-    val zip = new ZipFile(path)
+  /** Read all non-empty sheets in WORKBOOK ORDER: (sheet name, DataFrame)
+    * with cleaned columns and inferred types. Order matters — "first
+    * non-empty sheet" is a real contract downstream (`IngestOps.readAny`),
+    * and a Map would scramble it past 4 entries. */
+  def readXlsx(spark: SparkSession, path: String): Seq[(String, DataFrame)] = {
+    // a real (OLE2 binary) .xls is not a zip: fail with an actionable
+    // message instead of an opaque ZipException — the reference accepts
+    // legacy .xls via pandas (`ingestion_pipeline_langgraph.py:164`), this
+    // engine is xlsx-only by design
+    val zip =
+      try new ZipFile(path)
+      catch {
+        case e: java.util.zip.ZipException => sys.error(
+          s"$path is not an xlsx (zip) workbook; legacy OLE2 .xls is not " +
+            s"supported — re-save as .xlsx (${e.getMessage})")
+      }
     try {
       val shared = readSharedStrings(zip)
       sheetTargets(zip).flatMap { case (name, target) =>
@@ -50,25 +62,26 @@ object ExcelSource {
             spark.sparkContext.parallelize(data.toSeq), schema)
           Some(name -> inferTypes(raw))
         }
-      }.toMap
+      }
     } finally zip.close()
   }
 
   /** Distributed type inference over an all-string frame: a column becomes
-    * BIGINT / DOUBLE / BOOLEAN when every non-null value casts cleanly
-    * (one aggregation pass, the Spark analog of pandas inference the
-    * reference relies on via `pd.read_excel`). */
+    * BIGINT / DOUBLE / BOOLEAN when every non-null value casts cleanly.
+    * ONE aggregation pass — all 3×N bad-cast counters run in a single job
+    * (the Spark analog of pandas inference the reference relies on via
+    * `pd.read_excel`). */
   def inferTypes(raw: DataFrame): DataFrame = {
     val cols = raw.columns.toSeq
-    def badCasts(to: String) = cols.map(c =>
-      sum(when(col(c).isNotNull && try_cast_fail(col(c), to), 1L).otherwise(0L)).as(c))
-    val longBad = raw.agg(badCasts("long").head, badCasts("long").tail: _*).head()
-    val dblBad  = raw.agg(badCasts("double").head, badCasts("double").tail: _*).head()
-    val boolBad = raw.agg(badCasts("boolean").head, badCasts("boolean").tail: _*).head()
+    val targets = Seq("long", "double", "boolean")
+    val counters = cols.flatMap(c => targets.map(to =>
+      sum(when(col(c).isNotNull && try_cast_fail(col(c), to), 1L).otherwise(0L))
+        .as(s"${c}__$to")))
+    val row = raw.agg(counters.head, counters.tail: _*).head()
     val casted = cols.zipWithIndex.map { case (c, i) =>
-      if (longBad.getLong(i) == 0L) col(c).cast("long").as(c)
-      else if (dblBad.getLong(i) == 0L) col(c).cast("double").as(c)
-      else if (boolBad.getLong(i) == 0L) col(c).cast("boolean").as(c)
+      if (row.getLong(3 * i) == 0L) col(c).cast("long").as(c)
+      else if (row.getLong(3 * i + 1) == 0L) col(c).cast("double").as(c)
+      else if (row.getLong(3 * i + 2) == 0L) col(c).cast("boolean").as(c)
       else col(c)
     }
     raw.select(casted: _*)

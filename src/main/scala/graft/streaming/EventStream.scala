@@ -16,11 +16,15 @@ object EventStream {
   /** Hourly tumbling counts per event type. Works on a batch OR streaming
     * frame (same plan shape as `EventOps.qTumblingWindow`); on a stream,
     * pair with the given watermark so state is bounded and late data older
-    * than `watermarkDelay` is dropped. */
+    * than `watermarkDelay` is dropped. The sum uses the same decimal-exact
+    * `dsum` pattern as the batch operator: double partials merge in
+    * micro-batch order, so a raw double sum would differ run-to-run between
+    * batch and stream — the exact decimal sum is associative and identical
+    * in both modes. */
   def hourlyCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
     val in = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
     in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.ops.Tables.dsum(col("value"), 6).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
   }

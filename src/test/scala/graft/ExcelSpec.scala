@@ -8,11 +8,12 @@ import graft.sources.ExcelSource
   * 1,000 rows × 16 columns, inline/shared-string xlsx. */
 class ExcelSpec extends SparkTestBase {
 
-  lazy val sheets: Map[String, org.apache.spark.sql.DataFrame] =
+  lazy val sheetSeq: Seq[(String, org.apache.spark.sql.DataFrame)] =
     ExcelSource.readXlsx(spark, "/root/reference/loan.xlsx")
+  lazy val sheets: Map[String, org.apache.spark.sql.DataFrame] = sheetSeq.toMap
 
   test("reads the Data sheet with 1000 rows x 16 cleaned columns") {
-    assert(sheets.keySet == Set("Data"))
+    assert(sheetSeq.map(_._1) == Seq("Data"))
     val df = sheets("Data")
     assert(df.count() == 1000)
     assert(df.columns.length == 16)
@@ -41,8 +42,9 @@ class ExcelSpec extends SparkTestBase {
     val path = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "xlsx_spec").resolve("t.xlsx").toString
     writeXlsx(path)
-    val sh = ExcelSource.readXlsx(spark, path)
-    assert(sh.keySet == Set("S1", "S2")) // Empty sheet skipped
+    val shSeq = ExcelSource.readXlsx(spark, path)
+    assert(shSeq.map(_._1) == Seq("S1", "S2")) // Empty sheet skipped, order kept
+    val sh = shSeq.toMap
     val s1 = sh("S1").orderBy("id").collect()
     assert(sh("S1").columns.toSeq == Seq("id", "name", "val"))
     assert(s1.length == 2)
@@ -54,6 +56,56 @@ class ExcelSpec extends SparkTestBase {
     assert(sh("S1").columns.length == 3)
     val s3 = sh("S2")
     assert(s3.columns.toSeq == Seq("col"))
+  }
+
+  test("6-sheet workbook keeps workbook order (first sheet stays first)") {
+    // Scala immutable Maps scramble insertion order past 4 entries — the
+    // Seq contract pins "first non-empty sheet" to actual workbook order
+    val names = Seq("Zeta", "Alpha", "Mid", "Beta", "Last", "First6")
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "xlsx_order").resolve("o.xlsx").toString
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val sheetDecls = names.zipWithIndex.map { case (n, i) =>
+      s"""<sheet name="$n" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    put("xl/workbook.xml",
+      s"""<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+         | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<sheets>$sheetDecls</sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      s"""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+         |${names.indices.map(i =>
+             s"""<Relationship Id="rId${i + 1}" Type="t" Target="worksheets/sheet${i + 1}.xml"/>""")
+           .mkString}</Relationships>""".stripMargin)
+    names.zipWithIndex.foreach { case (n, i) =>
+      put(s"xl/worksheets/sheet${i + 1}.xml",
+        s"""<worksheet><sheetData>
+           |<row r="1"><c r="A1" t="inlineStr"><is><t>v</t></is></c></row>
+           |<row r="2"><c r="A2" t="inlineStr"><is><t>$n</t></is></c></row>
+           |</sheetData></worksheet>""".stripMargin)
+    }
+    zos.close()
+    val sh = ExcelSource.readXlsx(spark, path)
+    assert(sh.map(_._1) == names)
+    // first-sheet identity through the readAny "first non-empty sheet" path
+    assert(sh.head._2.head.getString(0) == "Zeta")
+    assert(graft.ops.IngestOps.readAny(spark, path).head.getString(0) == "Zeta")
+  }
+
+  test("legacy OLE2 .xls fails with an actionable message, not a ZipException") {
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "xls_legacy").resolve("legacy.xls").toString
+    // OLE2 compound-file magic bytes: definitely not a zip
+    val magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), magic ++ Array.fill(512)(0.toByte))
+    val e = intercept[RuntimeException] { graft.ops.IngestOps.readAny(spark, path) }
+    assert(e.getMessage.contains("not supported"))
+    assert(e.getMessage.contains(".xlsx"))
   }
 
   test("blank headers and rich-text inline runs") {
@@ -80,7 +132,7 @@ class ExcelSpec extends SparkTestBase {
         |  <c r="B2" t="inlineStr"><is><r><t>a</t></r><r><t>b</t></r></is></c></row>
         |</sheetData></worksheet>""".stripMargin)
     zos.close()
-    val df = ExcelSource.readXlsx(spark, path)("E")
+    val df = ExcelSource.readXlsx(spark, path).toMap.apply("E")
     // "($)" cleans to empty -> unnamed_0; rich-text header runs concatenate
     assert(df.columns.toSeq == Seq("unnamed_0", "hello_world"))
     val row = df.head

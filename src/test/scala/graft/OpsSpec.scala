@@ -150,6 +150,23 @@ class OpsSpec extends SparkTestBase {
     assert(back.count() == 2)
   }
 
+  test("append-mode parquet sink accumulates batches (reference INSERT-INTO parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "append_spec").toString
+    val path = s"$dir/t.parquet"
+    IngestOps.writeParquetZstd(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    IngestOps.appendParquetZstd(Seq((3L, "c")).toDF("k", "v"), path)
+    val back = spark.read.parquet(path).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    IngestOps.appendParquetZstd(Seq((4L, "d")).toDF("k", "v"), path)
+    assert(spark.read.parquet(path).count() == 4)
+    // overwrite resets — append and overwrite stay distinct contracts
+    IngestOps.writeParquetZstd(Seq((9L, "z")).toDF("k", "v"), path)
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("events table reads ns timestamps as usable timestamps") {
     val e = Tables.events(spark, sf)
     assert(e.schema("ts").dataType.typeName.startsWith("timestamp"))

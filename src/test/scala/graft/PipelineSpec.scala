@@ -49,4 +49,39 @@ class PipelineSpec extends SparkTestBase {
       .agg(sum(abs(element_at(col("embedding"), 1)))).head.getDouble(0)
     assert(math.abs(sig1 - sig2) < 1e-6)
   }
+
+  test("chunkTable never runs an unpartitioned window over the data") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+    val chunks = IngestionPipeline.chunkTable(docs, "doc_id", 500, rowsPerBlock = 64)
+
+    // plan shape: the running-sum window over the rows is partitioned (by
+    // block); any unpartitioned window may only sit over the per-block
+    // summary aggregate (one row per block), never the raw rows
+    val wins = chunks.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        s"unpartitioned window over non-aggregated input:\n$w")
+    }
+
+    // content: chunk ids are globally ordered and cover every row exactly
+    // once, in row order
+    val ids = chunks.orderBy("chunk_id").select("row_indices")
+      .collect().flatMap(_.getSeq[Long](0)).toSeq
+    val want = docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == want)
+
+    // serialized text is identical to the single-block (global-window-
+    // equivalent) formulation — blocks only add chunk breaks, never reorder
+    // or rewrite rows
+    val single = IngestionPipeline.chunkTable(docs, "doc_id", 500)
+    def fullText(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("chunk_id").select("text").collect().map(_.getString(0)).mkString("\n")
+    assert(fullText(chunks) == fullText(single))
+
+    // single-block inputs take the lit(0) block path -> chunk ids dense from 0
+    val firstId = single.orderBy("chunk_id").select("chunk_id").head.getLong(0)
+    assert(firstId == 0L)
+  }
 }

@@ -90,6 +90,28 @@ class QueryPipelineSpec extends SparkTestBase {
     assert(ans.summary.contains("ERROR"))
   }
 
+  test("runtime (ANSI) failures in a sub-query that analyzes cleanly also degrade") {
+    // CAST(c_name AS INT) analyzes fine but fails at execution under ANSI
+    // mode (Spark 4 default) — the degrade contract must catch runtime
+    // errors, not just analysis errors (`duckdb_util.py:242-243`).
+    object RuntimeFailGen extends SqlGenerator {
+      def generate(q: String, c: String): Option[String] =
+        Some("SELECT CAST(c_name AS INT) AS v FROM customer")
+    }
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val catalog = Seq(CatalogOps.profileTable(spark, sf, "customer"))
+      val ans = QueryPipeline.run(spark, "cast everything", catalog,
+        QueryPipeline.Hooks(sqlGen = RuntimeFailGen))
+      val r = ans.subResults.head
+      assert(r.error.isDefined)
+      assert(r.result.columns.toSeq == Seq("error"))
+      assert(r.rowCount == 1L)
+      assert(ans.summary.contains("ERROR"))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("markdown renderer matches the reference's context shape") {
     import spark.implicits._
     val md = QueryPipeline.renderMarkdown(

@@ -30,13 +30,15 @@ class StreamingSpec extends SparkTestBase {
       .outputMode(OutputMode.Complete()).start()
     try { q.processAllAvailable() } finally q.stop()
 
+    // bit-for-bit: hourlyCounts sums via decimal-exact dsum, so the stream
+    // result must equal the batch result with NO rounding tolerance
     val got = spark.table("hourly")
       .select(col("hour_start").cast("string"), col("event_type"), col("n"),
-        round(col("sum_value"), 4).as("sv"))
+        col("sum_value"))
       .orderBy("hour_start", "event_type").collect().toSeq
     val want = EventStream.hourlyCounts(batch)
       .select(col("hour_start").cast("string"), col("event_type"), col("n"),
-        round(col("sum_value"), 4).as("sv"))
+        col("sum_value"))
       .orderBy("hour_start", "event_type").collect().toSeq
     assert(got == want)
     assert(got.nonEmpty)
