@@ -36,22 +36,36 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // median of N runs per query: a single run moved 41% between identical
+    // snapshots (r2 vs r3), which would drown any real regression — the
+    // median is robust to GC/scheduler spikes, and the spread is reported
+    // so a noisy measurement is visible instead of silently trusted
+    val runsPerQuery = 5
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+      val times = (1 to runsPerQuery).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            None
+        }
+      }
+      if (times.isEmpty) (name, -1.0, -1.0)
+      else {
+        val sorted = times.sorted
+        (name, sorted(sorted.size / 2), sorted.last - sorted.head)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, Double, Double)) => Double) =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val total = results.collect { case (_, med, _) if med >= 0 => med }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(_._2)},"spread":${jmap(_._3)},""" +
+      s""""runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -103,6 +103,21 @@ object SparkEntry {
 
   private def e6(expr: String): String = s"CAST(round($expr * 1000000, 0) AS BIGINT)"
 
+  /** DuckDB mirror of `VectorOps.cmpBandKeys` — identical bit layout (bit i
+    * = `embedding[2i+1] >= embedding[2i+2]`, 1-indexed; bands of bits/bands
+    * bits), so the candidate set of `q_embed_neardup_pairs` is itself
+    * oracle-verified, term for term. */
+  private def cmpBandSql(bits: Int, bands: Int): Seq[String] = {
+    val per = bits / bands
+    (0 until bands).map { b =>
+      (0 until per).map { j =>
+        val i = b * per + j
+        s"(CASE WHEN embedding[${2 * i + 1}] >= embedding[${2 * i + 2}] " +
+          s"THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+  }
+
   private def profileUnion: String =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate", "o_orderpriority")
@@ -345,7 +360,7 @@ object SparkEntry {
         |  CAST(round((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000, 0) AS BIGINT) AS jaccard_e6
         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT source, id_a, id_b, jaccard_e6 FROM p WHERE jaccard_e6 >= 20000
+        |SELECT source, id_a, id_b, jaccard_e6 FROM p WHERE jaccard_e6 >= 400000
         |ORDER BY id_a, id_b""".stripMargin,
     "q_chunk_rows" ->
       """WITH r AS (SELECT source, doc_id,
@@ -411,11 +426,16 @@ object SparkEntry {
          |${e6("s")} AS score_e6
          |FROM r WHERE rn <= 3 ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_embed_neardup_pairs" ->
-      s"""WITH p AS (
-         |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH s AS (SELECT vec_id, label, embedding,
+         |  ${cmpBandSql(32, 4).zipWithIndex
+               .map { case (b, i) => s"($b) AS band$i" }.mkString(",\n  ")}
+         |  FROM embeddings),
+         |c AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${e6(cosSql("a.embedding", "b.embedding"))} AS sim_e6
-         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT label, id_a, id_b, sim_e6 FROM p WHERE sim_e6 >= 300000
+         |  FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |        a.band2 = b.band2 OR a.band3 = b.band3))
+         |SELECT label, id_a, id_b, sim_e6 FROM c WHERE sim_e6 >= 300000
          |ORDER BY id_a, id_b""".stripMargin
   )
 }

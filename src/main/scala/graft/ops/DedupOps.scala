@@ -75,24 +75,46 @@ object DedupOps {
         round(inter / (size(col("sa")) + size(col("sb")) - inter), 6).as("jaccard"))
   }
 
-  /** N-gram Jaccard near-dup (exact, blocked by source): every within-source
-    * pair scored on word-3-shingle Jaccard via array_intersect — the
-    * oracle-checkable baseline for the MinHash path. Blocking bounds the
-    * pair count; at scale the block key would be a cheaper prefilter
-    * (length bucket, simhash band) with identical structure. */
+  /** N-gram Jaccard near-dup (EXACT, prefix-filter blocked): the
+    * oracle-checkable baseline for the MinHash path, at threshold 0.4 (the
+    * same bar `qMinhashNeardup` verifies at).
+    *
+    * Scale shape — AllPairs/PPJoin prefix filtering (Bayardo et al., WWW'07;
+    * Xiao et al., WWW'08) instead of an all-pairs self-join on the
+    * low-cardinality `source` block: sort each doc's distinct shingles into
+    * a canonical order and explode only the first `n - ceil(t*n) + 1` of
+    * them as join keys. Any pair with Jaccard ≥ t MUST share a prefix
+    * shingle (if A∩B ≥ ceil(t·|A|), the first |A|-ceil(t·|A|)+1 elements of
+    * A intersect B's prefix), so the blocking is LOSSLESS — the oracle runs
+    * the plain all-pairs formulation and the hash match proves no pair was
+    * dropped. The join key (source, shingle) has cardinality that grows
+    * with the corpus, never a per-source quadratic blowup; a production
+    * refinement would order prefixes by ascending global shingle frequency
+    * to shrink hot buckets further. */
   def qNgramJaccardPairs(s: SparkSession, sf: String): DataFrame = {
+    val threshold = 0.4
     val docs = t(s, sf, "documents")
     val shingled = withShingles(docs)
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
-    val a = shingled.select(col("doc_id").as("id_a"), col("source"), col("sh").as("sa"))
-    val b = shingled.select(col("doc_id").as("id_b"), col("source"), col("sh").as("sb"))
+      .withColumn("sh", array_sort(col("sh"))) // canonical prefix order
+    val plen = (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1)
+      .cast("int")
+    val pre = shingled.select(col("doc_id"), col("source"),
+      explode(slice(col("sh"), lit(1), plen)).as("key"))
+    val cands = pre.select(col("source"), col("key"), col("doc_id").as("id_a"))
+      .join(pre.select(col("source"), col("key"), col("doc_id").as("id_b")),
+        Seq("source", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("source", "id_a", "id_b")
+      .distinct()
+    val a = shingled.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val b = shingled.select(col("doc_id").as("id_b"), col("sh").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val j = inter / (size(col("sa")) + size(col("sb")) - inter)
-    a.join(b, Seq("source"))
-      .filter(col("id_a") < col("id_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("source"), col("id_a"), col("id_b"),
         round(j * 1000000, 0).cast("long").as("jaccard_e6"))
-      .filter(col("jaccard_e6") >= 20000)
+      .filter(col("jaccard_e6") >= (threshold * 1000000).toLong)
       .orderBy("id_a", "id_b")
   }
 

@@ -62,5 +62,13 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(ivf.head == brute.head, "IVF must find the exact self-match")
     val recall = (brute.toSet & ivf.toSet).size.toDouble / brute.size
     assert(recall >= 0.5, s"top-10 recall too low: $recall (ivf=$ivf brute=$brute)")
+    // index lifecycle: the query path reads the PERSISTED centroid artifact —
+    // no per-query centroid rebuild (no posexplode/avg over the full table)
+    val plan = VectorOps.qIvfTopk(spark, "/root/testdata/sf0.01")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("ivf_centroids"), s"centroids not read from artifact:\n$plan")
+    assert(!plan.toLowerCase.contains("posexplode"),
+      s"query path rebuilds centroids:\n$plan")
   }
 }
