@@ -20,8 +20,12 @@ import scala.collection.mutable
   *
   * Supported cell types: shared strings (`t="s"`), inline strings
   * (`t="inlineStr"`), formula strings (`t="str"`), booleans (`t="b"`) and
-  * numbers (default). Date-styled numerics are out of scope — the fixture
-  * stores dates as ISO strings (FIXTURES.md §A).
+  * numbers (default). Date-STYLED numerics (a serial number whose cell
+  * style carries a date number format — how Excel actually stores dates)
+  * are rendered as ISO strings, like pandas does through `pd.read_excel`
+  * (the reference inherits this via `duckdb_util.py:263`): `xl/styles.xml`
+  * is parsed for date-formatted style indices and matching serials become
+  * `yyyy-MM-dd` (or `yyyy-MM-dd HH:mm:ss` when a time fraction is present).
   */
 object ExcelSource {
 
@@ -43,8 +47,9 @@ object ExcelSource {
       }
     try {
       val shared = readSharedStrings(zip)
+      val dateStyles = dateStyleIndices(zip)
       sheetTargets(zip).flatMap { case (name, target) =>
-        val rows = readSheetRows(zip, target, shared)
+        val rows = readSheetRows(zip, target, shared, dateStyles)
         if (rows.size < 2) None // header-only or empty sheet
         else {
           // blank/symbol-only headers clean to "": name them like pandas
@@ -150,10 +155,67 @@ object ExcelSource {
     out.toSeq
   }
 
+  /** Style indices (cellXfs positions) whose number format is a date/time
+    * format: builtin numFmtIds 14-22/27-36/45-47, or a custom format code
+    * containing date tokens (y/m/d/h) outside brackets and quoted text. */
+  private def dateStyleIndices(zip: ZipFile): Set[Int] = {
+    val entry = zip.getEntry("xl/styles.xml")
+    if (entry == null) return Set.empty
+    val builtinDates = ((14 to 22) ++ (27 to 36) ++ (45 to 47)).toSet
+    def isDateCode(code: String): Boolean = {
+      val c = code.replaceAll("\\[[^\\]]*\\]", "").replaceAll("\"[^\"]*\"", "")
+      c.toLowerCase.exists("ymdh".contains(_))
+    }
+    val customDates = mutable.Set.empty[Int]
+    val xfFmtIds = mutable.ArrayBuffer.empty[Int]
+    var inCellXfs = false
+    val r = XMLInputFactory.newInstance()
+      .createXMLStreamReader(zip.getInputStream(entry))
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt)
+            val code = Option(r.getAttributeValue(null, "formatCode"))
+            if (id.isDefined && code.exists(isDateCode)) customDates += id.get
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            xfFmtIds += Option(r.getAttributeValue(null, "numFmtId"))
+              .map(_.toInt).getOrElse(0)
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+    }
+    r.close()
+    xfFmtIds.zipWithIndex.collect {
+      case (fmt, i) if builtinDates(fmt) || customDates(fmt) => i
+    }.toSet
+  }
+
+  /** Excel serial → ISO string. Serial 1 = 1900-01-01; serials ≥ 61 use the
+    * 1899-12-30 epoch (absorbing Excel's phantom 1900-02-29). A time
+    * fraction yields a full timestamp, a whole serial a plain date. */
+  private def serialToIso(text: String): Option[String] =
+    text.trim.toDoubleOption.filter(d => d >= 0 && d < 2958466).map { d =>
+      val days = math.floor(d).toLong
+      val frac = d - days
+      val base = if (days >= 61) java.time.LocalDate.of(1899, 12, 30)
+        else java.time.LocalDate.of(1899, 12, 31)
+      val date = base.plusDays(days)
+      val secs = math.round(frac * 86400)
+      if (secs == 0L) date.toString
+      else date.atStartOfDay.plusSeconds(secs)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    }
+
   /** Stream one sheet's rows; each row is a dense vector of Option[String]
     * indexed by column (missing cells → None). */
   private def readSheetRows(zip: ZipFile, target: String,
-      shared: IndexedSeq[String]): mutable.ArrayBuffer[Vector[Option[String]]] = {
+      shared: IndexedSeq[String],
+      dateStyles: Set[Int]): mutable.ArrayBuffer[Vector[Option[String]]] = {
     val rows = mutable.ArrayBuffer.empty[Vector[Option[String]]]
     val entry = zip.getEntry(target)
     if (entry == null) return rows
@@ -162,6 +224,7 @@ object ExcelSource {
     var row = mutable.ArrayBuffer.empty[Option[String]]
     var cellCol = 0
     var cellType = ""
+    var cellStyle = -1
     var cellValue: Option[String] = None
     var inValue = false
     var inInline = false
@@ -173,6 +236,8 @@ object ExcelSource {
           case "c" =>
             cellCol = colIndex(Option(r.getAttributeValue(null, "r")), row.size)
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+            cellStyle = Option(r.getAttributeValue(null, "s"))
+              .flatMap(_.toIntOption).getOrElse(-1)
             cellValue = None
           case "v" => inValue = true; text.clear()
           case "is" => inInline = true; text.clear()
@@ -191,6 +256,9 @@ object ExcelSource {
             cellValue = Some(cellType match {
               case "s" => shared.lift(text.toString.trim.toInt).getOrElse("")
               case "b" => if (text.toString.trim == "1") "true" else "false"
+              // date-styled numeric serial -> ISO string (pandas parity)
+              case "" | "n" if dateStyles(cellStyle) =>
+                serialToIso(text.toString).getOrElse(text.toString)
               case _   => text.toString
             })
           case "is" => inInline = false

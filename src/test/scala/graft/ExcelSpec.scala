@@ -97,6 +97,59 @@ class ExcelSpec extends SparkTestBase {
     assert(graft.ops.IngestOps.readAny(spark, path).head.getString(0) == "Zeta")
   }
 
+  test("date-styled numeric cells become ISO strings; plain numerics stay numeric") {
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "xlsx_dates").resolve("d.xlsx").toString
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="D" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    // style 0: General; style 1: builtin date (numFmtId 14 = m/d/yyyy);
+    // style 2: custom date code; style 3: custom NON-date code (currency)
+    put("xl/styles.xml",
+      """<styleSheet>
+        |<numFmts count="2">
+        |  <numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/>
+        |  <numFmt numFmtId="165" formatCode="&quot;$&quot;#,##0.00"/>
+        |</numFmts>
+        |<cellXfs count="4">
+        |  <xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/><xf numFmtId="165"/>
+        |</cellXfs></styleSheet>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>d_builtin</t></is></c>
+        |  <c r="B1" t="inlineStr"><is><t>d_custom</t></is></c>
+        |  <c r="C1" t="inlineStr"><is><t>ts</t></is></c>
+        |  <c r="D1" t="inlineStr"><is><t>amount</t></is></c>
+        |  <c r="E1" t="inlineStr"><is><t>plain</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>45000</v></c>
+        |  <c r="B2" s="2"><v>45000</v></c>
+        |  <c r="C2" s="1"><v>45000.5</v></c>
+        |  <c r="D2" s="3"><v>45000</v></c>
+        |  <c r="E2"><v>45000</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = ExcelSource.readXlsx(spark, path).head._2
+    val row = df.head
+    assert(row.getString(0) == "2023-03-15")            // builtin date style
+    assert(row.getString(1) == "2023-03-15")            // custom date code
+    assert(row.getString(2) == "2023-03-15 12:00:00")   // time fraction
+    assert(row.getLong(3) == 45000L)                    // currency is NOT a date
+    assert(row.getLong(4) == 45000L)                    // unstyled stays numeric
+    import org.apache.spark.sql.types._
+    assert(df.schema("d_builtin").dataType == StringType)
+    assert(df.schema("amount").dataType == LongType)
+  }
+
   test("legacy OLE2 .xls fails with an actionable message, not a ZipException") {
     val path = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "xls_legacy").resolve("legacy.xls").toString
