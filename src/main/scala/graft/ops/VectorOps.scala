@@ -155,9 +155,22 @@ object VectorOps {
         struct(lit(bd).as("band"), col(s"band$bd").as("key"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val l = exploded.select(col("band"), col("key"),
+    // Degenerate-bucket guard (same contract as minhashCandidates' cap): a
+    // bucket holding a large fraction of the corpus (e.g. all-zero or
+    // all-identical embeddings collapsing to one signature) would make the
+    // bucket join quadratic and OOM an executor. Such a bucket carries no
+    // near-dup signal beyond "these are identical-ish" — exact dedup is the
+    // right tool there — so oversized buckets are dropped via a semi-join
+    // on bucket sizes (one extra bounded-key aggregate, no skewed shuffle).
+    val maxBucket = 10000
+    val okBuckets = exploded.groupBy("band", "key")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select("band", "key")
+    val pruned = exploded.join(okBuckets, Seq("band", "key"), "left_semi")
+    val l = pruned.select(col("band"), col("key"),
       col("vec_id").as("id_a"), col("embedding").as("va"))
-    val r = exploded.select(col("band"), col("key"),
+    val r = pruned.select(col("band"), col("key"),
       col("vec_id").as("id_b"), col("embedding").as("vb"))
     l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))

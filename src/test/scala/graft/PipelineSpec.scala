@@ -84,4 +84,28 @@ class PipelineSpec extends SparkTestBase {
     val firstId = single.orderBy("chunk_id").select("chunk_id").head.getLong(0)
     assert(firstId == 0L)
   }
+
+  test("two-level chunking invariants hold for randomized inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { trial =>
+      val n = rnd.nextInt(400) + 50
+      val budget = rnd.nextInt(300) + 60
+      val block = rnd.nextInt(60) + 8
+      val rows = (0 until n).map(i => (i.toLong, "x" * (rnd.nextInt(80) + 1)))
+        .toDF("id", "payload")
+      val chunks = IngestionPipeline.chunkTable(rows, "id", budget,
+        rowsPerBlock = block).orderBy("chunk_id").collect()
+      // coverage in order, chunk ids strictly increasing
+      val ids = chunks.flatMap(_.getSeq[Long](2))
+      assert(ids.toSeq == (0L until n).toSeq,
+        s"trial $trial (n=$n budget=$budget block=$block): bad coverage")
+      val cids = chunks.map(_.getLong(0)).toSeq
+      assert(cids == cids.sorted && cids.distinct == cids)
+      // row_indices and text lines stay aligned
+      chunks.foreach { r =>
+        assert(r.getString(1).split("\n", -1).length == r.getSeq[Long](2).size)
+      }
+    }
+  }
 }
