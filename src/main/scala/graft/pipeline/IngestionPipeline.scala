@@ -156,9 +156,10 @@ object IngestionPipeline {
     val catalogEntries = files.map { f =>
       val df = spark.read.parquet(f.parquetPath)
       val cols = df.schema.fields.toSeq
+      // HLL++ sketches, not exact countDistinct — see CatalogOps.profileTable
       val aggs = count(lit(1)).as("__n") +: cols.flatMap { fld =>
         Seq(sum(when(col(fld.name).isNull, 1L).otherwise(0L)).as(s"${fld.name}__nnull"),
-          countDistinct(col(fld.name).cast("string")).as(s"${fld.name}__ndist"))
+          approx_count_distinct(col(fld.name).cast("string"), 0.01).as(s"${fld.name}__ndist"))
       }
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       CatalogOps.TableEntry(f.table, f.parquetPath, row.getLong(0),
