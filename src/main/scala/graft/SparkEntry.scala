@@ -63,6 +63,7 @@ object SparkEntry {
     "q_ingest_csv_roundtrip"  -> (IngestOps.qIngestCsvRoundtrip _),
     "q_ingest_tsv_roundtrip"  -> (IngestOps.qIngestTsvRoundtrip _),
     "q_ingest_json_roundtrip" -> (IngestOps.qIngestJsonRoundtrip _),
+    "q_partitioned_roundtrip" -> (IngestOps.qPartitionedRoundtrip _),
     // text / vector / dedup (SURVEY §2d + north star)
     "q_chunk_rows"            -> (TextOps.qChunkRows _),
     "q_text_tokens"           -> (TextOps.qTextTokens _),
@@ -76,6 +77,9 @@ object SparkEntry {
     "q_simhash"               -> (TextOps.qSimhash _),
     "q_simhash_neardup"       -> (TextOps.qSimhashNeardup _),
     "q_winnow_fingerprint"    -> (TextOps.qWinnowFingerprint _),
+    "q_repetition"            -> (CorpusOps.qRepetition _),
+    "q_pii_redact"            -> (CorpusOps.qPiiRedact _),
+    "q_split_stratified"      -> (CorpusOps.qSplitStratified _),
     "q_minhash_neardup"       -> (DedupOps.qMinhashNeardup _),
     "q_binary_meta"           -> (MultimodalOps.qBinaryMeta _),
     "q_cosine_topk"           -> (VectorOps.qCosineTopk _),
@@ -425,6 +429,58 @@ object SparkEntry {
          |SELECT vec_id, 'collection_' || label AS source_collection,
          |${e6("s")} AS score_e6
          |FROM r WHERE rn <= 3 ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_partitioned_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |count(DISTINCT source) AS n_sources FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_repetition" ->
+      """WITH t0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM t0),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM t0),
+        |uc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt FROM
+        |  (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok) GROUP BY doc_id),
+        |bgr AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+        |  i -> toks[i+1] || ' ' || toks[i+2])) AS bg FROM t0 WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi FROM
+        |  (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY doc_id, bg) GROUP BY doc_id)
+        |SELECT b.doc_id, n_tok,
+        |CAST(round(CAST(top_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) * 1000000, 0) AS BIGINT) AS top_tok_e6,
+        |CAST(round(CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) * 1000000, 0) AS BIGINT) AS distinct_ratio_e6,
+        |CASE WHEN n_tok >= 2 THEN
+        |  CAST(round(CAST(COALESCE(top_bi, 0) AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE) * 1000000, 0) AS BIGINT)
+        |ELSE 0 END AS top_bigram_e6
+        |FROM b JOIN uc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail-' || source || '.example.com' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN ' cc admin@example.org' ELSE '' END) ||
+        |  ' call +1-555-' || (doc_id % 10000) ||
+        |  ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.4' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(aug, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+        |CAST(len(regexp_extract_all(aug, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}')) AS BIGINT) AS n_phone,
+        |CAST(len(regexp_extract_all(aug, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |  '\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}', '<PHONE>', 'g'),
+        |  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5,
+        |CAST(length(regexp_replace(regexp_replace(regexp_replace(aug,
+        |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |  '\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}', '<PHONE>', 'g'),
+        |  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q_split_stratified" ->
+      """WITH s AS (SELECT lang, doc_id, n_chars,
+        |  CASE WHEN substring(md5(doc_id || ':split'), 1, 1) < 'c' THEN 'train'
+        |       WHEN substring(md5(doc_id || ':split'), 1, 1) < 'e' THEN 'dev'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "q_embed_neardup_pairs" ->
       s"""WITH s AS (SELECT vec_id, label, embedding,
          |  ${cmpBandSql(32, 4).zipWithIndex

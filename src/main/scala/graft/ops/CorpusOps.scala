@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Corpus-curation operators a training-data pipeline runs ahead of the
+  * reference's ingestion/profiling stage (`ingestion_pipeline_langgraph.py:
+  * 440-470` stops at row/null/dup profiling): Gopher-style repetition
+  * signals, PII redaction, and deterministic stratified splits. All three
+  * are single-shuffle-or-less shapes that hold at 100 TB, and all three are
+  * oracle-checked against DuckDB (ratios use the micro-int pattern — see
+  * `Tables.dsum` Scaladoc for why raw rounded doubles are tie-unstable).
+  */
+object CorpusOps {
+
+  /** Repetition signals per document (the Gopher/MassiveText quality
+    * filters: fraction of tokens in the most common token, distinct-token
+    * ratio, fraction of 2-grams in the most common 2-gram). Shape: two
+    * explode→groupBy((doc_id, gram)) passes — map-side combine applies, the
+    * shuffle key cardinality is O(total tokens), nothing is quadratic in
+    * document length (the HOF mode-of-array alternative is O(len²) per doc).
+    */
+  def qRepetition(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+    val base = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+    val topTok = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+    val bigrams = base
+      .filter(col("n_tok") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bi"))
+    base.drop("toks")
+      .join(topTok, Seq("doc_id"))
+      .join(bigrams, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tok"),
+        round(col("top_cnt").cast("double") / col("n_tok").cast("double") * 1000000, 0)
+          .cast("long").as("top_tok_e6"),
+        round(col("n_distinct").cast("double") / col("n_tok").cast("double") * 1000000, 0)
+          .cast("long").as("distinct_ratio_e6"),
+        when(col("n_tok") >= 2,
+          round(coalesce(col("top_bi"), lit(0L)).cast("double") /
+            (col("n_tok") - 1).cast("double") * 1000000, 0).cast("long"))
+          .otherwise(lit(0L)).as("top_bigram_e6"))
+      .orderBy("doc_id")
+  }
+
+  // PII patterns, written to mean the same thing in Java regex (Spark) and
+  // RE2 (DuckDB): no \d, no backrefs, no lookaround.
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}"
+  private val ipRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction: count and replace emails, phone numbers, and IPv4
+    * addresses with typed placeholders. Pure projection — no shuffle, stays
+    * inside whole-stage codegen. The synthetic corpus contains no PII, so
+    * the query augments each row with deterministic doc_id-derived contact
+    * strings first; redaction then has non-trivial, oracle-checkable work
+    * (the redacted text is md5-compared byte-for-byte against DuckDB running
+    * the same regexes). Redaction order matters — emails first, else the
+    * digits inside a username could be half-eaten by the phone pattern. */
+  def qPiiRedact(s: SparkSession, sf: String): DataFrame = {
+    val aug = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail-"), col("source"), lit(".example.com"),
+      when(col("doc_id") % 2 === 0, lit(" cc admin@example.org")).otherwise(lit("")),
+      lit(" call +1-555-"), (col("doc_id") % 10000).cast("string"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 3) % 256).cast("string"), lit(".4"))
+    t(s, sf, "documents")
+      .select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        // regexp_count with lit patterns — routing these through expr() SQL
+        // literals would re-process the backslash escapes
+        regexp_count(col("aug"), lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(col("aug"), lit(phoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("aug"), lit(ipRe)).cast("long").as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          ipRe, "<IP>").as("redacted"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        md5(col("redacted")).as("redacted_md5"),
+        length(col("redacted")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/dev/test assignment for `keyCol`: first hex digit
+    * of md5(key || ":split") — 12/16 train, 2/16 dev, 2/16 test. Salted-hash
+    * splits are the standard reproducible alternative to `rand()` sampling:
+    * stable across runs, engines, and partitionings, and adding rows never
+    * reassigns existing ones. md5 is bit-identical in Spark and DuckDB, so
+    * the assignment itself is oracle-checkable (engine hashes like xxhash64
+    * are not mirrorable). */
+  def splitAssign(keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = substring(md5(concat(keyCol.cast("string"), lit(":split"))), 1, 1)
+    when(h < "c", "train").when(h < "e", "dev").otherwise("test")
+  }
+
+  /** Stratified split audit: per (lang, split) doc counts and char volume —
+    * the sanity report run after assignment to confirm strata balance. */
+  def qSplitStratified(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "documents")
+      .withColumn("split", splitAssign(col("doc_id")))
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang", "split")
+}

@@ -102,6 +102,57 @@ object IngestOps {
       countDistinct(col("o_orderstatus")).as("n_status"))
   }
 
+  /** Hive-partitioned zstd parquet sink with bounded file sizes: repartition
+    * on the partition columns so each output directory is written by the
+    * tasks owning that key (instead of every task writing a sliver into
+    * every partition — the small-file explosion), and cap rows per file so a
+    * skewed partition splits into multiple right-sized files rather than one
+    * giant one. At 100 TB, partition-pruned reads (`WHERE lang = 'en'` skips
+    * whole directories) are the point of this layout. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(totalBytes / targetFileBytes) files. Streaming and incremental
+    * appends accumulate kilobyte part-files; at scale the fix is a periodic
+    * rewrite sized from the actual on-disk footprint (listed via the
+    * FileSystem API — no data scan), not a guessed partition count. Returns
+    * the output file count. Writes to a separate directory: Spark cannot
+    * overwrite a path it is reading. */
+  def compactParquet(spark: SparkSession, srcDir: String, dstDir: String,
+      targetFileBytes: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(srcDir)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(dstDir)
+    nFiles
+  }
+
+  /** Partitioned-layout round-trip: write documents Hive-partitioned by
+    * lang, read the layout back, aggregate per partition. Equality with the
+    * direct aggregate proves partition values survive the directory-encoding
+    * round trip (partition columns are read from paths, not data pages). */
+  def qPartitionedRoundtrip(s: SparkSession, sf: String): DataFrame = {
+    val work = "target/tmp_part_docs"
+    writePartitioned(t(s, sf, "documents"), work, Seq("lang"), maxRecordsPerFile = 100000)
+    s.read.parquet(work)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
   /** S10: column-name cleaning applied to messy aliases
     * (`duckdb_util.py:29-61`) — "Order Key"→order_key,
     * "Total-Price($)"→total_price, "STATUS"/" status "→status, status_1. */

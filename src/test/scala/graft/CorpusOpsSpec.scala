@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CorpusOps, IngestOps}
+
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("repetition signals match hand-computed values on a crafted doc") {
+    // "a a a b c" → top token 3/5; distinct 3/5; bigrams: "a a"×2, "a b", "b c" → 2/4
+    val df = Seq((1L, "a a a b c", "en", "src0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.createOrReplaceTempView("corpus_rep_docs")
+    val base = df.select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+    assert(base.select(size(col("toks"))).head.getInt(0) == 5)
+    val out = {
+      // run the real query against a temp dir holding just this doc
+      val dir = java.nio.file.Files.createTempDirectory("corpus_rep").toString
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      CorpusOps.qRepetition(spark, dir).head
+    }
+    assert(out.getAs[Long]("n_tok") == 5L)
+    assert(out.getAs[Long]("top_tok_e6") == 600000L)      // 3/5
+    assert(out.getAs[Long]("distinct_ratio_e6") == 600000L) // 3/5
+    assert(out.getAs[Long]("top_bigram_e6") == 500000L)   // 2/4
+  }
+
+  test("single-token doc yields zero bigram fraction, no crash") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_rep1").toString
+    Seq((7L, "solo", "en", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.qRepetition(spark, dir).head
+    assert(out.getAs[Long]("n_tok") == 1L)
+    assert(out.getAs[Long]("top_tok_e6") == 1000000L)
+    assert(out.getAs[Long]("top_bigram_e6") == 0L)
+  }
+
+  test("PII redaction replaces every email, phone, and IP occurrence") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_pii").toString
+    // doc 2 (even) gets the extra cc address → 2 emails; doc 3 gets 1
+    Seq((2L, "reach me", "en", "srcA", 8L), (3L, "or here", "en", "srcB", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CorpusOps.qPiiRedact(spark, dir).collect()
+    val d2 = rows.find(_.getAs[Long]("doc_id") == 2L).get
+    val d3 = rows.find(_.getAs[Long]("doc_id") == 3L).get
+    assert(d2.getAs[Long]("n_email") == 2L && d3.getAs[Long]("n_email") == 1L)
+    assert(d2.getAs[Long]("n_phone") == 1L && d3.getAs[Long]("n_phone") == 1L)
+    assert(d2.getAs[Long]("n_ip") == 1L && d3.getAs[Long]("n_ip") == 1L)
+  }
+
+  test("redacted text contains placeholders and no residual addresses") {
+    val aug = concat(col("text"),
+      lit(" contact user1@mail-x.example.com call +1-555-42 from 10.1.2.4"))
+    val red = Seq(("body")).toDF("text").select(
+      regexp_replace(regexp_replace(regexp_replace(aug,
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+        "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}", "<PHONE>"),
+        "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>").as("r"))
+      .head.getString(0)
+    assert(red == "body contact <EMAIL> call <PHONE> from <IP>")
+  }
+
+  test("split assignment is deterministic, stable, and roughly 12/2/2") {
+    val ids = spark.range(0, 4000).toDF("k")
+    val assigned = ids.select(col("k"), CorpusOps.splitAssign(col("k")).as("split"))
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "dev", "test"))
+    // 12/16 = 0.75, 2/16 = 0.125 each; allow generous tolerance
+    assert(math.abs(counts("train") / 4000.0 - 0.75) < 0.05)
+    assert(math.abs(counts("dev") / 4000.0 - 0.125) < 0.04)
+    assert(math.abs(counts("test") / 4000.0 - 0.125) < 0.04)
+    // stability: same input → same assignment (no rand())
+    val again = ids.select(CorpusOps.splitAssign(col("k")).as("split"))
+    assert(assigned.select("split").except(again).count() == 0)
+  }
+
+  test("partitioned write prunes directories and bounds file sizes") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_part").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    IngestOps.writePartitioned(docs, s"$dir/docs", Seq("lang"), maxRecordsPerFile = 10)
+    val langs = docs.select("lang").distinct().as[String].collect().sorted
+    val subdirs = new java.io.File(s"$dir/docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == langs.map(l => s"lang=$l").toSeq)
+    // maxRecordsPerFile honored: no parquet file in any partition holds > 10 rows
+    for (sub <- subdirs) {
+      val parts = new java.io.File(s"$dir/docs/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(parts.nonEmpty)
+      for (p <- parts)
+        assert(spark.read.parquet(p.getAbsolutePath).count() <= 10)
+    }
+    // partition pruning: a lang filter reads only that directory
+    val plan = spark.read.parquet(s"$dir/docs").filter(col("lang") === langs.head)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains(s"lang=${langs.last}"))
+    // roundtrip equality (partition col values survive directory encoding)
+    val back = spark.read.parquet(s"$dir/docs")
+      .select(docs.columns.map(col).toSeq: _*)
+    assert(back.except(docs).count() == 0 && docs.except(back).count() == 0)
+  }
+
+  test("compaction rewrites many small files into the computed count") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_compact").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.repartition(16).write.mode("overwrite").parquet(s"$dir/small")
+    val smallFiles = new java.io.File(s"$dir/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 16)
+    val n = IngestOps.compactParquet(spark, s"$dir/small", s"$dir/big", targetFileBytes = 1L << 30)
+    assert(n == 1)
+    val bigFiles = new java.io.File(s"$dir/big").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(bigFiles == 1)
+    val back = spark.read.parquet(s"$dir/big")
+    assert(back.count() == docs.count())
+    assert(back.except(docs).count() == 0)
+  }
+}
