@@ -56,6 +56,8 @@ object SparkEntry {
     "q_tumbling_window"       -> (EventOps.qTumblingWindow _),
     "q_session_like_gap"      -> (EventOps.qSessionLikeGap _),
     "q_window_running_sum"    -> (EventOps.qWindowRunningSum _),
+    "q_asof_join"             -> (TemporalJoinOps.qAsofJoin _),
+    "q_range_join_windows"    -> (TemporalJoinOps.qRangeJoinWindows _),
     // catalog / profiling / ingestion (SURVEY §2a, V10)
     "q_describe"              -> (ProfileOps.qDescribe _),
     "q_profile_stats"         -> (ProfileOps.qProfileStats _),
@@ -325,6 +327,27 @@ object SparkEntry {
         |CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
         |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |epoch_us(p.ts) AS ts_us, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+        |epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q_range_join_windows" ->
+      """WITH iv AS (
+        |  SELECT et.event_type, d.win_day,
+        |    TIMESTAMP '2024-01-01 00:00:00' + (d.win_day - 1) * INTERVAL 1 DAY AS w_start,
+        |    TIMESTAMP '2024-01-01 00:00:00' + (d.win_day - 1) * INTERVAL 1 DAY + INTERVAL 36 HOUR AS w_end
+        |  FROM (SELECT DISTINCT event_type FROM events) et
+        |  CROSS JOIN (SELECT CAST(unnest([1, 8, 15, 22]) AS BIGINT) AS win_day) d)
+        |SELECT iv.event_type, iv.win_day, count(e.event_id) AS n_events,
+        |CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM iv LEFT JOIN events e
+        |  ON e.event_type = iv.event_type AND e.ts >= iv.w_start AND e.ts < iv.w_end
+        |GROUP BY iv.event_type, iv.win_day
+        |ORDER BY iv.event_type, iv.win_day""".stripMargin,
     "q_describe" ->
       """SELECT column_name,
         |CASE WHEN column_type LIKE 'TIMESTAMP%' THEN 'TIMESTAMP' ELSE column_type END AS column_type

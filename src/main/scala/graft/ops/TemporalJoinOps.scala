@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Temporal joins Spark lacks as builtins, in their scalable shapes:
+  *
+  *  - As-of join: the union+tag+window formulation — ONE shuffle on the key,
+  *    linear per partition, no per-key subquery and no inequality-join
+  *    fallback to BroadcastNestedLoop. This is the standard distributed
+  *    as-of shape (Flink temporal joins and kdb aj resolve the same way).
+  *  - Range join: bucketed equi-join — explode each interval into the
+  *    fixed-width buckets it covers, join events on (key, bucket), then
+  *    apply the residual range predicate. Naive `ts BETWEEN lo AND hi`
+  *    joins have no equi-key, so Spark plans a BroadcastNestedLoopJoin —
+  *    O(|events| × |intervals|) comparisons; bucketing restores a shuffled
+  *    hash join whose cost is O(|events| + matches).
+  *
+  * Both are oracle-checked: the as-of query against DuckDB's native ASOF
+  * JOIN (an independent implementation, not a mirror of this formulation —
+  * deterministic here because the events table has no (user, ts) ties at
+  * any SF), the range join against a plain inequality join.
+  */
+object TemporalJoinOps {
+
+  /** As-of join `left` to the most recent `right` row with the same `keys`
+    * and `right.tsCol <= left.tsCol`. Right columns surface as
+    * `right_<payload>` (null when no prior right row exists — left-join
+    * semantics). `orderCol` breaks right-side timestamp ties
+    * deterministically (highest wins, matching "latest row" intent). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, orderCol: String, payload: Seq[String]): DataFrame = {
+    val rightCols = payload.map(c => s"right_$c")
+    val lu = payload.foldLeft(left.withColumn("__tag", lit(1))) { (df, c) =>
+      df.withColumn(s"right_$c", lit(null).cast(right.schema(c).dataType))
+    }.withColumn("__ord", lit(null).cast(right.schema(orderCol).dataType))
+    val ru = right
+      .select((keys ++ Seq(tsCol, orderCol) ++ payload).distinct.map(col): _*)
+      .withColumn("__tag", lit(0))
+      .withColumn("__ord", col(orderCol))
+      .select((keys.map(col) ++ Seq(col(tsCol), col("__tag"), col("__ord")) ++
+        payload.map(c => col(c).as(s"right_$c"))): _*)
+    val unioned = lu.unionByName(ru, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts (__tag 0 < 1), so a right
+    // row AT the left timestamp is visible — the ASOF `<=` contract; among
+    // right ts-ties the highest orderCol sorts last and wins the `last()`
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__tag").asc, col("__ord").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    matched.filter(col("__tag") === 1).drop("__tag", "__ord")
+  }
+
+  /** Click→purchase attribution: each purchase joined to the user's most
+    * recent click at-or-before it. Timestamps surface as unix micros
+    * (BIGINT — exact in both engines; see Tables.events for the ns story). */
+  def qAsofJoin(s: SparkSession, sf: String): DataFrame = {
+    val ev = t(s, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    asofJoin(purchases, clicks, Seq("user_id"), "ts", "event_id", Seq("event_id", "ts"))
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("right_event_id").as("click_id"),
+        unix_micros(col("right_ts")).as("click_ts_us"),
+        (unix_micros(col("ts")) - unix_micros(col("right_ts"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** Bucketed range join: `intervals` must carry (keyCol, ivId, startUs,
+    * endUs); events join on (keyCol, bucket) where bucket spans
+    * `bucketUs` micros, then the exact [startUs, endUs) predicate filters
+    * residuals. Intervals explode into ~(len/bucketUs) rows — choose
+    * bucketUs near the typical interval length so the blowup is a small
+    * constant. */
+  def bucketedRangeJoin(events: DataFrame, intervals: DataFrame, keyCol: String,
+      tsUsCol: String, bucketUs: Long): DataFrame = {
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(floor(col("startUs") / bucketUs),
+        floor((col("endUs") - 1) / bucketUs))))
+    val evb = events.withColumn("__bucket", floor(col(tsUsCol) / bucketUs))
+    evb.join(iv, Seq(keyCol, "__bucket"))
+      .filter(col(tsUsCol) >= col("startUs") && col(tsUsCol) < col("endUs"))
+      .drop("__bucket")
+  }
+
+  private val jan1Us = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+  private val dayUs = 86400L * 1000000L
+  private val windowLenUs = 36L * 3600L * 1000000L
+
+  /** Per-type maintenance windows (36 h from Jan 1/8/15/22) × events range
+    * join, aggregated per window. Left-join semantics: an empty window
+    * still reports n_events = 0. */
+  def qRangeJoinWindows(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val days = Seq(1L, 8L, 15L, 22L).toDF("win_day")
+    val intervals = ev.select("event_type").distinct()
+      .crossJoin(broadcast(days))
+      .withColumn("startUs", lit(jan1Us) + (col("win_day") - 1) * dayUs)
+      .withColumn("endUs", col("startUs") + windowLenUs)
+    val joined = bucketedRangeJoin(ev, intervals, "event_type", "ts_us",
+        bucketUs = 6L * 3600L * 1000000L)
+      .groupBy("event_type", "win_day")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
+    intervals.select("event_type", "win_day")
+      .join(joined, Seq("event_type", "win_day"), "left")
+      .select(col("event_type"), col("win_day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("sum_value"))
+      .orderBy("event_type", "win_day")
+  }
+}

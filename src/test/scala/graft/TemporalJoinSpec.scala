@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TemporalJoinOps
+
+class TemporalJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val left = Seq((10L, 1L, ts(100)), (11L, 1L, ts(200)), (12L, 2L, ts(50)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, 1L, ts(90)), (2L, 1L, ts(150)), (3L, 1L, ts(201)), (4L, 2L, ts(60)))
+      .toDF("event_id", "user_id", "ts")
+    val out = TemporalJoinOps.asofJoin(left, right, Seq("user_id"), "ts", "event_id", Seq("event_id"))
+      .select("event_id", "right_event_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out(10L) == Some(1L))  // ts 100 → click at 90, not 150
+    assert(out(11L) == Some(2L))  // ts 200 → click at 150, not 201
+    assert(out(12L) == None)      // user 2's only click is AFTER → unmatched
+  }
+
+  test("asofJoin includes a right row at exactly the left timestamp") {
+    val left = Seq((10L, 1L, ts(100))).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, 1L, ts(100))).toDF("event_id", "user_id", "ts")
+    val out = TemporalJoinOps.asofJoin(left, right, Seq("user_id"), "ts", "event_id", Seq("event_id"))
+    assert(out.select("right_event_id").head.getLong(0) == 1L)
+  }
+
+  test("asofJoin breaks right-side timestamp ties by highest orderCol") {
+    val left = Seq((10L, 1L, ts(100))).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, 1L, ts(90)), (5L, 1L, ts(90))).toDF("event_id", "user_id", "ts")
+    val out = TemporalJoinOps.asofJoin(left, right, Seq("user_id"), "ts", "event_id", Seq("event_id"))
+    assert(out.select("right_event_id").head.getLong(0) == 5L)
+  }
+
+  test("asofJoin carries multiple payload columns including the right ts") {
+    val left = Seq((10L, 1L, ts(100))).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, 1L, ts(90))).toDF("event_id", "user_id", "ts")
+    val out = TemporalJoinOps.asofJoin(left, right, Seq("user_id"), "ts", "event_id",
+      Seq("event_id", "ts")).head
+    assert(out.getAs[Long]("right_event_id") == 1L)
+    assert(out.getAs[java.sql.Timestamp]("right_ts") == ts(90))
+    assert(out.getAs[java.sql.Timestamp]("ts") == ts(100)) // left ts untouched
+  }
+
+  test("bucketedRangeJoin matches an inequality join and plans no nested loop") {
+    val ev = Seq(
+      ("a", 100L * 1000000L, 1.0), ("a", 500L * 1000000L, 2.0),
+      ("b", 100L * 1000000L, 3.0), ("a", 1000L * 1000000L, 4.0))
+      .toDF("event_type", "ts_us", "value")
+    val iv = Seq(("a", 1L, 0L, 600L * 1000000L), ("b", 2L, 200L * 1000000L, 900L * 1000000L))
+      .toDF("event_type", "ivId", "startUs", "endUs")
+    val joined = TemporalJoinOps.bucketedRangeJoin(ev, iv, "event_type", "ts_us",
+      bucketUs = 300L * 1000000L)
+    val got = joined.select("event_type", "ivId", "ts_us").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // interval a covers ts 100 and 500 (not 1000); interval b covers nothing (b@100 < 200)
+    assert(got == Set(("a", 1L, 100L * 1000000L), ("a", 1L, 500L * 1000000L)))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
+  test("qRangeJoinWindows reports empty windows as zero, not missing") {
+    // all 20 (event_type × win_day) combinations must be present at sf0.001
+    val out = TemporalJoinOps.qRangeJoinWindows(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Long]("n_events") >= 0L))
+  }
+
+  test("qAsofJoin output is sorted, typed, and attribution gaps are non-negative") {
+    val out = TemporalJoinOps.qAsofJoin(spark, sf).collect()
+    assert(out.nonEmpty)
+    val matched = out.filter(!_.isNullAt(5))
+    assert(matched.nonEmpty)
+    assert(matched.forall(_.getAs[Long]("gap_us") >= 0L))
+    val ids = out.map(_.getAs[Long]("purchase_id"))
+    assert(ids.sameElements(ids.sorted))
+  }
+}
