@@ -90,7 +90,9 @@ object SparkEntry {
     "q_embed_neardup_pairs"   -> (VectorOps.qEmbedNeardupPairs _),
     "q_embed_neardup_lsh"     -> (VectorOps.qEmbedNeardupLsh _),
     "q_ivf_topk"              -> (VectorOps.qIvfTopk _),
-    "q_salted_agg"            -> (SkewOps.qSaltedAgg _)
+    "q_salted_agg"            -> (SkewOps.qSaltedAgg _),
+    "q_upsert_merge"          -> (MergeOps.qUpsertMerge _),
+    "q_dedup_incremental"     -> (MergeOps.qDedupIncremental _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -452,6 +454,26 @@ object SparkEntry {
          |SELECT vec_id, 'collection_' || label AS source_collection,
          |${e6("s")} AS score_e6
          |FROM r WHERE rn <= 3 ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_upsert_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(0 AS BIGINT) AS version FROM orders),
+        |upd AS (SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+        |  CAST(1 AS BIGINT) AS version FROM base WHERE o_orderkey % 7 = 0),
+        |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice,
+        |  CAST(1 AS BIGINT) AS version FROM base WHERE o_orderkey % 97 = 0),
+        |merged AS (
+        |  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, version FROM merged
+        |WHERE o_orderkey % 13 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
+        |inc AS (SELECT source, text FROM documents WHERE doc_id % 5 = 4),
+        |adm AS (SELECT source, count(*) AS n_admitted FROM inc
+        |  WHERE md5(text) NOT IN (SELECT fp FROM corpus) GROUP BY source)
+        |SELECT i.source, i.n_incoming, COALESCE(a.n_admitted, 0) AS n_admitted,
+        |i.n_incoming - COALESCE(a.n_admitted, 0) AS n_dropped
+        |FROM (SELECT source, count(*) AS n_incoming FROM inc GROUP BY source) i
+        |LEFT JOIN adm a USING (source) ORDER BY i.source""".stripMargin,
     "q_partitioned_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |count(DISTINCT source) AS n_sources FROM documents

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Snapshot-maintenance operators for an incrementally-loaded lakehouse:
+  * CDC upsert (latest version per key wins) and dedup of an incoming batch
+  * against the existing corpus. Both are single-shuffle shapes — the upsert
+  * is one `max_by` aggregation on the key (no window sort needed), the
+  * incremental dedup is one anti-join on the content fingerprint.
+  */
+object MergeOps {
+
+  /** Merge `updates` into `base`: for each key the highest `versionCol` row
+    * wins (ties impossible when versions are write-monotonic; breaking them
+    * here would mask a writer bug, so they surface as nondeterminism in
+    * tests instead). One shuffle on the key via `max_by` over the packed
+    * row struct — beats the window-rank formulation, which sorts every
+    * partition to keep only rank 1. */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    val all = base.unionByName(updates)
+    val dataCols = all.columns.filterNot(keys.contains).toSeq
+    all.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*), col(versionCol)).as("__row"))
+      .select(keys.map(col) ++ dataCols.map(c => col(s"__row.$c")): _*)
+  }
+
+  /** CDC upsert over orders: version-0 snapshot + a deterministic change
+    * batch (every 7th key updated with a new status and bumped price, every
+    * 97th key re-inserted under a shifted key as a genuinely new row).
+    * Output samples the merged table so both updated and untouched rows are
+    * hash-checked. */
+  def qUpsertMerge(s: SparkSession, sf: String): DataFrame = {
+    val base = t(s, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("version", lit(0L))
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"), lit(1L).as("version"))
+    val inserts = base.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"), lit(1L).as("version"))
+    upsertLatest(base, updates.unionByName(inserts), Seq("o_orderkey"), "version")
+      .filter(col("o_orderkey") % 13 === 0)
+      .orderBy("o_orderkey")
+  }
+
+  /** Drop incoming documents whose exact content fingerprint already exists
+    * in the corpus — a left-anti join on md5(text): the standard admission
+    * filter in front of a training corpus (near-dup admission composes the
+    * same way over minhash band keys, `DedupOps`). */
+  def dedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val fps = corpus.select(md5(col(textCol)).as("__fp")).distinct()
+    incoming.join(fps, md5(incoming(textCol)) === fps("__fp"), "left_anti")
+  }
+
+  /** Incremental-dedup audit: docs with doc_id % 5 == 4 are the "incoming
+    * crawl", the rest the standing corpus; report per-source admission
+    * counts (batch size, admitted, dropped-as-duplicate). */
+  def qDedupIncremental(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val incoming = docs.filter(col("doc_id") % 5 === 4)
+    val admitted = dedupAgainstCorpus(incoming, corpus, "text")
+      .groupBy("source").agg(count(lit(1)).as("n_admitted"))
+    incoming.groupBy("source").agg(count(lit(1)).as("n_incoming"))
+      .join(admitted, Seq("source"), "left")
+      .select(col("source"), col("n_incoming"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        (col("n_incoming") - coalesce(col("n_admitted"), lit(0L))).as("n_dropped"))
+      .orderBy("source")
+  }
+}

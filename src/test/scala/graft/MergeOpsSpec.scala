@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.MergeOps
+
+class MergeOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("upsertLatest keeps the highest version per key and admits new keys") {
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "version")
+    val updates = Seq((2L, "b2", 1L), (3L, "c", 1L)).toDF("k", "v", "version")
+    val out = MergeOps.upsertLatest(base, updates, Seq("k"), "version")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ("a", 0L), 2L -> ("b2", 1L), 3L -> ("c", 1L)))
+  }
+
+  test("upsertLatest applies the newest of several stacked updates") {
+    val base = Seq((1L, "a", 0L)).toDF("k", "v", "version")
+    val updates = Seq((1L, "a1", 1L), (1L, "a2", 2L)).toDF("k", "v", "version")
+    val out = MergeOps.upsertLatest(base, updates, Seq("k"), "version").head
+    assert(out.getString(1) == "a2" && out.getLong(2) == 2L)
+  }
+
+  test("dedupAgainstCorpus drops exact-content duplicates only") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "alpha"), (11L, "gamma"), (12L, "beta"), (13L, "delta"))
+      .toDF("doc_id", "text")
+    val kept = MergeOps.dedupAgainstCorpus(incoming, corpus, "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L, 13L))
+  }
+
+  test("qUpsertMerge: updated keys show version 1, untouched keys version 0") {
+    val rows = MergeOps.qUpsertMerge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val k = r.getAs[Long]("o_orderkey")
+      val v = r.getAs[Long]("version")
+      val st = r.getAs[String]("o_orderstatus")
+      if (k >= 10000000L) assert(v == 1L && st == "N")
+      else if (k % 7 == 0) assert(v == 1L && st == "X")
+      else assert(v == 0L && st != "X" && st != "N")
+    }
+  }
+
+  test("qDedupIncremental: admitted + dropped = incoming per source") {
+    val rows = MergeOps.qDedupIncremental(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_admitted") + r.getAs[Long]("n_dropped") == r.getAs[Long]("n_incoming")))
+  }
+}
