@@ -30,6 +30,24 @@ class MergeOpsSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(11L, 13L))
   }
 
+  test("upsertLatest matches a brute-force reference on randomized update stacks") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(100)(k => (k.toLong, s"base$k", 0L))
+    // unique (key, version) pairs — versions are write-monotonic in practice
+    val updates = rnd.shuffle(
+      (for (k <- 0 until 100; v <- 1 to 4) yield (k.toLong, s"u$k-$v", v.toLong)).toList)
+      .filter(_ => rnd.nextBoolean())
+    val out = MergeOps.upsertLatest(
+      base.toDF("k", "v", "version"), updates.toDF("k", "v", "version"),
+      Seq("k"), "version").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val all = base ++ updates
+    for (k <- 0 until 100) {
+      val expect = all.filter(_._1 == k).maxBy(_._3)
+      assert(out(k.toLong) == ((expect._2, expect._3)))
+    }
+  }
+
   test("qUpsertMerge: updated keys show version 1, untouched keys version 0") {
     val rows = MergeOps.qUpsertMerge(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -71,6 +71,22 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("n_events") >= 0L))
   }
 
+  test("asofJoin matches a brute-force reference on randomized ties-heavy input") {
+    val rnd = new scala.util.Random(42)
+    // narrow ts range forces key+ts collisions → exercises the tie-break path
+    val left = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(8).toLong, ts(rnd.nextInt(60).toLong)))
+    val right = Seq.tabulate(300)(i => (1000L + i, rnd.nextInt(8).toLong, ts(rnd.nextInt(60).toLong)))
+    val out = TemporalJoinOps.asofJoin(
+      left.toDF("event_id", "user_id", "ts"), right.toDF("event_id", "user_id", "ts"),
+      Seq("user_id"), "ts", "event_id", Seq("event_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    for ((lid, key, lts) <- left) {
+      val expect = right.filter(r => r._2 == key && !r._3.after(lts))
+        .sortBy(r => (r._3.getTime, r._1)).lastOption.map(_._1)
+      assert(out(lid) == expect, s"left $lid key=$key ts=$lts: got ${out(lid)}, want $expect")
+    }
+  }
+
   test("qAsofJoin output is sorted, typed, and attribution gaps are non-negative") {
     val out = TemporalJoinOps.qAsofJoin(spark, sf).collect()
     assert(out.nonEmpty)
