@@ -55,6 +55,48 @@ object TemporalJoinOps {
     matched.filter(col("__tag") === 1).drop("__tag", "__ord")
   }
 
+  /** Hot-key-safe as-of join: `asofJoin` windows over the whole key
+    * partition, so one key with 10⁸ rows serializes into one task. This
+    * variant blocks time into `blockSpanUs` ranges and runs two levels —
+    * the same decomposition as the ingestion pipeline's two-level chunker:
+    *
+    *  1. in-block: the union+tag+window pass, partitioned by (key, block) —
+    *     parallelism = key × block, bounded by the span choice;
+    *  2. cross-block carry: per (key, block) the latest right row is a
+    *     one-row summary; a window over the TINY (key, block) spine
+    *     prefix-carries the latest summary from all earlier blocks, and
+    *     left rows with no in-block match take the carry.
+    *
+    * An in-block match always beats the carry (it is later than anything in
+    * an earlier block), and ts-equal rows share a block, so tie-break
+    * semantics are identical to `asofJoin` — TemporalJoinSpec asserts
+    * equivalence on randomized multi-block input. */
+  def asofJoinBlocked(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, orderCol: String, payload: Seq[String],
+      blockSpanUs: Long): DataFrame = {
+    val blk = (df: DataFrame) =>
+      df.withColumn("__blk", floor(unix_micros(col(tsCol)) / blockSpanUs))
+    val keyCols = keys.map(col)
+    // level 1: plain asof within (key, block) — __blk rides along as a key
+    val inBlock = asofJoin(blk(left), blk(right), keys :+ "__blk",
+      tsCol, orderCol, payload)
+    // level 2: one summary row per (key, block) that HAS right rows…
+    val summary = blk(right).groupBy((keyCols :+ col("__blk")): _*)
+      .agg(max_by(struct((payload :+ orderCol).distinct.map(col): _*),
+        struct(col(tsCol), col(orderCol))).as("__last"))
+    // …stitched onto the spine of every (key, block) either side touches
+    val spine = blk(left).select((keyCols :+ col("__blk")): _*)
+      .union(blk(right).select((keyCols :+ col("__blk")): _*)).distinct()
+    val carryW = Window.partitionBy(keyCols: _*).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine.join(summary, keys :+ "__blk", "left")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(carryW))
+      .select((keyCols :+ col("__blk") :+ col("__carry")): _*)
+    payload.foldLeft(inBlock.join(carry, keys :+ "__blk", "left")) { (df, c) =>
+      df.withColumn(s"right_$c", coalesce(col(s"right_$c"), col(s"__carry.$c")))
+    }.drop("__blk", "__carry")
+  }
+
   /** Click→purchase attribution: each purchase joined to the user's most
     * recent click at-or-before it. Timestamps surface as unix micros
     * (BIGINT — exact in both engines; see Tables.events for the ns story). */

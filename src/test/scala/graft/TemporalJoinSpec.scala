@@ -87,6 +87,28 @@ class TemporalJoinSpec extends SparkTestBase {
     }
   }
 
+  test("asofJoinBlocked is equivalent to asofJoin on randomized multi-block input") {
+    val rnd = new scala.util.Random(99)
+    // span 10 s → ts range 0..60 s crosses ~6 blocks; carries must fire
+    val left = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(6).toLong, ts(rnd.nextInt(60).toLong)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq.tabulate(200)(i => (1000L + i, rnd.nextInt(6).toLong, ts(rnd.nextInt(60).toLong)))
+      .toDF("event_id", "user_id", "ts")
+    val plain = TemporalJoinOps.asofJoin(left, right,
+      Seq("user_id"), "ts", "event_id", Seq("event_id", "ts"))
+      .select("event_id", "right_event_id", "right_ts")
+    val blocked = TemporalJoinOps.asofJoinBlocked(left, right,
+      Seq("user_id"), "ts", "event_id", Seq("event_id", "ts"),
+      blockSpanUs = 10L * 1000000L)
+      .select("event_id", "right_event_id", "right_ts")
+    assert(blocked.except(plain).count() == 0 && plain.except(blocked).count() == 0)
+    // the expensive window really is per (key, block): partition spec mentions __blk
+    val winSpecs = blocked.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.exists(_.contains("__blk")),
+      "in-block window should partition by (key, __blk)")
+  }
+
   test("qAsofJoin output is sorted, typed, and attribution gaps are non-negative") {
     val out = TemporalJoinOps.qAsofJoin(spark, sf).collect()
     assert(out.nonEmpty)
