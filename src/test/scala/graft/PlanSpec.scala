@@ -89,11 +89,44 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("as-of join plans one keyed window and no join operator at all") {
+    val p = plan(TemporalJoinOps.qAsofJoin(spark, sf))
+    assert(p.contains("Window"), s"expected window-based as-of:\n$p")
+    assert(!p.contains("Join"), s"as-of must resolve via union+window, not a join:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"event_type filters must reach the scan:\n$p")
+  }
+
+  test("upsert merge aggregates partial+final with no window sort") {
+    val p = plan(MergeOps.qUpsertMerge(spark, sf))
+    assert(!p.contains("Window"), s"latest-wins must use max_by agg, not window rank:\n$p")
+    // max_by over a string-bearing struct plans as SortAggregate (immutable
+    // buffer type); the property that matters is the map-side partial
+    assert(p.contains("partial_max_by"), s"expected partial (map-side) max_by:\n$p")
+    val aggs = p.split("Aggregate\\(", -1).length - 1
+    assert(aggs >= 2, s"expected partial+final aggregation:\n$p")
+  }
+
+  test("incremental dedup plans a left-anti hash join") {
+    val p = plan(MergeOps.qDedupIncremental(spark, sf))
+    assert(p.contains("LeftAnti"), s"expected anti-join admission filter:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"anti-join must stay hash-based:\n$p")
+  }
+
+  test("repetition signals aggregate partial+final with no quadratic operator") {
+    val p = plan(CorpusOps.qRepetition(spark, sf))
+    val hashAggs = p.split("HashAggregate", -1).length - 1
+    assert(hashAggs >= 4, s"expected two partial+final aggregate pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"per-doc joins must stay hash-based:\n$p")
+  }
+
   test("contract consistency: every oracle key is a wired query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
-    assert(SparkEntry.queries.size >= 55)
-    assert(SparkEntry.oracleSql.size >= 50)
+    assert(SparkEntry.queries.size >= 68)
+    assert(SparkEntry.oracleSql.size >= 59)
   }
 
   test("query functions never collect to the driver") {
@@ -101,7 +134,7 @@ class PlanSpec extends SparkTestBase {
     // plan materializes without an action having run; the ingest roundtrips
     // are excluded because exporting + re-reading files is their semantics
     val sideEffecting = Set("q_ingest_csv_roundtrip", "q_ingest_tsv_roundtrip",
-      "q_ingest_json_roundtrip")
+      "q_ingest_json_roundtrip", "q_partitioned_roundtrip")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!sideEffecting(name)) {
         val df = fn(spark, sf)
