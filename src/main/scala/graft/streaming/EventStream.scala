@@ -90,6 +90,18 @@ object EventStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus admission: drop incoming documents whose content
+    * fingerprint already exists in the static corpus — the stream-static
+    * LEFT ANTI join face of `MergeOps.dedupAgainstCorpus`. Spark plans
+    * this per micro-batch with the static side broadcast or reused, no
+    * streaming state at all (the corpus is the state, persisted as a
+    * table). Composes with `dedupEvents`-style watermark dedup for
+    * within-stream duplicates. */
+  def admitAgainstCorpus(incoming: DataFrame, corpusFingerprints: DataFrame,
+      textCol: String): DataFrame =
+    incoming.join(corpusFingerprints,
+      md5(incoming(textCol)) === corpusFingerprints("__fp"), "left_anti")
+
   /** Flush helper for finite streams/tests: sessions still open in state are
     * surfaced by sending a sentinel event far past the gap for each user. */
   def flushSentinels(users: Seq[Long], afterMicros: Long, gapSec: Long): Seq[Evt] =

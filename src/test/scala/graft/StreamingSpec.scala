@@ -113,6 +113,23 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static anti-join admits only unseen documents per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("alpha", "beta").toDF("text")
+      .select(md5(col("text")).as("__fp"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq((1L, "alpha"), (2L, "gamma")))   // alpha is a dup
+    stream.addData(Seq((3L, "beta"), (4L, "delta")))    // beta is a dup
+    val q = EventStream.admitAgainstCorpus(
+        stream.toDF.toDF("doc_id", "text"), corpus, "text")
+      .writeStream.format("memory").queryName("admitted")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val admitted = spark.table("admitted").select("doc_id").as[Long].collect().sorted
+    assert(admitted.toSeq == Seq(2L, 4L))
+  }
+
   test("gap sessionization emits closed sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
