@@ -82,6 +82,7 @@ object SparkEntry {
     "q_repetition"            -> (CorpusOps.qRepetition _),
     "q_pii_redact"            -> (CorpusOps.qPiiRedact _),
     "q_split_stratified"      -> (CorpusOps.qSplitStratified _),
+    "q_quality_filter"        -> (CorpusOps.qQualityFilter _),
     "q_minhash_neardup"       -> (DedupOps.qMinhashNeardup _),
     "q_binary_meta"           -> (MultimodalOps.qBinaryMeta _),
     "q_cosine_topk"           -> (VectorOps.qCosineTopk _),
@@ -517,6 +518,25 @@ object SparkEntry {
         |  '\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}', '<PHONE>', 'g'),
         |  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS BIGINT) AS redacted_len
         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_quality_filter" ->
+      """WITH x AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS alnum FROM documents),
+        |y AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS stop_cnt,
+        |  alnum FROM x),
+        |z AS (SELECT doc_id,
+        |  CAST(round(stop_cnt / CAST(n_tokens AS DOUBLE) * 1000000, 0) AS BIGINT) AS stop_ratio_e6,
+        |  CAST(round(alnum / CAST(n_tokens AS DOUBLE) * 1000000, 0) AS BIGINT) AS avg_word_len_e6 FROM y),
+        |q AS (SELECT d.lang, z.doc_id,
+        |  CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE) + CAST(0.05 AS DOUBLE) * (CAST(avg_word_len_e6 AS DOUBLE) / 1000000.0)
+        |    - CAST(0.8 AS DOUBLE) * (CAST(stop_ratio_e6 AS DOUBLE) / 1000000.0))) * 1000000, 0) AS BIGINT) AS quality_e6
+        |  FROM z JOIN documents d USING (doc_id)),
+        |m AS (SELECT lang, quantile_cont(quality_e6, 0.5) AS med_quality FROM q GROUP BY lang)
+        |SELECT q.lang, count(*) AS n_docs,
+        |CAST(sum(CASE WHEN q.quality_e6 >= m.med_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |round(any_value(m.med_quality), 1) AS med_quality
+        |FROM q JOIN m USING (lang) GROUP BY q.lang ORDER BY q.lang""".stripMargin,
     "q_split_stratified" ->
       """WITH s AS (SELECT lang, doc_id, n_chars,
         |  CASE WHEN substring(md5(doc_id || ':split'), 1, 1) < 'c' THEN 'train'

@@ -109,6 +109,29 @@ object CorpusOps {
     when(h < "c", "train").when(h < "e", "dev").otherwise("test")
   }
 
+  /** Quantile-thresholded quality filter — the standard corpus-curation
+    * composition: score every doc, take the per-stratum exact median, keep
+    * docs at-or-above their stratum's median. Two passes over the scored
+    * frame (one grouped percentile, one broadcast-joined filter); the
+    * per-lang median table is O(strata) rows — always broadcastable. Exact
+    * interpolated `percentile` is used (not `approx_percentile`) so the
+    * threshold is engine-mirrorable; at 100 TB the approximate sketch is
+    * the drop-in when the threshold needs no oracle. */
+  def qQualityFilter(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+    val scored = TextOps.qualityPerDoc(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val medians = scored.groupBy("lang")
+      .agg(expr("percentile(quality_e6, 0.5)").as("med_quality"))
+    scored.join(broadcast(medians), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("quality_e6") >= col("med_quality"), 1L).otherwise(0L)).as("n_kept"),
+        round(first(col("med_quality")), 1).as("med_quality"))
+      .orderBy("lang")
+  }
+
   /** Stratified split audit: per (lang, split) doc counts and char volume —
     * the sanity report run after assignment to confirm strata balance. */
   def qSplitStratified(s: SparkSession, sf: String): DataFrame =

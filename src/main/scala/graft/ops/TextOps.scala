@@ -109,7 +109,10 @@ object TextOps {
     * bounded linear quality score (length/stopword heuristics — the
     * deterministic analog of the reference's LLM quality_score field,
     * `ingestion_pipeline_langgraph.py:462-466`). */
-  def qQualityScore(s: SparkSession, sf: String): DataFrame = {
+  /** Per-doc quality frame (doc_id, n_tokens, stop_ratio_e6,
+    * avg_word_len_e6, quality_e6) — shared by the score query and the
+    * quantile-threshold filter (`CorpusOps.qQualityFilter`). */
+  def qualityPerDoc(docs: DataFrame): DataFrame = {
     // Ratios and score are emitted as micro-ints: rounding a double at the
     // 6th decimal is tie-unstable across engines (x.xxxxxx5 is not exactly
     // representable), while integer-scale ties ARE exact doubles and round
@@ -118,7 +121,7 @@ object TextOps {
     val nTok = size(toks).cast("long")
     val stopCnt = size(filter(toks, x => x.isInCollection(stopwords))).cast("long")
     val alnumChars = length(regexp_replace(col("text"), "\\s+", "")).cast("double")
-    t(s, sf, "documents")
+    docs
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
@@ -131,8 +134,10 @@ object TextOps {
           lit(0.5) + lit(0.05) * (col("avg_word_len_e6").cast("double") / 1000000.0)
             - lit(0.8) * (col("stop_ratio_e6").cast("double") / 1000000.0))) * 1000000, 0)
           .cast("long"))
-      .orderBy("doc_id")
   }
+
+  def qQualityScore(s: SparkSession, sf: String): DataFrame =
+    qualityPerDoc(t(s, sf, "documents")).orderBy("doc_id")
 
   /** Document fingerprinting: md5 of whitespace-normalized lowercase text,
     * plus a 64-char-prefix fingerprint (near-dup blocking key). */

@@ -77,6 +77,19 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(assigned.select("split").except(again).count() == 0)
   }
 
+  test("quality filter keeps roughly half of each stratum (median threshold)") {
+    val rows = graft.ops.CorpusOps.qQualityFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_docs")
+      val kept = r.getAs[Long]("n_kept")
+      // at-or-above an exact median keeps >= half, and never everything
+      // unless all scores tie
+      assert(kept * 2 >= n, s"median threshold must keep >= half: $r")
+      assert(kept <= n)
+    }
+  }
+
   test("partitioned write prunes directories and bounds file sizes") {
     val dir = java.nio.file.Files.createTempDirectory("corpus_part").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
