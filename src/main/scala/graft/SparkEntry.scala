@@ -84,6 +84,7 @@ object SparkEntry {
     "q_split_stratified"      -> (CorpusOps.qSplitStratified _),
     "q_quality_filter"        -> (CorpusOps.qQualityFilter _),
     "q_minhash_neardup"       -> (DedupOps.qMinhashNeardup _),
+    "q_dedup_clusters"        -> (DedupOps.qDedupClusters _),
     "q_binary_meta"           -> (MultimodalOps.qBinaryMeta _),
     "q_cosine_topk"           -> (VectorOps.qCosineTopk _),
     "q_collection_routing"    -> (VectorOps.qCollectionRouting _),
@@ -392,6 +393,26 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT source, id_a, id_b, jaccard_e6 FROM p WHERE jaccard_e6 >= 400000
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t0 AS (SELECT doc_id, source,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |dd AS (SELECT doc_id, source,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(len(toks) - 2), i ->
+        |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t0),
+        |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(round((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000, 0) AS BIGINT) AS jaccard_e6
+        |  FROM dd a JOIN dd b ON a.source = b.source AND a.doc_id < b.doc_id),
+        |e AS (SELECT id_a AS es, id_b AS ed FROM pp WHERE jaccard_e6 >= 400000
+        |  UNION ALL SELECT id_b, id_a FROM pp WHERE jaccard_e6 >= 400000),
+        |r(rs, rd) AS (SELECT es, ed FROM e
+        |  UNION SELECT r.rs, e.ed FROM r JOIN e ON r.rd = e.es),
+        |lab AS (SELECT rs AS node, least(rs, min(rd)) AS label FROM r GROUP BY rs)
+        |SELECT label AS cluster_rep, count(*) AS n_members, max(node) AS max_member
+        |FROM lab GROUP BY label HAVING count(*) >= 2 ORDER BY cluster_rep""".stripMargin,
     "q_chunk_rows" ->
       """WITH r AS (SELECT source, doc_id,
         |  '[index ' || doc_id || '] ' || 'doc_id:' || doc_id || ' | text:' || text ||

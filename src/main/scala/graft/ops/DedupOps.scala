@@ -118,6 +118,53 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over an undirected edge list — min-label
+    * propagation (the standard Pregel/GraphFrames resolution): every node
+    * starts labeled with its own id; each round, a node takes the minimum
+    * of its label and its neighbors' labels; fixpoint in graph-diameter
+    * rounds. Each round is ONE shuffle (groupBy node of neighbor labels);
+    * near-dup graphs are forests of small cliques, so diameter — and the
+    * round count — is tiny regardless of corpus size. `localCheckpoint`
+    * truncates lineage so the loop does not reanalyze a growing plan. The
+    * driver holds one Boolean per round (the convergence flag), never data. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst").as("node2")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("node") === col("node2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Dedup clusters over the exact n-gram-Jaccard pair graph: connected
+    * components, reported per cluster (representative = min doc_id — the
+    * one a keep-one-per-cluster pass would retain). Oracle = DuckDB
+    * recursive-CTE transitive closure, so the fixpoint itself is
+    * hash-verified. Runs jobs during construction (iterative), like the
+    * ingest roundtrips. */
+  def qDedupClusters(s: SparkSession, sf: String): DataFrame = {
+    val pairs = qNgramJaccardPairs(s, sf).select(
+      col("id_a").as("src"), col("id_b").as("dst"))
+    connectedComponents(pairs)
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+      .filter(col("n_members") >= 2)
+      .orderBy("cluster_rep")
+  }
+
   /** V13 scale path: MinHash+LSH near-dup pairs with exact Jaccard verify.
     * No oracle (hash-dependent candidate set); invariants in OpsSpec. */
   def qMinhashNeardup(s: SparkSession, sf: String): DataFrame = {

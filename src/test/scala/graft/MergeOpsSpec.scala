@@ -61,6 +61,27 @@ class MergeOpsSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents resolves chains, cliques, and separate pairs") {
+    // chain 1-2-3-4-5 (forces multi-round propagation), triangle 10-11-12,
+    // isolated pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val labels = graft.ops.DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+  }
+
+  test("qDedupClusters reps are minimal members and clusters are non-trivial") {
+    val rows = graft.ops.DedupOps.qDedupClusters(spark, sf).collect()
+    // sf0.001 may legitimately have no near-dup pairs; invariants only
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_members") >= 2L)
+      assert(r.getAs[Long]("cluster_rep") < r.getAs[Long]("max_member"))
+    }
+  }
+
   test("qDedupIncremental: admitted + dropped = incoming per source") {
     val rows = MergeOps.qDedupIncremental(spark, sf).collect()
     assert(rows.nonEmpty)

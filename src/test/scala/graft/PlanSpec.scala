@@ -134,7 +134,8 @@ class PlanSpec extends SparkTestBase {
     // plan materializes without an action having run; the ingest roundtrips
     // are excluded because exporting + re-reading files is their semantics
     val sideEffecting = Set("q_ingest_csv_roundtrip", "q_ingest_tsv_roundtrip",
-      "q_ingest_json_roundtrip", "q_partitioned_roundtrip")
+      "q_ingest_json_roundtrip", "q_partitioned_roundtrip",
+      "q_dedup_clusters") // iterative fixpoint runs jobs during construction
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!sideEffecting(name)) {
         val df = fn(spark, sf)
