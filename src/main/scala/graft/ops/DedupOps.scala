@@ -128,8 +128,12 @@ object DedupOps {
     * truncates lineage so the loop does not reanalyze a growing plan. The
     * driver holds one Boolean per round (the convergence flag), never data. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the symmetrized edge list ONCE — the upstream edge query
+    // may be expensive (e.g. the n-gram pair join), and every round reuses
+    // it for both the neighbor pass and the convergence check
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     val nodes = sym.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     var converged = false
