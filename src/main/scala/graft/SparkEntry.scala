@@ -79,6 +79,7 @@ object SparkEntry {
     "q_simhash"               -> (TextOps.qSimhash _),
     "q_simhash_neardup"       -> (TextOps.qSimhashNeardup _),
     "q_winnow_fingerprint"    -> (TextOps.qWinnowFingerprint _),
+    "q_vocab_top"             -> (TextOps.qVocabTop _),
     "q_repetition"            -> (CorpusOps.qRepetition _),
     "q_pii_redact"            -> (CorpusOps.qPiiRedact _),
     "q_split_stratified"      -> (CorpusOps.qSplitStratified _),
@@ -539,6 +540,13 @@ object SparkEntry {
         |  '\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}', '<PHONE>', 'g'),
         |  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS BIGINT) AS redacted_len
         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_vocab_top" ->
+      """WITH f AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+        |g AS (SELECT token, count(*) AS n FROM f GROUP BY token
+        |  ORDER BY n DESC, token ASC LIMIT 100)
+        |SELECT token, n,
+        |CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT) AS token_id
+        |FROM g ORDER BY token_id""".stripMargin,
     "q_quality_filter" ->
       """WITH x AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
         |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS alnum FROM documents),

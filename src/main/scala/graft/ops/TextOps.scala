@@ -244,6 +244,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary building: corpus-wide token frequencies with dense ranked
+    * ids — the table a tokenizer-training step starts from. One
+    * explode→groupBy (map-side combinable; key cardinality = vocabulary,
+    * not corpus size) + a top-N. The window that assigns ids runs over the
+    * N-row result, not the corpus. Ties break lexicographically so ids are
+    * deterministic across engines and partitionings. */
+  def buildVocab(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val freq = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topN)
+    freq.select(col("token"), col("n"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token").asc)) - 1).cast("long").as("token_id"))
+  }
+
+  def qVocabTop(s: SparkSession, sf: String): DataFrame =
+    buildVocab(t(s, sf, "documents"), "text", topN = 100)
+      .orderBy("token_id")
+
   /** SimHash (64-bit) per document: xxhash64 per token, bitwise
     * majority-vote over token hashes — near-dup docs land within small
     * Hamming distance. Pure DataFrame ops; no oracle (engine-specific hash). */

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.LayoutOps
+
+class LayoutOpsSpec extends SparkTestBase {
+
+  test("zValue interleaves bits monotonically along the diagonal") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 1L), (65535L, 65535L)).toDF("a", "b")
+      .select(LayoutOps.zValue(col("a"), col("b")).as("z"))
+    val zs = df.as[Long].collect()
+    assert(zs(0) == 0L)
+    assert(zs(1) == 3L)                      // bits 0 and 1 set
+    assert(zs(2) == (1L << 32) - 1)          // all 32 low bits set
+  }
+
+  /** Per-file normalized min/max span of a column, averaged over files. */
+  private def avgSpan(dir: String, c: String): Double = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    val global = spark.read.parquet(dir)
+      .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+    val width = global.getDouble(1) - global.getDouble(0)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+      (r.getDouble(1) - r.getDouble(0)) / width
+    }
+    spans.sum / spans.length
+  }
+
+  test("z-ordered layout narrows per-file ranges on BOTH columns") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // baseline: single-column sort — perfect on custkey, useless on price
+    orders.repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/bycust")
+    LayoutOps.writeZOrdered(orders, s"$dir/z", "o_custkey", "o_totalprice", 8)
+
+    assert(new java.io.File(s"$dir/z").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 8)
+    // data survives the rewrite
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == orders.count() && back.except(orders).count() == 0)
+
+    val zCust = avgSpan(s"$dir/z", "o_custkey")
+    val zPrice = avgSpan(s"$dir/z", "o_totalprice")
+    val sortPrice = avgSpan(s"$dir/bycust", "o_totalprice")
+    // the single-column sort leaves the other column unpruned (~full span);
+    // z-order must narrow both dimensions meaningfully below that
+    assert(sortPrice > 0.8, s"baseline should not prune price: $sortPrice")
+    assert(zCust < 0.7, s"z-order should narrow custkey: $zCust")
+    assert(zPrice < 0.7, s"z-order should narrow price: $zPrice")
+  }
+}
