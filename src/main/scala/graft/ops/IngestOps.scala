@@ -118,6 +118,15 @@ object IngestOps {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Schema-evolution read: merge the footers of every part file instead
+    * of trusting the first one, so a directory whose later appends added
+    * columns reads as the union schema (older files surface NULL for the
+    * new columns). Off by default in Spark because footer-merging costs a
+    * pass over file metadata — turn it on per read for append-mode tables,
+    * not globally. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(totalBytes / targetFileBytes) files. Streaming and incremental
     * appends accumulate kilobyte part-files; at scale the fix is a periodic

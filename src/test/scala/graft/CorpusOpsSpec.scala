@@ -116,6 +116,19 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(back.except(docs).count() == 0 && docs.except(back).count() == 0)
   }
 
+  test("schema-evolution read merges appended columns as nullable union") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    Seq((2L, "b", 9L)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(s"$dir/t")
+    val merged = IngestOps.readEvolved(spark, s"$dir/t")
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2), "old file must surface NULL for the new column")
+    assert(byId(2L).getLong(2) == 9L)
+  }
+
   test("compaction rewrites many small files into the computed count") {
     val dir = java.nio.file.Files.createTempDirectory("corpus_compact").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
