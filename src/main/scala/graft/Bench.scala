@@ -18,6 +18,14 @@ object Bench {
     "q_repetition", "q_asof_join", "q_range_join_windows",
     "q_upsert_merge", "q_quality_filter", "q_dedup_clusters")
 
+  /** Force FULL materialization. A plain `df.count()` re-plans and lets
+    * Catalyst prune unconsumed projections (and whole Window nodes), so a
+    * timing could silently skip most of the query's work; executing the
+    * already-optimized physical plan via `toRdd` computes every column. */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.queryExecution.toRdd.count(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,7 +42,7 @@ object Bench {
     // code is shape-keyed, so the codegen cache carries over across SF dirs).
     val warmSf = "/root/testdata/sf0.001"
     headline.foreach { name =>
-      try SparkEntry.queries(name)(spark, warmSf).count()
+      try force(SparkEntry.queries(name)(spark, warmSf))
       catch { case _: Throwable => () }
     }
 
@@ -48,7 +56,7 @@ object Bench {
       val times = (1 to runsPerQuery).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          force(fn(spark, sfDir))
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>

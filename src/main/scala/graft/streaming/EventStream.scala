@@ -48,38 +48,65 @@ object EventStream {
   }
 
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long)
+  case class EvtT(user_id: Long, event_id: Long, tsMicros: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, start_micros: Long, end_micros: Long, n_events: Long)
 
   /** Gap-based sessionization: a silence longer than `gapSec` closes the
-    * session. Closed sessions are emitted as soon as the next event (or the
-    * processing-time timeout) proves the gap — per-user state is one
-    * (start, last, n) triple, bounded regardless of stream length. The
-    * batch analog is `EventOps.qSessionLikeGap`. */
-  def sessionize(events: Dataset[Evt], gapSec: Long): Dataset[Session] = {
+    * session. A closed session is emitted either when the same user's next
+    * event proves the gap, or — for idle users — when the event-time
+    * watermark advances past `last + gap` and the per-key timeout fires, so
+    * a user's last-ever session still closes without any sentinel event.
+    * Per-user state is one (start, last, n) triple, bounded regardless of
+    * stream length; events older than the watermark are dropped (standard
+    * late-data rule). The batch analog is `EventOps.qSessionLikeGap`. */
+  def sessionize(events: Dataset[Evt], gapSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMicros = gapSec * 1000000L
-    events
+    val isStreamingSrc = events.isStreaming
+    val withTs = events
+      .withColumn("ts", expr("timestamp_micros(tsMicros)"))
+      .as[EvtT]
+    val src = if (isStreamingSrc) withTs.withWatermark("ts", watermarkDelay) else withTs
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, evts, state: GroupState[SessionState]) =>
-          val sorted = evts.toSeq.sortBy(e => (e.tsMicros, e.event_id))
-          var cur = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.tsMicros - s.last > gapMicros =>
-                closed += Session(user, s.start, s.last, s.n)
-                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
-              case Some(s) =>
-                cur = Some(SessionState(s.start, e.tsMicros, s.n + 1))
-              case None =>
-                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new event: the open
+            // session is proven closed; state is freed
+            val out = state.getOption.map(s => Session(user, s.start, s.last, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evts.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMicros - s.last > gapMicros =>
+                  closed += Session(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, e.tsMicros, s.n + 1))
+                case None =>
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              if (isStreamingSrc) {
+                // fire strictly after the gap (batch rule is silence > gap);
+                // clamp above the current watermark, which Spark requires
+                val fireAtMs = (s.last + gapMicros) / 1000L + 1L
+                state.setTimeoutTimestamp(
+                  math.max(fireAtMs, state.getCurrentWatermarkMs() + 1L))
+              }
+            }
+            closed.iterator
           }
-          cur.foreach(state.update)
-          closed.iterator
       }
   }
 
@@ -101,9 +128,4 @@ object EventStream {
       textCol: String): DataFrame =
     incoming.join(corpusFingerprints,
       md5(incoming(textCol)) === corpusFingerprints("__fp"), "left_anti")
-
-  /** Flush helper for finite streams/tests: sessions still open in state are
-    * surfaced by sending a sentinel event far past the gap for each user. */
-  def flushSentinels(users: Seq[Long], afterMicros: Long, gapSec: Long): Seq[Evt] =
-    users.map(u => Evt(u, Long.MaxValue, afterMicros + gapSec * 2000000L))
 }

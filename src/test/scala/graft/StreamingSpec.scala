@@ -134,24 +134,30 @@ class StreamingSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val m = 1000000L // micros per second
+    val b = 1000000L * m // base offset: epoch-0 events sit AT the initial
+    // watermark and are dropped as late — real event times are always past it
     val stream = MemoryStream[Evt]
-    // user 7: three events within the gap, then (next batch) one far later
-    stream.addData(Evt(7, 1, 0), Evt(7, 2, 60 * m), Evt(7, 3, 120 * m))
+    // batch 1: user 7 has three events within the gap; user 8 sends its
+    // last-ever event — user 8 will never appear in the stream again
+    stream.addData(Evt(7, 1, b), Evt(7, 2, b + 60 * m), Evt(7, 3, b + 120 * m), Evt(8, 1, b))
     val q = EventStream.sessionize(stream.toDS(), gapSec = 1800)
       .writeStream.format("memory").queryName("sessions")
       .outputMode(OutputMode.Append()).start()
     try {
       q.processAllAvailable()
-      assert(spark.table("sessions").count() == 0) // session still open
-      stream.addData(Evt(7, 4, 4 * 3600 * m)) // 4h later -> closes session 1
+      assert(spark.table("sessions").count() == 0) // both sessions still open
+      // 4h later: closes user 7's session inline AND advances the watermark
+      // to 4h, which fires user 8's event-time timeout (last 0 + gap 1800s)
+      // — user 8's session closes with NO further user-8 event and NO sentinel
+      stream.addData(Evt(7, 4, b + 4 * 3600 * m))
       q.processAllAvailable()
-      val s = spark.table("sessions").as[Session].collect()
-      assert(s.toSeq == Seq(Session(7, 0, 120 * m, 3)))
-      // a second user in the same batch opens independent state
-      stream.addData(Evt(8, 1, 0), Evt(8, 2, 10 * 3600 * m), Evt(8, 3, (10 * 3600 + 60) * m))
+      val s = spark.table("sessions").as[Session].collect().toSet
+      assert(s == Set(Session(7, b, b + 120 * m, 3), Session(8, b, b, 1)))
+      // user 7's reopened session closes inline on its next distant event
+      stream.addData(Evt(7, 5, b + 10 * 3600 * m))
       q.processAllAvailable()
       val s2 = spark.table("sessions").as[Session].collect().toSet
-      assert(s2.contains(Session(8, 0, 0, 1)))
+      assert(s2.contains(Session(7, b + 4 * 3600 * m, b + 4 * 3600 * m, 1)))
     } finally q.stop()
   }
 }
