@@ -75,6 +75,31 @@ object DedupOps {
         round(inter / (size(col("sa")) + size(col("sb")) - inter), 6).as("jaccard"))
   }
 
+  /** Reorders each doc's distinct-shingle array into the PPJoin canonical
+    * order: ascending global document frequency (ties broken by shingle
+    * value — a total order, as prefix-filter correctness requires). The
+    * frequency table is itself distributed (groupBy shingle), never
+    * collected: at 100 TB the distinct-shingle set is unbounded, so this is
+    * a (shingle)-keyed join + per-doc rebuild, two bounded-key shuffles. */
+  def freqOrderedShingles(docsWithSource: DataFrame): DataFrame = {
+    val exploded = docsWithSource.select(col("doc_id"), col("source"),
+      explode(col("sh")).as("key"))
+    val freq = exploded.groupBy("key").agg(count(lit(1)).as("df"))
+    exploded.join(freq, Seq("key"))
+      .groupBy("doc_id", "source")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("key")))),
+        e => e.getField("key")).as("sh"))
+  }
+
+  /** Each doc's prefix join keys under its current `sh` order: the first
+    * `n - ceil(t*n) + 1` shingles. */
+  def prefixKeys(shingled: DataFrame, threshold: Double): DataFrame = {
+    val plen = (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1)
+      .cast("int")
+    shingled.select(col("doc_id"), col("source"),
+      explode(slice(col("sh"), lit(1), plen)).as("key"))
+  }
+
   /** N-gram Jaccard near-dup (EXACT, prefix-filter blocked): the
     * oracle-checkable baseline for the MinHash path, at threshold 0.4 (the
     * same bar `qMinhashNeardup` verifies at).
@@ -85,22 +110,21 @@ object DedupOps {
     * a canonical order and explode only the first `n - ceil(t*n) + 1` of
     * them as join keys. Any pair with Jaccard ≥ t MUST share a prefix
     * shingle (if A∩B ≥ ceil(t·|A|), the first |A|-ceil(t·|A|)+1 elements of
-    * A intersect B's prefix), so the blocking is LOSSLESS — the oracle runs
-    * the plain all-pairs formulation and the hash match proves no pair was
-    * dropped. The join key (source, shingle) has cardinality that grows
-    * with the corpus, never a per-source quadratic blowup; a production
-    * refinement would order prefixes by ascending global shingle frequency
-    * to shrink hot buckets further. */
+    * A intersect B's prefix), so the blocking is LOSSLESS for ANY total
+    * order — the oracle runs the plain all-pairs formulation and the hash
+    * match proves no pair was dropped. The canonical order used is the
+    * PPJoin standard, ascending global shingle frequency
+    * (`freqOrderedShingles`), so prefixes hold each doc's RAREST shingles:
+    * a globally common shingle lands in few prefixes, and the hot
+    * (source, key) buckets a lexicographic order produces shrink
+    * (DedupOpsSpec measures the drop). Join-key cardinality grows with the
+    * corpus, never per-source quadratically. */
   def qNgramJaccardPairs(s: SparkSession, sf: String): DataFrame = {
     val threshold = 0.4
     val docs = t(s, sf, "documents")
-    val shingled = withShingles(docs)
-      .join(docs.select("doc_id", "source"), Seq("doc_id"))
-      .withColumn("sh", array_sort(col("sh"))) // canonical prefix order
-    val plen = (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1)
-      .cast("int")
-    val pre = shingled.select(col("doc_id"), col("source"),
-      explode(slice(col("sh"), lit(1), plen)).as("key"))
+    val shingled = freqOrderedShingles(
+      withShingles(docs).join(docs.select("doc_id", "source"), Seq("doc_id")))
+    val pre = prefixKeys(shingled, threshold)
     val cands = pre.select(col("source"), col("key"), col("doc_id").as("id_a"))
       .join(pre.select(col("source"), col("key"), col("doc_id").as("id_b")),
         Seq("source", "key"))
@@ -122,15 +146,24 @@ object DedupOps {
     * propagation (the standard Pregel/GraphFrames resolution): every node
     * starts labeled with its own id; each round, a node takes the minimum
     * of its label and its neighbors' labels; fixpoint in graph-diameter
-    * rounds. Each round is ONE shuffle (groupBy node of neighbor labels);
-    * near-dup graphs are forests of small cliques, so diameter — and the
-    * round count — is tiny regardless of corpus size. `localCheckpoint`
-    * truncates lineage so the loop does not reanalyze a growing plan. The
-    * driver holds one Boolean per round (the convergence flag), never data. */
+    * rounds. Each round is ONE shuffle job (groupBy node of neighbor labels,
+    * with the previous label carried through the same materialization so
+    * convergence is a scan of the just-checkpointed blocks — no separate
+    * join job); near-dup graphs are forests of small cliques, so diameter —
+    * and the round count — is tiny regardless of corpus size.
+    * `localCheckpoint` truncates lineage so the loop does not reanalyze a
+    * growing plan, and each round's blocks are freed as soon as the next
+    * round materializes (only the final labels stay persisted, backing the
+    * returned frame). The driver holds one Boolean per round, never data.
+    *
+    * Throws if the fixpoint is not reached within `maxIter`: truncated
+    * labels are silently WRONG clusters, and a component with diameter
+    * beyond the bound (a chain, not a near-dup clique forest) needs the
+    * caller to raise the bound knowingly. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
     // materialize the symmetrized edge list ONCE — the upstream edge query
-    // may be expensive (e.g. the n-gram pair join), and every round reuses
-    // it for both the neighbor pass and the convergence check
+    // may be expensive (e.g. the n-gram pair join), and every round reuses it
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -141,15 +174,23 @@ object DedupOps {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("src") === labels("node"))
         .groupBy(col("dst").as("node2")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("node") === col("node2"), "left")
+      val next = labels.withColumnRenamed("label", "old")
+        .join(nbrMin, col("node") === col("node2"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+          least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
+          col("old"))
+        .localCheckpoint() // eager: one job materializes labels + old together
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      unpersistCheckpoint(labels) // superseded round's blocks are freed now
+      labels = next.select("node", "label")
       i += 1
     }
+    unpersistCheckpoint(sym)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — a " +
+          "component's diameter exceeds the bound; raise maxIter for " +
+          "chain-shaped graphs (labels would otherwise be silently wrong)")
     labels
   }
 

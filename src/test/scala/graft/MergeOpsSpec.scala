@@ -55,7 +55,7 @@ class MergeOpsSpec extends SparkTestBase {
       val k = r.getAs[Long]("o_orderkey")
       val v = r.getAs[Long]("version")
       val st = r.getAs[String]("o_orderstatus")
-      if (k >= 10000000L) assert(v == 1L && st == "N")
+      if (k < 0L) assert(v == 1L && st == "N")
       else if (k % 7 == 0) assert(v == 1L && st == "X")
       else assert(v == 0L && st != "X" && st != "N")
     }
@@ -71,6 +71,16 @@ class MergeOpsSpec extends SparkTestBase {
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labels(_) == 1L))
     assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
     assert(Seq(20L, 21L).forall(labels(_) == 20L))
+  }
+
+  test("connectedComponents throws instead of returning truncated labels") {
+    // chain 1-2-3-4-5 needs 4 propagation rounds + 1 confirming round;
+    // maxIter=3 must fail loudly, not hand back wrong clusters
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      graft.ops.DedupOps.connectedComponents(edges, maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("qDedupClusters reps are minimal members and clusters are non-trivial") {

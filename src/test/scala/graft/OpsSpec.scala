@@ -88,6 +88,22 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("frequency-ordered prefixes shrink the hottest (source,key) bucket") {
+    val docs = Tables.t(spark, sf, "documents")
+    val base = DedupOps.withShingles(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    def maxBucket(shingled: org.apache.spark.sql.DataFrame): Long =
+      DedupOps.prefixKeys(shingled, 0.4)
+        .groupBy("source", "key").count()
+        .agg(max("count")).head.getLong(0)
+    val lexMax = maxBucket(base.withColumn("sh", array_sort(col("sh"))))
+    val freqMax = maxBucket(DedupOps.freqOrderedShingles(base))
+    // PPJoin's point: rare shingles fill the prefixes, so the worst bucket
+    // (= the biggest single join task) must not grow — and should shrink
+    info(s"max (source,key) prefix bucket: lex=$lexMax freq=$freqMax")
+    assert(freqMax <= lexMax)
+  }
+
   test("multimodal: sniffFormat detects magic bytes; decodeFeatures is deterministic") {
     assert(MultimodalOps.sniffFormat(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)) == "jpeg")
     assert(MultimodalOps.sniffFormat(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) == "png")
