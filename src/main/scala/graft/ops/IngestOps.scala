@@ -149,9 +149,15 @@ object IngestOps {
   /** Partitioned-layout round-trip: write documents Hive-partitioned by
     * lang, read the layout back, aggregate per partition. Equality with the
     * direct aggregate proves partition values survive the directory-encoding
-    * round trip (partition columns are read from paths, not data pages). */
+    * round trip (partition columns are read from paths, not data pages).
+    * The work dir is keyed by sf AND a per-process token: the bench and
+    * correctness harnesses run concurrently, and SaveMode.Overwrite on a
+    * shared fixed path would let one read the other's half-overwritten
+    * layout. */
   def qPartitionedRoundtrip(s: SparkSession, sf: String): DataFrame = {
-    val work = "target/tmp_part_docs"
+    // "sf" prefix: a _-leading dir name is hidden to Spark's path filter
+    val work = s"target/tmp_part_docs/sf${sf.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+      s"_${java.lang.ProcessHandle.current.pid}"
     writePartitioned(t(s, sf, "documents"), work, Seq("lang"), maxRecordsPerFile = 100000)
     s.read.parquet(work)
       .groupBy("lang")

@@ -214,14 +214,54 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Build-if-invalid for the persisted centroid artifact. The cache is
+    * only trusted when Spark's `_SUCCESS` commit marker exists AND a
+    * fingerprint of the source embeddings file (length + mtime) matches the
+    * one recorded at build time — so a partially-written directory from an
+    * interrupted job, or regenerated testdata under the same path, forces a
+    * rebuild instead of silently yielding an empty/stale index. The rebuild
+    * goes to a unique temp dir and is renamed into place, so a concurrent
+    * reader never observes a half-written artifact (if two builders race,
+    * each swap installs a COMPLETE artifact; the loser's temp is dropped). */
+  def ensureCentroids(s: SparkSession, sf: String): String = {
+    val base = new java.io.File("target/ivf_centroids")
+    // the "sf" prefix keeps the dir name from starting with "_": Spark's
+    // path filter treats _-prefixed names as hidden metadata and logs
+    // "All paths were ignored" on every read of such a root
+    val dir = new java.io.File(base, "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val src = new java.io.File(s"$sf/embeddings.parquet")
+    val fingerprint = s"${src.length}:${src.lastModified}"
+    val fpFile = new java.io.File(dir, "_GRAFT_SOURCE_FP")
+    val valid = new java.io.File(dir, "_SUCCESS").exists() && fpFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == fingerprint
+    if (!valid) {
+      val tmp = new java.io.File(base,
+        s"${dir.getName}.tmp.${java.util.UUID.randomUUID}")
+      writeCentroids(t(s, sf, "embeddings"), tmp.toString)
+      java.nio.file.Files.write(new java.io.File(tmp, "_GRAFT_SOURCE_FP").toPath,
+        fingerprint.getBytes("UTF-8"))
+      deleteRecursively(dir)
+      try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // a concurrent builder won the swap; its artifact is complete
+        case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+      }
+    }
+    dir.toString
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** ANN top-k via IVF probing (no oracle: approximate by construction —
     * recall vs brute force asserted in ScaleOpsSpec). The centroid artifact
     * is built once per dataset directory and read back on every subsequent
     * query — the query path scans only centroids + probed lists. */
   def qIvfTopk(s: SparkSession, sf: String): DataFrame = {
     val e = t(s, sf, "embeddings")
-    val path = s"target/ivf_centroids/${sf.replaceAll("[^A-Za-z0-9._-]", "_")}"
-    if (!new java.io.File(path).exists()) writeCentroids(e, path)
+    val path = ensureCentroids(s, sf)
     val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     ivfTopk(s.read.parquet(path), e, qv, nprobe = 3, k = 10)
   }

@@ -71,4 +71,27 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("posexplode"),
       s"query path rebuilds centroids:\n$plan")
   }
+
+  test("interrupted or stale centroid artifacts are rebuilt, not trusted") {
+    val sfDir = "/root/testdata/sf0.01"
+    val dir = new java.io.File(VectorOps.ensureCentroids(spark, sfDir))
+    def files() = dir.listFiles().map(_.getName).toSet
+    assert(files().contains("_SUCCESS") && files().contains("_GRAFT_SOURCE_FP"))
+
+    // simulate a killed writer: part files present but no commit marker —
+    // the old check (bare directory existence) would read this as-is
+    new java.io.File(dir, "_SUCCESS").delete()
+    val rebuilt = new java.io.File(VectorOps.ensureCentroids(spark, sfDir))
+    assert(new java.io.File(rebuilt, "_SUCCESS").exists())
+    assert(VectorOps.qIvfTopk(spark, sfDir).count() == 10)
+
+    // simulate regenerated source data: fingerprint mismatch forces rebuild
+    java.nio.file.Files.write(new java.io.File(dir, "_GRAFT_SOURCE_FP").toPath,
+      "0:0".getBytes("UTF-8"))
+    VectorOps.ensureCentroids(spark, sfDir)
+    val fp = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_GRAFT_SOURCE_FP").toPath), "UTF-8")
+    assert(fp != "0:0", "stale fingerprint was not refreshed by a rebuild")
+    assert(VectorOps.qIvfTopk(spark, sfDir).count() == 10)
+  }
 }
