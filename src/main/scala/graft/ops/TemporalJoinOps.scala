@@ -31,17 +31,34 @@ object TemporalJoinOps {
     * semantics). `orderCol` breaks right-side timestamp ties
     * deterministically (highest wins, matching "latest row" intent). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, orderCol: String, payload: Seq[String]): DataFrame =
+    unpack(asofJoinStruct(left, right, keys, tsCol, orderCol, payload),
+      "__r", payload).drop("__r")
+
+  /** Explodes struct column `src`'s `fields` as `right_<field>` columns. */
+  private def unpack(df: DataFrame, src: String, fields: Seq[String]): DataFrame =
+    fields.foldLeft(df) { (d, c) => d.withColumn(s"right_$c", col(s"$src.$c")) }
+
+  /** The as-of core. The matched right row rides as ONE struct column
+    * `__r` carried by a single `last(ignoreNulls)` window — per-payload
+    * windows would back-fill a legitimately-NULL payload field from an
+    * OLDER right row, silently mixing columns of different right rows. The
+    * struct is null exactly when no prior right row exists (a right row's
+    * struct is never null even if every field is), so null-ness doubles as
+    * the row-present flag the blocked variant's carry logic needs. */
+  private def asofJoinStruct(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, orderCol: String, payload: Seq[String]): DataFrame = {
-    val rightCols = payload.map(c => s"right_$c")
-    val lu = payload.foldLeft(left.withColumn("__tag", lit(1))) { (df, c) =>
-      df.withColumn(s"right_$c", lit(null).cast(right.schema(c).dataType))
-    }.withColumn("__ord", lit(null).cast(right.schema(orderCol).dataType))
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
+    val lu = left.withColumn("__tag", lit(1))
+      .withColumn("__r", lit(null).cast(payloadType))
+      .withColumn("__ord", lit(null).cast(right.schema(orderCol).dataType))
     val ru = right
       .select((keys ++ Seq(tsCol, orderCol) ++ payload).distinct.map(col): _*)
       .withColumn("__tag", lit(0))
       .withColumn("__ord", col(orderCol))
-      .select((keys.map(col) ++ Seq(col(tsCol), col("__tag"), col("__ord")) ++
-        payload.map(c => col(c).as(s"right_$c"))): _*)
+      .select((keys.map(col) ++ Seq(col(tsCol), col("__tag"), col("__ord"),
+        struct(payload.map(col): _*).as("__r"))): _*)
     val unioned = lu.unionByName(ru, allowMissingColumns = true)
     // right rows sort before left rows at equal ts (__tag 0 < 1), so a right
     // row AT the left timestamp is visible — the ASOF `<=` contract; among
@@ -49,10 +66,8 @@ object TemporalJoinOps {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__tag").asc, col("__ord").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    matched.filter(col("__tag") === 1).drop("__tag", "__ord")
+    unioned.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1).drop("__tag", "__ord")
   }
 
   /** Hot-key-safe as-of join: `asofJoin` windows over the whole key
@@ -77,12 +92,14 @@ object TemporalJoinOps {
     val blk = (df: DataFrame) =>
       df.withColumn("__blk", floor(unix_micros(col(tsCol)) / blockSpanUs))
     val keyCols = keys.map(col)
-    // level 1: plain asof within (key, block) — __blk rides along as a key
-    val inBlock = asofJoin(blk(left), blk(right), keys :+ "__blk",
+    // level 1: struct-carry asof within (key, block) — __blk rides as a key;
+    // __r stays packed so "matched in block" is one null check, not N
+    val inBlock = asofJoinStruct(blk(left), blk(right), keys :+ "__blk",
       tsCol, orderCol, payload)
-    // level 2: one summary row per (key, block) that HAS right rows…
+    // level 2: one summary row per (key, block) that HAS right rows — the
+    // same struct shape as __r, so the carry can substitute it wholesale
     val summary = blk(right).groupBy((keyCols :+ col("__blk")): _*)
-      .agg(max_by(struct((payload :+ orderCol).distinct.map(col): _*),
+      .agg(max_by(struct(payload.map(col): _*),
         struct(col(tsCol), col(orderCol))).as("__last"))
     // …stitched onto the spine of every (key, block) either side touches
     val spine = blk(left).select((keyCols :+ col("__blk")): _*)
@@ -92,9 +109,11 @@ object TemporalJoinOps {
     val carry = spine.join(summary, keys :+ "__blk", "left")
       .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(carryW))
       .select((keyCols :+ col("__blk") :+ col("__carry")): _*)
-    payload.foldLeft(inBlock.join(carry, keys :+ "__blk", "left")) { (df, c) =>
-      df.withColumn(s"right_$c", coalesce(col(s"right_$c"), col(s"__carry.$c")))
-    }.drop("__blk", "__carry")
+    // whole-ROW coalesce: the carry applies only when NO in-block right row
+    // matched (__r null) — a matched row with NULL payload fields keeps them
+    val stitched = inBlock.join(carry, keys :+ "__blk", "left")
+      .withColumn("__m", coalesce(col("__r"), col("__carry")))
+    unpack(stitched, "__m", payload).drop("__blk", "__r", "__carry", "__m")
   }
 
   /** Click→purchase attribution: each purchase joined to the user's most

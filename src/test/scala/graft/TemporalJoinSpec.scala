@@ -45,6 +45,28 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(out.getAs[java.sql.Timestamp]("ts") == ts(100)) // left ts untouched
   }
 
+  test("asofJoin keeps a matched row's NULL payload fields (no cross-row mixing)") {
+    // right row at 150 has v = NULL; a per-column carry would back-fill it
+    // from the older row at 90, mixing fields of two different right rows
+    val left = Seq((10L, 1L, ts(200))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts(90), Option("old")),
+      (2L, 1L, ts(150), None: Option[String]))
+      .toDF("event_id", "user_id", "ts", "v")
+    val out = TemporalJoinOps.asofJoin(left, right, Seq("user_id"), "ts",
+      "event_id", Seq("event_id", "v")).head
+    assert(out.getAs[Long]("right_event_id") == 2L)
+    assert(out.isNullAt(out.fieldIndex("right_v")),
+      "NULL payload of the matched row was back-filled from an older row")
+    // blocked variant: same contract when the match and the NULL are in-block
+    // and a non-null candidate sits in an EARLIER block (the carry)
+    val outB = TemporalJoinOps.asofJoinBlocked(left, right, Seq("user_id"), "ts",
+      "event_id", Seq("event_id", "v"), blockSpanUs = 100L * 1000000L).head
+    assert(outB.getAs[Long]("right_event_id") == 2L)
+    assert(outB.isNullAt(outB.fieldIndex("right_v")),
+      "blocked variant substituted the cross-block carry for an in-block NULL")
+  }
+
   test("bucketedRangeJoin matches an inequality join and plans no nested loop") {
     val ev = Seq(
       ("a", 100L * 1000000L, 1.0), ("a", 500L * 1000000L, 2.0),
