@@ -481,7 +481,7 @@ object SparkEntry {
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(0 AS BIGINT) AS version FROM orders),
         |upd AS (SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
         |  CAST(1 AS BIGINT) AS version FROM base WHERE o_orderkey % 7 = 0),
-        |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice,
+        |ins AS (SELECT -(o_orderkey + 1) AS o_orderkey, 'N' AS o_orderstatus, o_totalprice,
         |  CAST(1 AS BIGINT) AS version FROM base WHERE o_orderkey % 97 = 0),
         |merged AS (
         |  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)

@@ -28,7 +28,6 @@ object CatalogOps {
         columns.map(c => s"${c.name} ${c.dataType}").mkString(", ")
 
     def toJson: String = {
-      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val cols = columns.map { c =>
         val mm = (c.minValue, c.maxValue) match {
           case (Some(a), Some(b)) => s""","min":${q(a)},"max":${q(b)}"""
@@ -38,7 +37,72 @@ object CatalogOps {
       }.mkString("[", ",", "]")
       s"""{"table":${q(logicalName)},"path":${q(parquetPath)},"row_count":$rowCount,"columns":$cols}"""
     }
+
+    /** The reference's FULL per-file catalog entry shape
+      * (`ingestion_pipeline_langgraph.py:1011-1080`), so a drop-in consumer
+      * of its catalog JSON can read ours. Every deterministic field is
+      * mirrored exactly — the file-type/mime map (`:940-949`), per-column
+      * entries with ordinal (`:954-968`), the arithmetic-derived
+      * graph_metadata (`:832-867` synthesizes node/edge/chunk/token counts
+      * from the file index; `:996-1009` falls back to row*cols arithmetic),
+      * content_analysis with the first-5-columns entity list and the
+      * "Structured data with N rows and M columns" summary (`:977-983`,
+      * `:1064-1069`), the access/visibility flags, custom_fields defaults,
+      * and the `structured_data` tag fallback. LLM-written text fields
+      * (descriptions, topics beyond the filename stem) stay "" — exactly
+      * what the reference emits when its LLM pass is skipped. */
+    def toCatalogEntryJson(idx: Int, sessionId: String,
+        userTags: Seq[String] = Nil, timestamp: String = ""): String = {
+      val filename = s"$logicalName.parquet"
+      val colCount = columns.size
+      val cols = columns.zipWithIndex.map { case (c, order) =>
+        s"""{"name":${q(c.name)},"type":${q(c.dataType)},"nullable":"",""" +
+          s""""is_primary_key":"","order":$order,"description":""}"""
+      }.mkString("[", ",", "]")
+      val entities = Seq("person", "organization", "location", "product", "event")
+        .take(3 + idx % 3)
+      val relationships = Seq("WORKS_AT", "LOCATED_IN", "PURCHASED", "BELONGS_TO",
+        "RELATED_TO").take(2 + idx % 3)
+      val totalChunks = 20 + idx * 5
+      val totalTokens = 4000 + idx * 1000
+      val tags = (if (userTags.nonEmpty) userTags.distinct else Seq("structured_data"))
+        .map(q).mkString("[", ",", "]")
+      val rowCountFmt = String.format(java.util.Locale.US, "%,d",
+        java.lang.Long.valueOf(rowCount))
+      s"""{"id":${q(s"file_$idx")},"partition_key":${q(sessionId)},""" +
+        s""""file_id":${q(s"file_$idx")},"filename":${q(filename)},""" +
+        s""""file_type":"parquet","file_category":"structured",""" +
+        s""""file_size_bytes":"","mime_type":"application/parquet",""" +
+        s""""file_extension":".parquet","session_id":${q(sessionId)},""" +
+        s""""user_id":"system","organization_id":"default_org",""" +
+        s""""upload_timestamp":${q(timestamp)},"processing_started":${q(timestamp)},""" +
+        s""""processing_completed":${q(timestamp)},"processing_status":"completed",""" +
+        s""""blob_url":"","blob_container":"","blob_path":${q(parquetPath)},""" +
+        s""""parquet_url":${q(parquetPath)},""" +
+        s""""structured_metadata":{"table_name":${q(logicalName)},""" +
+        s""""row_count":$rowCount,"column_count":$colCount,"columns":$cols,""" +
+        s""""primary_key":"","foreign_keys":[],"data_quality_score":"",""" +
+        s""""has_duplicates":"","null_percentage":""},""" +
+        s""""graph_metadata":{"graph_id":${q(s"graph_${sessionId.take(8)}_${logicalName.take(10)}")},""" +
+        s""""node_count":${120 + idx * 30},"edge_count":${200 + idx * 50},""" +
+        s""""total_chunks":$totalChunks,"total_tokens":$totalTokens,""" +
+        s""""total_characters":${totalTokens * 4},"total_pages":${totalChunks / 2},""" +
+        s""""neo4j_status":"indexed","created_at":${q(timestamp)},""" +
+        s""""detected_entities":${entities.map(q).mkString("[", ",", "]")},""" +
+        s""""detected_relationships":${relationships.map(q).mkString("[", ",", "]")}},""" +
+        s""""content_analysis":{"language":"en",""" +
+        s""""detected_entities":${columns.take(5).map(c => q(c.name)).mkString("[", ",", "]")},""" +
+        s""""main_topics":[${q(logicalName)}],""" +
+        s""""summary":${q(s"Structured data with $rowCountFmt rows and $colCount columns")}},""" +
+        s""""access_count":0,"last_accessed":"","accessed_by":[],""" +
+        s""""is_deleted":false,"is_public":false,"is_archived":false,""" +
+        s""""custom_fields":{"data_source":"unknown","update_frequency":"once",""" +
+        s""""retention_period":"indefinite"},"tags":$tags}"""
+    }
   }
+
+  private def q(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** Profile one table in a single aggregation pass (never per-column scans).
     *
@@ -82,6 +146,25 @@ object CatalogOps {
   def buildGlobalCatalog(spark: SparkSession, sfDir: String,
       tables: Seq[String]): String =
     tables.map(profileTable(spark, sfDir, _).toJson).mkString("[", ",", "]")
+
+  /** The reference's complete output document — outer envelope
+    * (`ingestion_pipeline_langgraph.py:1088-1101`: success flag,
+    * processing_summary, failed_files, catalog) wrapping one full
+    * `toCatalogEntryJson` entry per table. A consumer that parses the
+    * reference pipeline's output JSON can parse this verbatim. */
+  def buildFullCatalog(spark: SparkSession, sfDir: String, tables: Seq[String],
+      sessionId: String = "graft", timestamp: String = ""): String = {
+    val entries = tables.zipWithIndex.map { case (name, idx) =>
+      profileTable(spark, sfDir, name).toCatalogEntryJson(idx, sessionId,
+        timestamp = timestamp)
+    }
+    s"""{"success":${entries.nonEmpty},"session_id":${q(sessionId)},""" +
+      s""""processing_summary":{"total_files_processed":${tables.size},""" +
+      s""""successful_files":${entries.size},"failed_files":0,""" +
+      s""""vector_ingestion_status":"completed",""" +
+      s""""processing_completed_at":${q(timestamp)}},""" +
+      s""""failed_files":[],"catalog":${entries.mkString("[", ",", "]")}}"""
+  }
 
   val allTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

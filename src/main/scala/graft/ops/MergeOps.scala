@@ -29,9 +29,13 @@ object MergeOps {
 
   /** CDC upsert over orders: version-0 snapshot + a deterministic change
     * batch (every 7th key updated with a new status and bumped price, every
-    * 97th key re-inserted under a shifted key as a genuinely new row).
-    * Output samples the merged table so both updated and untouched rows are
-    * hash-checked. */
+    * 97th key re-inserted under key `-(k+1)` as a genuinely new row — real
+    * orderkeys are non-negative at every SF, so the strictly-negative
+    * synthetic keys can never collide with an existing order, unlike a
+    * fixed additive offset that TPC-H keys outgrow past SF~1.7; the +1
+    * matters because this testdata contains orderkey 0, whose bare negation
+    * would collide with itself). Output samples the merged table so both
+    * updated and untouched rows are hash-checked. */
   def qUpsertMerge(s: SparkSession, sf: String): DataFrame = {
     val base = t(s, sf, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -40,7 +44,7 @@ object MergeOps {
       .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
         (col("o_totalprice") + 1000.0).as("o_totalprice"), lit(1L).as("version"))
     val inserts = base.filter(col("o_orderkey") % 97 === 0)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+      .select((-(col("o_orderkey") + 1)).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"), lit(1L).as("version"))
     upsertLatest(base, updates.unionByName(inserts), Seq("o_orderkey"), "version")
       .filter(col("o_orderkey") % 13 === 0)

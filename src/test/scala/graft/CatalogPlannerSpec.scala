@@ -34,6 +34,39 @@ class CatalogPlannerSpec extends SparkTestBase {
     assert(json.contains("\"type\":\"INTEGER\""))
   }
 
+  test("full catalog document mirrors the reference entry shape field-for-field") {
+    import spark.implicits._
+    val json = CatalogOps.buildFullCatalog(spark, sf, Seq("nation", "region"),
+      sessionId = "sess1234abcd")
+    // structural check through a real JSON parser (Spark's), not substrings
+    val doc = spark.read.option("multiLine", "true").json(Seq(json).toDS)
+    assert(doc.schema.fieldNames.toSet ==
+      Set("success", "session_id", "processing_summary", "failed_files", "catalog"))
+    val entry = doc.selectExpr("explode(catalog) AS e").select("e.*")
+    val expectFields = Set("id", "partition_key", "file_id", "filename",
+      "file_type", "file_category", "file_size_bytes", "mime_type",
+      "file_extension", "session_id", "user_id", "organization_id",
+      "upload_timestamp", "processing_started", "processing_completed",
+      "processing_status", "blob_url", "blob_container", "blob_path",
+      "parquet_url", "structured_metadata", "graph_metadata",
+      "content_analysis", "access_count", "last_accessed", "accessed_by",
+      "is_deleted", "is_public", "is_archived", "custom_fields", "tags")
+    assert(entry.schema.fieldNames.toSet == expectFields)
+    val rows = entry.selectExpr("structured_metadata.table_name",
+      "structured_metadata.row_count", "graph_metadata.node_count",
+      "graph_metadata.graph_id", "content_analysis.summary", "tags")
+      .collect()
+    // idx-derived arithmetic mirrors the reference: 120 + idx*30 nodes
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("nation").getLong(1) == 25L)
+    assert(byName("nation").getLong(2) == 120L && byName("region").getLong(2) == 150L)
+    assert(byName("nation").getString(3) == "graph_sess1234_nation")
+    val regionCols = spark.read.parquet(s"$sf/region.parquet").columns.length
+    assert(byName("region").getString(4) ==
+      s"Structured data with 5 rows and $regionCols columns")
+    assert(rows.forall(_.getSeq[String](5) == Seq("structured_data")))
+  }
+
   test("decomposer splits multi-intent questions and falls back to identity") {
     assert(ConjunctionDecomposer.decompose(
       "total sales per region; top 5 customers by balance").size == 2)
