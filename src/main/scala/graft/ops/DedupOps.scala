@@ -122,17 +122,27 @@ object DedupOps {
   def qNgramJaccardPairs(s: SparkSession, sf: String): DataFrame = {
     val threshold = 0.4
     val docs = t(s, sf, "documents")
-    val shingled = freqOrderedShingles(
-      withShingles(docs).join(docs.select("doc_id", "source"), Seq("doc_id")))
-    val pre = prefixKeys(shingled, threshold)
-    val cands = pre.select(col("source"), col("key"), col("doc_id").as("id_a"))
-      .join(pre.select(col("source"), col("key"), col("doc_id").as("id_b")),
-        Seq("source", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("source", "id_a", "id_b")
+    val plain = withShingles(docs)
+    // candidate pairs are generated bucket-locally (groupBy (source, key) +
+    // in-bucket combinations), not by self-joining the prefix subtree: the
+    // freq-ordering pass is the expensive part of the plan and a self-join
+    // would compute it once PER SIDE. Work is identical to the equi-join
+    // formulation (quadratic in bucket size either way — which is exactly
+    // what the frequency-ordered prefixes keep small).
+    val pre = prefixKeys(freqOrderedShingles(
+      plain.join(docs.select("doc_id", "source"), Seq("doc_id"))), threshold)
+    val cands = pre.groupBy("source", "key")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("source"), posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("source"), col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
       .distinct()
-    val a = shingled.select(col("doc_id").as("id_a"), col("sh").as("sa"))
-    val b = shingled.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+    // verify sides use the PLAIN shingle arrays — array_intersect is
+    // order-blind, so the canonical order only ever matters for prefixes
+    val a = plain.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val b = plain.select(col("doc_id").as("id_b"), col("sh").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val j = inter / (size(col("sa")) + size(col("sb")) - inter)
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
