@@ -25,11 +25,14 @@ object IngestOps {
         spark.read.option("multiLine", "true").json(path)
       else if (lower.endsWith(".parquet"))
         spark.read.parquet(path)
-      else if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
+      else if (lower.endsWith(".xlsx"))
         // first non-empty sheet in WORKBOOK order (readXlsx returns an
-        // ordered Seq); per-sheet tables via ExcelSource.readXlsx. A true
-        // OLE2 .xls fails inside readXlsx with an actionable message.
+        // ordered Seq); per-sheet tables via ExcelSource.readXlsx, which
+        // also sniffs mislabeled OLE2 content and delegates to XlsSource
         graft.sources.ExcelSource.readXlsx(spark, path).head._2
+      else if (lower.endsWith(".xls"))
+        // legacy 97-2003 workbook: BIFF8 records in an OLE2 container
+        graft.sources.XlsSource.readXls(spark, path).head._2
       else sys.error(s"unsupported format: $path")
     CleanColumns(raw)
   }

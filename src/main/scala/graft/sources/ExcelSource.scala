@@ -34,41 +34,50 @@ object ExcelSource {
     * non-empty sheet" is a real contract downstream (`IngestOps.readAny`),
     * and a Map would scramble it past 4 entries. */
   def readXlsx(spark: SparkSession, path: String): Seq[(String, DataFrame)] = {
-    // a real (OLE2 binary) .xls is not a zip: fail with an actionable
-    // message instead of an opaque ZipException — the reference accepts
-    // legacy .xls via pandas (`ingestion_pipeline_langgraph.py:164`), this
-    // engine is xlsx-only by design
+    // a real (OLE2 binary) workbook mislabeled .xlsx is not a zip: sniff the
+    // compound-file magic and delegate to the BIFF8 reader (the reference's
+    // pandas ingestion sniffs content the same way,
+    // `ingestion_pipeline_langgraph.py:164`)
     val zip =
       try new ZipFile(path)
       catch {
-        case e: java.util.zip.ZipException => sys.error(
-          s"$path is not an xlsx (zip) workbook; legacy OLE2 .xls is not " +
-            s"supported — re-save as .xlsx (${e.getMessage})")
+        case e: java.util.zip.ZipException =>
+          if (XlsSource.isOle2(path)) return XlsSource.readXls(spark, path)
+          else sys.error(s"$path is neither an xlsx (zip) nor an OLE2 (.xls) " +
+            s"workbook (${e.getMessage})")
       }
     try {
       val shared = readSharedStrings(zip)
       val dateStyles = dateStyleIndices(zip)
       sheetTargets(zip).flatMap { case (name, target) =>
         val rows = readSheetRows(zip, target, shared, dateStyles)
-        if (rows.size < 2) None // header-only or empty sheet
-        else {
-          // blank/symbol-only headers clean to "": name them like pandas
-          // ("Unnamed: N" → unnamed_N) so downstream SQL stays valid
-          val rawHeader = rows.head.zipWithIndex.map { case (h, i) =>
-            val cleaned = CleanColumns.cleanName(h.getOrElse(""))
-            if (cleaned.isEmpty) s"unnamed_$i" else h.getOrElse(s"unnamed_$i")
-          }
-          val header = CleanColumns.cleanColumnNames(rawHeader)
-          val width = header.size
-          val data = rows.tail.map(r =>
-            Row.fromSeq((0 until width).map(i => r.lift(i).flatten.orNull)))
-          val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
-          val raw = spark.createDataFrame(
-            spark.sparkContext.parallelize(data.toSeq), schema)
-          Some(name -> inferTypes(raw))
-        }
+        sheetToFrame(spark, rows.toIndexedSeq).map(name -> _)
       }
     } finally zip.close()
+  }
+
+  /** Shared sheet→DataFrame path for both workbook formats: header from the
+    * first row (blank/symbol-only headers clean to "": named like pandas,
+    * "Unnamed: N" → unnamed_N, so downstream SQL stays valid), an all-string
+    * frame, then one-pass distributed type inference. None for header-only
+    * or empty sheets. */
+  private[sources] def sheetToFrame(spark: SparkSession,
+      rows: IndexedSeq[IndexedSeq[Option[String]]]): Option[DataFrame] = {
+    if (rows.size < 2) None
+    else {
+      val rawHeader = rows.head.zipWithIndex.map { case (h, i) =>
+        val cleaned = CleanColumns.cleanName(h.getOrElse(""))
+        if (cleaned.isEmpty) s"unnamed_$i" else h.getOrElse(s"unnamed_$i")
+      }
+      val header = CleanColumns.cleanColumnNames(rawHeader.toSeq)
+      val width = header.size
+      val data = rows.tail.map(r =>
+        Row.fromSeq((0 until width).map(i => r.lift(i).flatten.orNull)))
+      val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+      val raw = spark.createDataFrame(
+        spark.sparkContext.parallelize(data.toSeq), schema)
+      Some(inferTypes(raw))
+    }
   }
 
   /** Distributed type inference over an all-string frame: a column becomes
@@ -161,11 +170,8 @@ object ExcelSource {
   private def dateStyleIndices(zip: ZipFile): Set[Int] = {
     val entry = zip.getEntry("xl/styles.xml")
     if (entry == null) return Set.empty
-    val builtinDates = ((14 to 22) ++ (27 to 36) ++ (45 to 47)).toSet
-    def isDateCode(code: String): Boolean = {
-      val c = code.replaceAll("\\[[^\\]]*\\]", "").replaceAll("\"[^\"]*\"", "")
-      c.toLowerCase.exists("ymdh".contains(_))
-    }
+    val builtinDates = ExcelSource.builtinDateFormats
+    def isDateCode(code: String) = ExcelSource.isDateFormatCode(code)
     val customDates = mutable.Set.empty[Int]
     val xfFmtIds = mutable.ArrayBuffer.empty[Int]
     var inCellXfs = false
@@ -195,14 +201,18 @@ object ExcelSource {
     }.toSet
   }
 
-  /** Excel serial → ISO string. Serial 1 = 1900-01-01; serials ≥ 61 use the
-    * 1899-12-30 epoch (absorbing Excel's phantom 1900-02-29). A time
+  /** Excel serial → ISO string. In the default 1900 system, serial 1 =
+    * 1900-01-01 and serials ≥ 61 use the 1899-12-30 epoch (absorbing
+    * Excel's phantom 1900-02-29); the 1904 system (legacy Mac workbooks,
+    * BIFF DATEMODE) counts from 1904-01-01 with no leap bug. A time
     * fraction yields a full timestamp, a whole serial a plain date. */
-  private def serialToIso(text: String): Option[String] =
+  private[sources] def serialToIso(text: String,
+      date1904: Boolean = false): Option[String] =
     text.trim.toDoubleOption.filter(d => d >= 0 && d < 2958466).map { d =>
       val days = math.floor(d).toLong
       val frac = d - days
-      val base = if (days >= 61) java.time.LocalDate.of(1899, 12, 30)
+      val base = if (date1904) java.time.LocalDate.of(1904, 1, 1)
+        else if (days >= 61) java.time.LocalDate.of(1899, 12, 30)
         else java.time.LocalDate.of(1899, 12, 31)
       val date = base.plusDays(days)
       val secs = math.round(frac * 86400)
@@ -273,6 +283,18 @@ object ExcelSource {
     }
     r.close()
     rows
+  }
+
+  /** Builtin number-format ids that render as dates/times (both workbook
+    * generations use the same id space). */
+  private[sources] val builtinDateFormats: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47)).toSet
+
+  /** A custom format code is a date format when it contains date tokens
+    * (y/m/d/h) outside of [brackets] and "quoted text". */
+  private[sources] def isDateFormatCode(code: String): Boolean = {
+    val c = code.replaceAll("\\[[^\\]]*\\]", "").replaceAll("\"[^\"]*\"", "")
+    c.toLowerCase.exists("ymdh".contains(_))
   }
 
   /** "C7" → 0-based column index 2; absent ref → next position. */

@@ -150,15 +150,15 @@ class ExcelSpec extends SparkTestBase {
     assert(df.schema("amount").dataType == LongType)
   }
 
-  test("legacy OLE2 .xls fails with an actionable message, not a ZipException") {
+  test("a file that is neither zip nor OLE2 fails actionably, not as ZipException") {
+    // real OLE2 .xls now parses (XlsSpec); the remaining failure mode is
+    // junk content under a workbook extension
     val path = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("target"), "xls_legacy").resolve("legacy.xls").toString
-    // OLE2 compound-file magic bytes: definitely not a zip
-    val magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
-    java.nio.file.Files.write(java.nio.file.Paths.get(path), magic ++ Array.fill(512)(0.toByte))
+      java.nio.file.Paths.get("target"), "xls_junk").resolve("junk.xlsx").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "<html>not a workbook</html>".getBytes ++ Array.fill(512)(0.toByte))
     val e = intercept[RuntimeException] { graft.ops.IngestOps.readAny(spark, path) }
-    assert(e.getMessage.contains("not supported"))
-    assert(e.getMessage.contains(".xlsx"))
+    assert(e.getMessage.contains("neither an xlsx"))
   }
 
   test("blank headers and rich-text inline runs") {
