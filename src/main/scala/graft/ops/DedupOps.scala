@@ -92,11 +92,12 @@ object DedupOps {
   }
 
   /** Each doc's prefix join keys under its current `sh` order: the first
-    * `n - ceil(t*n) + 1` shingles. */
+    * `n - ceil(t*n) + 1` shingles, with the doc's shingle count `n` riding
+    * along for the downstream length filter. */
   def prefixKeys(shingled: DataFrame, threshold: Double): DataFrame = {
     val plen = (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1)
       .cast("int")
-    shingled.select(col("doc_id"), col("source"),
+    shingled.select(col("doc_id"), col("source"), size(col("sh")).as("n"),
       explode(slice(col("sh"), lit(1), plen)).as("key"))
   }
 
@@ -131,13 +132,21 @@ object DedupOps {
     // what the frequency-ordered prefixes keep small).
     val pre = prefixKeys(freqOrderedShingles(
       plain.join(docs.select("doc_id", "source"), Seq("doc_id"))), threshold)
+    // AllPairs length filter, applied before the pair ever reaches the
+    // verify joins: jaccard >= t forces |A∩B| >= t·|A∪B| >= t·max(|A|,|B|),
+    // and |A∩B| <= min(|A|,|B|), so min·5 >= max·2 for t = 0.4 — written as
+    // that exact rational because 0.4·max in binary floating point can
+    // round past a boundary-valid pair. Lossless like the prefix filter
+    // (the oracle's all-pairs hash match proves both).
     val cands = pre.groupBy("source", "key")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(col("source"), posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
-      .select(col("source"), col("id_a"),
+      .select(col("source"), posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("source"), col("a.doc_id").as("id_a"), col("a.n").as("na"),
         explode(slice(col("ids"), col("i") + lit(2),
-          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
+          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("b"))
+      .filter(least(col("na"), col("b.n")) * 5 >= greatest(col("na"), col("b.n")) * 2)
+      .select(col("source"), col("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // verify sides use the PLAIN shingle arrays — array_intersect is
     // order-blind, so the canonical order only ever matters for prefixes
