@@ -113,7 +113,10 @@ object TemporalJoinOps {
     // matched (__r null) — a matched row with NULL payload fields keeps them
     val stitched = inBlock.join(carry, keys :+ "__blk", "left")
       .withColumn("__m", coalesce(col("__r"), col("__carry")))
-    unpack(stitched, "__m", payload).drop("__blk", "__r", "__carry", "__m")
+    // same column contract as asofJoin: left columns in their original
+    // order, then right_<payload> (the key join above moved keys first)
+    unpack(stitched, "__m", payload)
+      .select((left.columns.map(col) ++ payload.map(c => col(s"right_$c"))): _*)
   }
 
   /** Click→purchase attribution: each purchase joined to the user's most

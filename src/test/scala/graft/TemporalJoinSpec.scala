@@ -109,6 +109,33 @@ class TemporalJoinSpec extends SparkTestBase {
     }
   }
 
+  test("randomized nullable payloads: both variants match brute force row-wise") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(200)(i => (i.toLong, rnd.nextInt(6).toLong, ts(rnd.nextInt(60).toLong)))
+    val right = Seq.tabulate(200)(i => (1000L + i, rnd.nextInt(6).toLong,
+      ts(rnd.nextInt(60).toLong),
+      if (rnd.nextInt(10) < 3) None else Some(s"v$i"))) // ~30% NULL payloads
+    val ldf = left.toDF("event_id", "user_id", "ts")
+    val rdf = right.toDF("event_id", "user_id", "ts", "v")
+    def check(out: Array[org.apache.spark.sql.Row]): Unit = {
+      val got = out.map(r => r.getAs[Long]("event_id") ->
+        (Option(r.get(r.fieldIndex("right_event_id"))).map(_.asInstanceOf[Long]),
+          Option(r.getString(r.fieldIndex("right_v"))))).toMap
+      for ((lid, key, lts) <- left) {
+        val m = right.filter(r => r._2 == key && !r._3.after(lts))
+          .sortBy(r => (r._3.getTime, r._1)).lastOption
+        // right_event_id AND right_v must come from the SAME matched row —
+        // a NULL v stays NULL even when an older row had a value
+        assert(got(lid) == ((m.map(_._1), m.flatMap(_._4))),
+          s"left $lid: got ${got(lid)}, want $m")
+      }
+    }
+    check(TemporalJoinOps.asofJoin(ldf, rdf, Seq("user_id"), "ts", "event_id",
+      Seq("event_id", "v")).collect())
+    check(TemporalJoinOps.asofJoinBlocked(ldf, rdf, Seq("user_id"), "ts", "event_id",
+      Seq("event_id", "v"), blockSpanUs = 10L * 1000000L).collect())
+  }
+
   test("asofJoinBlocked is equivalent to asofJoin on randomized multi-block input") {
     val rnd = new scala.util.Random(99)
     // span 10 s → ts range 0..60 s crosses ~6 blocks; carries must fire
