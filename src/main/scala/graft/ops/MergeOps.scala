@@ -61,6 +61,36 @@ object MergeOps {
     incoming.join(fps, md5(incoming(textCol)) === fps("__fp"), "left_anti")
   }
 
+  /** Bloom-pruned corpus admission — the 100 TB shape of
+    * `dedupAgainstCorpus`. The exact anti-join shuffles EVERY incoming row
+    * against the corpus fingerprints; at scale the overwhelming majority of
+    * a crawl batch is NOT a duplicate, so that shuffle is mostly wasted
+    * motion. Here a Bloom filter of the corpus fingerprints (built
+    * distributed via `stat.bloomFilter`'s aggregate, ~1.2 bytes/item at 1%
+    * fpp, broadcast once) rejects definite non-duplicates inside the scan;
+    * only the tiny might-contain fraction reaches the exact semi-join that
+    * clears false positives. No false negatives exist, so the result is
+    * IDENTICAL to the exact operator (MergeOpsSpec asserts equality) — the
+    * same two-phase shape Spark's runtime row-level filtering applies to
+    * joins internally. The membership probe is a Scala UDF because Spark
+    * exposes `bloom_filter_agg`/`might_contain` only internally; it sits
+    * behind the pushed-down scan, not in a hot aggregation loop. */
+  def dedupAgainstCorpusBloom(incoming: DataFrame, corpus: DataFrame,
+      textCol: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val fps = corpus.select(md5(col(textCol)).as("__fp"))
+    val bloom = fps.stat.bloomFilter("__fp", expectedItems, fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val withFp = incoming.withColumn("__fp", md5(col(textCol)))
+    // suspects = rows the bloom cannot rule out; exact semi-join confirms
+    val confirmed = withFp.filter(mightContain(col("__fp")))
+      .join(fps.distinct(), Seq("__fp"), "left_semi")
+      .select(col("__fp").as("__dup_fp")).distinct()
+    withFp.join(confirmed, col("__fp") === col("__dup_fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Incremental-dedup audit: docs with doc_id % 5 == 4 are the "incoming
     * crawl", the rest the standing corpus; report per-source admission
     * counts (batch size, admitted, dropped-as-duplicate). */

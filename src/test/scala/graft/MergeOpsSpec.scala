@@ -61,6 +61,20 @@ class MergeOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bloom-pruned admission equals the exact anti-join on real documents") {
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val incoming = docs.filter(col("doc_id") % 5 === 4)
+    val exact = MergeOps.dedupAgainstCorpus(incoming, corpus, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val bloomed = MergeOps.dedupAgainstCorpusBloom(incoming, corpus, "text",
+      expectedItems = 10000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // bloom false positives are cleared by the exact semi-join; false
+    // negatives are impossible — results must be identical, not just close
+    assert(bloomed == exact && exact.nonEmpty)
+  }
+
   test("connectedComponents resolves chains, cliques, and separate pairs") {
     // chain 1-2-3-4-5 (forces multi-round propagation), triangle 10-11-12,
     // isolated pair 20-21
