@@ -193,13 +193,17 @@ object DedupOps {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("src") === labels("node"))
         .groupBy(col("dst").as("node2")).agg(min(col("label")).as("nbr_label"))
+      // LAZY checkpoint: the convergence count below is the action that
+      // materializes (and persists) the round — one job per round, not a
+      // materialize job plus a scan job. A full count, not isEmpty, so no
+      // partition is skipped and the checkpoint is complete.
       val next = labels.withColumnRenamed("label", "old")
         .join(nbrMin, col("node") === col("node2"), "left")
         .select(col("node"),
           least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
           col("old"))
-        .localCheckpoint() // eager: one job materializes labels + old together
-      converged = next.filter(col("label") =!= col("old")).isEmpty
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("label") =!= col("old")).count() == 0
       unpersistCheckpoint(labels) // superseded round's blocks are freed now
       labels = next.select("node", "label")
       i += 1

@@ -122,6 +122,18 @@ class PlanSpec extends SparkTestBase {
       s"per-doc joins must stay hash-based:\n$p")
   }
 
+  test("ngram pair generation is bucket-local: no quadratic join operator") {
+    val p = plan(DedupOps.qNgramJaccardPairs(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must never go quadratic-by-plan:\n$p")
+    // candidates come from groupBy (source, key) + in-bucket combination
+    // explode, not a prefix self-join: the plan carries the bucket
+    // aggregation and the pair-expanding generator
+    assert(p.contains("collect_set") || p.contains("sort_array"),
+      s"expected bucket-local candidate aggregation:\n$p")
+    assert(p.contains("Generate"), s"expected in-bucket pair explode:\n$p")
+  }
+
   test("contract consistency: every oracle key is a wired query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
