@@ -95,7 +95,8 @@ object SparkEntry {
     "q_ivf_topk"              -> (VectorOps.qIvfTopk _),
     "q_salted_agg"            -> (SkewOps.qSaltedAgg _),
     "q_upsert_merge"          -> (MergeOps.qUpsertMerge _),
-    "q_dedup_incremental"     -> (MergeOps.qDedupIncremental _)
+    "q_dedup_incremental"     -> (MergeOps.qDedupIncremental _),
+    "q_dedup_incremental_bloom" -> (MergeOps.qDedupIncrementalBloom _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -489,6 +490,17 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus, o_totalprice, version FROM merged
         |WHERE o_orderkey % 13 = 0 ORDER BY o_orderkey""".stripMargin,
     "q_dedup_incremental" ->
+      """WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
+        |inc AS (SELECT source, text FROM documents WHERE doc_id % 5 = 4),
+        |adm AS (SELECT source, count(*) AS n_admitted FROM inc
+        |  WHERE md5(text) NOT IN (SELECT fp FROM corpus) GROUP BY source)
+        |SELECT i.source, i.n_incoming, COALESCE(a.n_admitted, 0) AS n_admitted,
+        |i.n_incoming - COALESCE(a.n_admitted, 0) AS n_dropped
+        |FROM (SELECT source, count(*) AS n_incoming FROM inc GROUP BY source) i
+        |LEFT JOIN adm a USING (source) ORDER BY i.source""".stripMargin,
+    // the Bloom-pruned admission must be EXACTLY the exact anti-join —
+    // same oracle, so the pruning cascade is hash-verified end-to-end
+    "q_dedup_incremental_bloom" ->
       """WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
         |inc AS (SELECT source, text FROM documents WHERE doc_id % 5 = 4),
         |adm AS (SELECT source, count(*) AS n_admitted FROM inc

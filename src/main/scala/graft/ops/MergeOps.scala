@@ -94,11 +94,23 @@ object MergeOps {
   /** Incremental-dedup audit: docs with doc_id % 5 == 4 are the "incoming
     * crawl", the rest the standing corpus; report per-source admission
     * counts (batch size, admitted, dropped-as-duplicate). */
-  def qDedupIncremental(s: SparkSession, sf: String): DataFrame = {
+  def qDedupIncremental(s: SparkSession, sf: String): DataFrame =
+    admissionAudit(s, sf, dedupAgainstCorpus(_, _, "text"))
+
+  /** The same audit through the Bloom-pruned admission path. Shares
+    * `q_dedup_incremental`'s oracle SQL: the bloom cascade must be
+    * EXACTLY equal to the exact anti-join, so the DuckDB hash match
+    * verifies the pruning end-to-end, not just in a spec. */
+  def qDedupIncrementalBloom(s: SparkSession, sf: String): DataFrame =
+    admissionAudit(s, sf,
+      dedupAgainstCorpusBloom(_, _, "text", expectedItems = 100000L))
+
+  private def admissionAudit(s: SparkSession, sf: String,
+      admit: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = t(s, sf, "documents")
     val corpus = docs.filter(col("doc_id") % 5 =!= 4)
     val incoming = docs.filter(col("doc_id") % 5 === 4)
-    val admitted = dedupAgainstCorpus(incoming, corpus, "text")
+    val admitted = admit(incoming, corpus)
       .groupBy("source").agg(count(lit(1)).as("n_admitted"))
     incoming.groupBy("source").agg(count(lit(1)).as("n_incoming"))
       .join(admitted, Seq("source"), "left")
