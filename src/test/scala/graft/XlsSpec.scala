@@ -205,6 +205,20 @@ class XlsSpec extends SparkTestBase {
     assert(df.count() == 4)
   }
 
+  test("ingestion pipeline converts a .xls end-to-end: parquet, catalog, collections") {
+    val path = writeXls(cfb(buildWorkbook()), "pipeline_fixture.xls")
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "xls_pipe").toString
+    val res = graft.pipeline.IngestionPipeline.run(spark, Seq(path), out)
+    assert(res.files.map(_.table).toSet ==
+      Set("pipeline_fixture_alpha", "pipeline_fixture_beta"))
+    val alpha = spark.read.parquet(
+      res.files.find(_.table.endsWith("alpha")).get.parquetPath)
+    assert(alpha.count() == 4)
+    assert(alpha.schema("flag").dataType.simpleString == "boolean")
+    assert(res.catalogJson.contains("pipeline_fixture_alpha"))
+  }
+
   test("a non-workbook OLE2 file and a non-OLE2 file both fail actionably") {
     val junk = writeXls("not an office file at all".getBytes, "junk.xls")
     val e1 = intercept[RuntimeException](XlsSource.readXls(spark, junk))
