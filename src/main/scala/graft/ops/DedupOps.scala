@@ -226,11 +226,20 @@ object DedupOps {
   def qDedupClusters(s: SparkSession, sf: String): DataFrame = {
     val pairs = qNgramJaccardPairs(s, sf).select(
       col("id_a").as("src"), col("id_b").as("dst"))
-    connectedComponents(pairs)
+    val labels = connectedComponents(pairs)
+    // materialize the TINY cluster summary eagerly so the full label set —
+    // the only thing still pinning executor storage after the fixpoint —
+    // can be freed here instead of living for the app's lifetime (the
+    // bench repeats this query; without the handoff each run would leave
+    // one full label RDD behind)
+    val clusters = labels
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
       .filter(col("n_members") >= 2)
       .orderBy("cluster_rep")
+      .localCheckpoint()
+    org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(labels)
+    clusters
   }
 
   /** V13 scale path: MinHash+LSH near-dup pairs with exact Jaccard verify.
