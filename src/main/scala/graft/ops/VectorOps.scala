@@ -255,6 +255,48 @@ object VectorOps {
     f.delete(): Unit
   }
 
+  /** Batch k-NN join over the IVF index: every row of `queries`
+    * (query_id, qv) gets its top-k neighbors in ONE distributed plan — the
+    * batch face of `ivfTopk`, and the shape an embedding-dedup or
+    * retrieval-eval pass over millions of queries needs (a per-query
+    * driver loop would schedule one Spark job per query). Each query ranks
+    * the broadcast centroid table and keeps its `nprobe` lists (window
+    * over nlist rows per query); the big embedding table is touched only
+    * through the (label) equi-join against the probed pairs, so cosine
+    * work is ~nprobe/nlist of the full cross product. Per-query top-k is a
+    * window over the probed candidate set — shuffled on query_id, bounded
+    * partitions, no global sort, same tie-break as the single-query path. */
+  def ivfTopkBatch(centroids: DataFrame, e: DataFrame, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cs", cosineFast(col("centroid"), col("qv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cs").desc, col("label").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("label"))
+    e.join(probes, Seq("label"))
+      .select(col("query_id"), col("vec_id"),
+        microScore(cosineFast(col("embedding"), col("qv"))).as("score_e6"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_e6").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Every-100th vector queries the corpus for its 5 nearest neighbors —
+    * the self-join face of retrieval eval. No oracle (IVF is approximate);
+    * ScaleOpsSpec asserts per-query equality with the single-query path. */
+  def qIvfTopkBatch(s: SparkSession, sf: String): DataFrame = {
+    val e = t(s, sf, "embeddings")
+    val centroids = s.read.parquet(ensureCentroids(s, sf))
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    ivfTopkBatch(centroids, e, queries, nprobe = 3, k = 5)
+      .orderBy(col("query_id").asc, col("score_e6").desc, col("vec_id").asc)
+  }
+
   /** ANN top-k via IVF probing (no oracle: approximate by construction —
     * recall vs brute force asserted in ScaleOpsSpec). The centroid artifact
     * is built once per dataset directory and read back on every subsequent

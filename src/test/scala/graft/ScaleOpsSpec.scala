@@ -72,6 +72,28 @@ class ScaleOpsSpec extends SparkTestBase {
       s"query path rebuilds centroids:\n$plan")
   }
 
+  test("batch IVF kNN equals the single-query probe for each query") {
+    val sfDir = "/root/testdata/sf0.01"
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val centroids = spark.read.parquet(VectorOps.ensureCentroids(spark, sfDir))
+    val qids = Seq(0L, 170L, 423L) // embeddings at sf0.01 span vec_id 0..499
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = VectorOps.ivfTopkBatch(centroids, e, queries, nprobe = 3, k = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(r => (-r.getLong(2), r.getLong(1)))
+          .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      }
+    for (q <- qids) {
+      val qv = e.filter(col("vec_id") === q).select(col("embedding").as("qv"))
+      val single = VectorOps.ivfTopk(centroids, e, qv, nprobe = 3, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(batch(q) == single, s"query $q: batch ${batch(q)} != single $single")
+    }
+  }
+
   test("interrupted or stale centroid artifacts are rebuilt, not trusted") {
     val sfDir = "/root/testdata/sf0.01"
     val dir = new java.io.File(VectorOps.ensureCentroids(spark, sfDir))
