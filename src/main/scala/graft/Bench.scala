@@ -14,7 +14,8 @@ object Bench {
     "q_window_rank", "q_month_groupby", "q_distinct", "q_count_distinct",
     "q_tumbling_window", "q_session_like_gap", "q_chunk_rows", "q_text_tokens",
     "q_cosine_topk", "q_embed_neardup_pairs", "q_minhash_neardup",
-    "q_ngram_jaccard_pairs", "q_salted_agg", "q_ivf_topk", "q_join3_revenue",
+    "q_ngram_jaccard_pairs", "q_salted_agg", "q_ivf_topk", "q_ivf_topk_batch",
+    "q_join3_revenue",
     "q_repetition", "q_asof_join", "q_range_join_windows",
     "q_upsert_merge", "q_quality_filter", "q_dedup_clusters")
 
