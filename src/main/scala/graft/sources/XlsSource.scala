@@ -158,7 +158,7 @@ object XlsSource {
     val XF = 0x00E0; val DATEMODE = 0x0022
     val LABELSST = 0x00FD; val NUMBER = 0x0203; val RK = 0x027E
     val MULRK = 0x00BD; val BOOLERR = 0x0205; val FORMULA = 0x0006
-    val STRING = 0x0207; val LABEL = 0x0204
+    val STRING = 0x0207; val LABEL = 0x0204; val RSTRING = 0x00D6
   }
 
   private def u16(b: Array[Byte], off: Int) =
@@ -232,12 +232,18 @@ object XlsSource {
     }
   }
 
-  /** XLUnicodeString with a 16-bit length (STRING / FORMAT records). */
+  /** XLUnicodeString with a 16-bit length (STRING / FORMAT / RSTRING
+    * records). Reads are clamped to the record payload, so a truncated or
+    * corrupt record yields a short string instead of an out-of-bounds
+    * throw mid-workbook. */
   private def unicodeString16(b: Array[Byte], off: Int): String = {
     val cch = u16(b, off)
     val flags = b(off + 2) & 0xFF
-    if ((flags & 1) != 0) new String(b, off + 3, 2 * cch, "UTF-16LE")
-    else new String(b.slice(off + 3, off + 3 + cch).map(x => (x & 0xFF).toChar))
+    val avail = b.length - off - 3
+    if ((flags & 1) != 0)
+      new String(b, off + 3, math.max(0, math.min(2 * cch, avail & ~1)), "UTF-16LE")
+    else new String(b.slice(off + 3, off + 3 + math.min(cch, avail))
+      .map(x => (x & 0xFF).toChar))
   }
 
   private case class Globals(sst: IndexedSeq[String],
@@ -330,7 +336,7 @@ object XlsSource {
         case Rec.BOOLERR =>
           if ((p(7) & 0xFF) == 0) // errors are skipped like blank cells
             put(u16(p, 0), u16(p, 2), if (p(6) != 0) "true" else "false")
-        case Rec.LABEL =>
+        case Rec.LABEL | Rec.RSTRING => // RSTRING = LABEL + trailing runs
           put(u16(p, 0), u16(p, 2), unicodeString16(p, 6))
         case Rec.FORMULA =>
           val row = u16(p, 0); val col = u16(p, 2); val xf = u16(p, 4)
