@@ -83,6 +83,7 @@ object SparkEntry {
     "q_repetition"            -> (CorpusOps.qRepetition _),
     "q_pii_redact"            -> (CorpusOps.qPiiRedact _),
     "q_split_stratified"      -> (CorpusOps.qSplitStratified _),
+    "q_mix_sources"           -> (CorpusOps.qMixSources _),
     "q_quality_filter"        -> (CorpusOps.qQualityFilter _),
     "q_minhash_neardup"       -> (DedupOps.qMinhashNeardup _),
     "q_dedup_clusters"        -> (DedupOps.qDedupClusters _),
@@ -588,6 +589,28 @@ object SparkEntry {
         |SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    // weighted-mixing sampler: arithmetic association mirrors the Spark
+    // expression exactly (IEEE double ops are deterministic given the same
+    // order), bucket compare over 3 hex digits vs printf('%03x')
+    "q_mix_sources" ->
+      """WITH vol AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_s FROM documents GROUP BY source),
+        |r AS (SELECT *, CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS rank FROM vol),
+        |t AS (SELECT CAST(sum(chars_s) AS BIGINT) AS total_chars,
+        |  CAST(sum(rank) AS BIGINT) AS sum_ranks FROM r),
+        |thr AS (SELECT source, n_docs,
+        |  CAST(floor((0.4 * CAST(total_chars AS DOUBLE) * CAST(rank AS DOUBLE) * 4096.0)
+        |    / (CAST(sum_ranks AS DOUBLE) * CAST(chars_s AS DOUBLE))) AS BIGINT) AS thr
+        |  FROM r, t),
+        |k AS (SELECT d.source, d.n_chars, t.n_docs, t.thr,
+        |  (t.thr >= 4096 OR substring(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 3)
+        |     < printf('%03x', t.thr)) AS keep
+        |  FROM documents d JOIN thr t USING (source))
+        |SELECT source, min(n_docs) AS n_docs,
+        |CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+        |min(thr) AS thr
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "q_embed_neardup_pairs" ->
       s"""WITH s AS (SELECT vec_id, label, embedding,
          |  ${cmpBandSql(32, 4).zipWithIndex

@@ -132,6 +132,49 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  /** Deterministic weighted source mixing — the data-mixing step in front
+    * of training: downsample each source to its share of a global character
+    * budget (here 40% of the corpus, shares proportional to the source's
+    * alphabetical rank — a stand-in for operator-chosen domain weights).
+    * The keep decision is a salted-md5 bucket on doc_id (same family as
+    * `splitAssign`): source s keeps bucket values below
+    * `⌊budget·w_s·4096 / chars_s⌋` of 4096, so sampling is stable across
+    * runs, engines, and partitionings, and adding documents never flips
+    * existing decisions. Every number feeding the threshold is integer or
+    * a single-association chain of IEEE double ops, and the bucket
+    * comparison is over the 3-hex-digit string against `printf("%03x")` of
+    * the threshold — bit-identical in Spark and DuckDB, so the whole
+    * sampler is hash-verified by the oracle (a `rand()` sampler could
+    * never be). Per-source rate metadata is O(sources) — broadcast. */
+  def qMixSources(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, sf, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+    val vol = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("chars_s"))
+    val ranked = vol.withColumn("rank",
+      dense_rank().over(Window.orderBy("source")).cast("long"))
+    val tot = ranked.agg(sum(col("chars_s")).as("total_chars"),
+      sum(col("rank")).as("sum_ranks"))
+    val thr = ranked.crossJoin(broadcast(tot))
+      .withColumn("thr", floor(
+        (lit(0.4) * col("total_chars").cast("double") * col("rank").cast("double")
+          * lit(4096.0))
+          / (col("sum_ranks").cast("double") * col("chars_s").cast("double")))
+        .cast("long"))
+      .select("source", "n_docs", "thr")
+    val bucket = substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 3)
+    docs.join(broadcast(thr), Seq("source"))
+      .withColumn("keep",
+        col("thr") >= 4096 || bucket < format_string("%03x", col("thr")))
+      .groupBy("source")
+      .agg(
+        min(col("n_docs")).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars").cast("long")).otherwise(0L)).as("chars_kept"),
+        min(col("thr")).as("thr"))
+      .orderBy("source")
+  }
+
   /** Stratified split audit: per (lang, split) doc counts and char volume —
     * the sanity report run after assignment to confirm strata balance. */
   def qSplitStratified(s: SparkSession, sf: String): DataFrame =
