@@ -84,6 +84,7 @@ object SparkEntry {
     "q_pii_redact"            -> (CorpusOps.qPiiRedact _),
     "q_split_stratified"      -> (CorpusOps.qSplitStratified _),
     "q_mix_sources"           -> (CorpusOps.qMixSources _),
+    "q_contamination"         -> (CorpusOps.qContamination _),
     "q_quality_filter"        -> (CorpusOps.qQualityFilter _),
     "q_minhash_neardup"       -> (DedupOps.qMinhashNeardup _),
     "q_dedup_clusters"        -> (DedupOps.qDedupClusters _),
@@ -589,6 +590,23 @@ object SparkEntry {
         |SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q_contamination" ->
+      """WITH t0 AS (SELECT doc_id, source,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, source,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(len(toks) - 2), i ->
+        |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t0),
+        |bk AS (SELECT DISTINCT unnest(sh) AS key FROM d WHERE doc_id % 97 = 0),
+        |ck AS (SELECT doc_id, unnest(sh) AS key FROM d WHERE doc_id % 97 <> 0),
+        |c AS (SELECT DISTINCT doc_id FROM ck WHERE key IN (SELECT key FROM bk))
+        |SELECT source, count(*) AS n_docs,
+        |CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM c) THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_contaminated
+        |FROM documents WHERE doc_id % 97 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
     // weighted-mixing sampler: arithmetic association mirrors the Spark
     // expression exactly (IEEE double ops are deterministic given the same
     // order), bucket compare over 3 hex digits vs printf('%03x')

@@ -175,6 +175,32 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Benchmark decontamination — the eval-set overlap check a training
+    * corpus runs before release: flag every corpus document sharing ANY
+    * word-3-shingle with the held-out set (here every 97th doc stands in
+    * for the benchmark). The eval side reduces to a distinct shingle set;
+    * the corpus explodes to (doc, shingle) and LEFT SEMI joins it, so work
+    * is linear in corpus shingles with a shuffle keyed on the shingle —
+    * never a doc×doc comparison, and an eval set of millions of shingles
+    * still just partitions the join (broadcast is an optimization when it
+    * fits, not a requirement). Exact and oracle-checked per source. */
+  def qContamination(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+    val benchKeys = DedupOps.withShingles(docs.filter(col("doc_id") % 97 === 0))
+      .select(explode(col("sh")).as("key")).distinct()
+    val contaminated = DedupOps.withShingles(docs.filter(col("doc_id") % 97 =!= 0))
+      .select(col("doc_id"), explode(col("sh")).as("key"))
+      .join(benchKeys, Seq("key"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("c", lit(1L))
+    docs.filter(col("doc_id") % 97 =!= 0).select("doc_id", "source")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("c"), lit(0L))).as("n_contaminated"))
+      .orderBy("source")
+  }
+
   /** Stratified split audit: per (lang, split) doc counts and char volume —
     * the sanity report run after assignment to confirm strata balance. */
   def qSplitStratified(s: SparkSession, sf: String): DataFrame =
