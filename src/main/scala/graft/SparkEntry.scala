@@ -106,6 +106,18 @@ object SparkEntry {
 
   private val dsumP  = "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** Shared by `q_dedup_incremental` and `q_dedup_incremental_bloom`: the
+    * bloom path must equal the exact anti-join byte-for-byte. */
+  private val dedupIncrementalSql =
+    """WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
+      |inc AS (SELECT source, text FROM documents WHERE doc_id % 5 = 4),
+      |adm AS (SELECT source, count(*) AS n_admitted FROM inc
+      |  WHERE md5(text) NOT IN (SELECT fp FROM corpus) GROUP BY source)
+      |SELECT i.source, i.n_incoming, COALESCE(a.n_admitted, 0) AS n_admitted,
+      |i.n_incoming - COALESCE(a.n_admitted, 0) AS n_dropped
+      |FROM (SELECT source, count(*) AS n_incoming FROM inc GROUP BY source) i
+      |LEFT JOIN adm a USING (source) ORDER BY i.source""".stripMargin
+
   /** DuckDB cosine matching the Spark HOF bit-for-bit: sequential double
     * fold (DuckDB's builtin `list_cosine_similarity` accumulates in float32
     * and differs in the 7th decimal). */
@@ -492,26 +504,11 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1)
         |SELECT o_orderkey, o_orderstatus, o_totalprice, version FROM merged
         |WHERE o_orderkey % 13 = 0 ORDER BY o_orderkey""".stripMargin,
-    "q_dedup_incremental" ->
-      """WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
-        |inc AS (SELECT source, text FROM documents WHERE doc_id % 5 = 4),
-        |adm AS (SELECT source, count(*) AS n_admitted FROM inc
-        |  WHERE md5(text) NOT IN (SELECT fp FROM corpus) GROUP BY source)
-        |SELECT i.source, i.n_incoming, COALESCE(a.n_admitted, 0) AS n_admitted,
-        |i.n_incoming - COALESCE(a.n_admitted, 0) AS n_dropped
-        |FROM (SELECT source, count(*) AS n_incoming FROM inc GROUP BY source) i
-        |LEFT JOIN adm a USING (source) ORDER BY i.source""".stripMargin,
-    // the Bloom-pruned admission must be EXACTLY the exact anti-join —
-    // same oracle, so the pruning cascade is hash-verified end-to-end
-    "q_dedup_incremental_bloom" ->
-      """WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
-        |inc AS (SELECT source, text FROM documents WHERE doc_id % 5 = 4),
-        |adm AS (SELECT source, count(*) AS n_admitted FROM inc
-        |  WHERE md5(text) NOT IN (SELECT fp FROM corpus) GROUP BY source)
-        |SELECT i.source, i.n_incoming, COALESCE(a.n_admitted, 0) AS n_admitted,
-        |i.n_incoming - COALESCE(a.n_admitted, 0) AS n_dropped
-        |FROM (SELECT source, count(*) AS n_incoming FROM inc GROUP BY source) i
-        |LEFT JOIN adm a USING (source) ORDER BY i.source""".stripMargin,
+    "q_dedup_incremental" -> dedupIncrementalSql,
+    // the Bloom-pruned admission must be EXACTLY the exact anti-join — ONE
+    // shared oracle string, so the two references can never drift apart and
+    // the pruning cascade stays hash-verified end-to-end
+    "q_dedup_incremental_bloom" -> dedupIncrementalSql,
     "q_partitioned_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |count(DISTINCT source) AS n_sources FROM documents

@@ -29,13 +29,18 @@ object IngestOps {
         // first non-empty sheet in WORKBOOK order (readXlsx returns an
         // ordered Seq); per-sheet tables via ExcelSource.readXlsx, which
         // also sniffs mislabeled OLE2 content and delegates to XlsSource
-        graft.sources.ExcelSource.readXlsx(spark, path).head._2
+        firstSheet(graft.sources.ExcelSource.readXlsx(spark, path), path)
       else if (lower.endsWith(".xls"))
         // legacy 97-2003 workbook: BIFF8 records in an OLE2 container
-        graft.sources.XlsSource.readXls(spark, path).head._2
+        firstSheet(graft.sources.XlsSource.readXls(spark, path), path)
       else sys.error(s"unsupported format: $path")
     CleanColumns(raw)
   }
+
+  /** An all-empty workbook gets an actionable error, not `.head` of Nil. */
+  private def firstSheet(sheets: Seq[(String, DataFrame)], path: String): DataFrame =
+    sheets.headOption.map(_._2).getOrElse(sys.error(
+      s"$path has no non-empty sheet (every sheet is blank or header-only)"))
 
   /** S8: zstd parquet sink (reference: COPY … COMPRESSION ZSTD,
     * ROW_GROUP_SIZE 100000 — `duckdb_util.py:315-317`). */
@@ -158,6 +163,15 @@ object IngestOps {
     * shared fixed path would let one read the other's half-overwritten
     * layout. */
   def qPartitionedRoundtrip(s: SparkSession, sf: String): DataFrame = {
+    // pid-keyed work dirs would otherwise accumulate one full partitioned
+    // copy of the table per JVM forever: reap siblings whose owning process
+    // is gone (a live pid — even a recycled one — keeps its dir, which only
+    // delays cleanup to the next run)
+    Option(new java.io.File("target/tmp_part_docs").listFiles()).foreach(_.foreach { f =>
+      val ownerDead = f.getName.split("_").lastOption.flatMap(_.toLongOption)
+        .exists(p => !java.lang.ProcessHandle.of(p).isPresent)
+      if (ownerDead) VectorOps.deleteRecursively(f)
+    })
     // "sf" prefix: a _-leading dir name is hidden to Spark's path filter
     val work = s"target/tmp_part_docs/sf${sf.replaceAll("[^A-Za-z0-9._-]", "_")}" +
       s"_${java.lang.ProcessHandle.current.pid}"

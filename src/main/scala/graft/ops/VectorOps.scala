@@ -204,7 +204,9 @@ object VectorOps {
       nprobe: Int, k: Int): DataFrame = {
     val probed = centroids.crossJoin(broadcast(qv))
       .select(col("label"), cosineFast(col("centroid"), col("qv")).as("cs"))
-      .orderBy(col("cs").desc).limit(nprobe)
+      // label tie-break matches ivfTopkBatch, so score-tied centroids at
+      // the nprobe boundary probe the SAME lists on both paths
+      .orderBy(col("cs").desc, col("label").asc).limit(nprobe)
       .select("label")
     e.join(broadcast(probed), Seq("label"))
       .crossJoin(broadcast(qv))
@@ -214,44 +216,45 @@ object VectorOps {
       .limit(k)
   }
 
-  /** Build-if-invalid for the persisted centroid artifact. The cache is
-    * only trusted when Spark's `_SUCCESS` commit marker exists AND a
-    * fingerprint of the source embeddings file (length + mtime) matches the
-    * one recorded at build time — so a partially-written directory from an
-    * interrupted job, or regenerated testdata under the same path, forces a
-    * rebuild instead of silently yielding an empty/stale index. The rebuild
-    * goes to a unique temp dir and is renamed into place, so a concurrent
-    * reader never observes a half-written artifact (if two builders race,
-    * each swap installs a COMPLETE artifact; the loser's temp is dropped). */
+  /** Build-if-absent for the persisted centroid artifact. A fingerprint of
+    * the source embeddings file (length + mtime) is part of the directory
+    * NAME, making each artifact write-once: regenerated source data maps to
+    * a NEW directory, so a rebuild never deletes the directory a concurrent
+    * reader is serving from (stale-fingerprint dirs become inert garbage,
+    * not hazards). Spark's `_SUCCESS` commit marker still gates against
+    * interrupted writes; rebuilds land in a unique temp dir and are
+    * atomically renamed, and when two builders race, each rename installs a
+    * COMPLETE artifact and the loser's temp is dropped. The only deletion
+    * of the target dir happens when it exists WITHOUT `_SUCCESS` — a state
+    * this function never hands to a reader. */
   def ensureCentroids(s: SparkSession, sf: String): String = {
     val base = new java.io.File("target/ivf_centroids")
+    val src = new java.io.File(s"$sf/embeddings.parquet")
+    val fpTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.length}:${src.lastModified}".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
     // the "sf" prefix keeps the dir name from starting with "_": Spark's
     // path filter treats _-prefixed names as hidden metadata and logs
     // "All paths were ignored" on every read of such a root
-    val dir = new java.io.File(base, "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_"))
-    val src = new java.io.File(s"$sf/embeddings.parquet")
-    val fingerprint = s"${src.length}:${src.lastModified}"
-    val fpFile = new java.io.File(dir, "_GRAFT_SOURCE_FP")
-    val valid = new java.io.File(dir, "_SUCCESS").exists() && fpFile.exists() &&
-      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == fingerprint
-    if (!valid) {
+    val dir = new java.io.File(base,
+      "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fpTag)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val tmp = new java.io.File(base,
         s"${dir.getName}.tmp.${java.util.UUID.randomUUID}")
       writeCentroids(t(s, sf, "embeddings"), tmp.toString)
-      java.nio.file.Files.write(new java.io.File(tmp, "_GRAFT_SOURCE_FP").toPath,
-        fingerprint.getBytes("UTF-8"))
-      deleteRecursively(dir)
+      deleteRecursively(dir) // only ever a partial artifact, never served
       try java.nio.file.Files.move(tmp.toPath, dir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // a concurrent builder won the swap; its artifact is complete
+      catch { // a concurrent builder won the rename; its artifact is complete
         case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
       }
     }
     dir.toString
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+  private[ops] def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
+    // listFiles is null when the dir vanished under a concurrent delete
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
 

@@ -49,11 +49,33 @@ object ExcelSource {
     try {
       val shared = readSharedStrings(zip)
       val dateStyles = dateStyleIndices(zip)
+      val date1904 = workbookDate1904(zip)
       sheetTargets(zip).flatMap { case (name, target) =>
-        val rows = readSheetRows(zip, target, shared, dateStyles)
+        val rows = readSheetRows(zip, target, shared, dateStyles, date1904)
         sheetToFrame(spark, rows.toIndexedSeq).map(name -> _)
       }
     } finally zip.close()
+  }
+
+  /** `<workbookPr date1904="1"/>` in xl/workbook.xml switches the whole
+    * workbook to the 1904 serial epoch (legacy Mac origin) — without this a
+    * 1904-system workbook's every date cell is silently 1,462 days off
+    * (the .xls path reads the equivalent DATEMODE record). */
+  private def workbookDate1904(zip: ZipFile): Boolean = {
+    val entry = zip.getEntry("xl/workbook.xml")
+    if (entry == null) return false
+    val r = XMLInputFactory.newInstance()
+      .createXMLStreamReader(zip.getInputStream(entry))
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "workbookPr") {
+          val v = Option(r.getAttributeValue(null, "date1904"))
+          return v.exists(x => x == "1" || x.equalsIgnoreCase("true"))
+        }
+      }
+      false
+    } finally r.close()
   }
 
   /** Shared sheet→DataFrame path for both workbook formats: header from the
@@ -225,7 +247,8 @@ object ExcelSource {
     * indexed by column (missing cells → None). */
   private def readSheetRows(zip: ZipFile, target: String,
       shared: IndexedSeq[String],
-      dateStyles: Set[Int]): mutable.ArrayBuffer[Vector[Option[String]]] = {
+      dateStyles: Set[Int],
+      date1904: Boolean): mutable.ArrayBuffer[Vector[Option[String]]] = {
     val rows = mutable.ArrayBuffer.empty[Vector[Option[String]]]
     val entry = zip.getEntry(target)
     if (entry == null) return rows
@@ -268,7 +291,7 @@ object ExcelSource {
               case "b" => if (text.toString.trim == "1") "true" else "false"
               // date-styled numeric serial -> ISO string (pandas parity)
               case "" | "n" if dateStyles(cellStyle) =>
-                serialToIso(text.toString).getOrElse(text.toString)
+                serialToIso(text.toString, date1904).getOrElse(text.toString)
               case _   => text.toString
             })
           case "is" => inInline = false

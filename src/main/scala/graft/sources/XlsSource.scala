@@ -98,11 +98,17 @@ object XlsSource {
       out.result()
     }
 
-    /** Concatenate a FAT sector chain, truncated to `size`. */
+    /** Concatenate a FAT sector chain, truncated to `size`. A chain longer
+      * than the FAT itself must contain a cycle — fail instead of spinning
+      * until OOM on a corrupt file. */
     private def chain(start: Int, size: Long): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       var sec = start
+      var hops = 0
       while (sec != EndOfChain && sec >= 0 && out.size < size) {
+        hops += 1
+        if (hops > fat.length)
+          sys.error("cyclic or corrupt FAT sector chain — not a valid compound file")
         out.write(bytes, sectorOff(sec), sectorSize)
         sec = fat(sec)
       }
@@ -141,7 +147,11 @@ object XlsSource {
         else {
           val out = new java.io.ByteArrayOutputStream()
           var sec = e.startSec
+          var hops = 0
           while (sec != EndOfChain && sec >= 0 && out.size < e.size) {
+            hops += 1
+            if (hops > miniFat.length)
+              sys.error("cyclic or corrupt mini-FAT chain — not a valid compound file")
             out.write(miniStream, sec * miniSize, miniSize)
             sec = miniFat(sec)
           }
@@ -256,6 +266,15 @@ object XlsSource {
     val xfFmts = mutable.ArrayBuffer.empty[Int]
     var date1904 = false
     val it = records(wb, 0).buffered
+    // pre-BIFF8 workbooks (Excel 5.0/95, BOF version 0x0500) use byte
+    // strings and no SST — parsing them with BIFF8 layouts would return
+    // GARBAGE cells, not an error, so reject them loudly up front
+    if (it.hasNext && it.head._1 == Rec.BOF && it.head._2.length >= 2) {
+      val vers = u16(it.head._2, 0)
+      if (vers != 0x0600)
+        sys.error(f"BIFF version 0x$vers%04x workbook (Excel 5.0/95?) is not " +
+          "supported — re-save as 97-2003 .xls or .xlsx")
+    }
     while (it.hasNext) {
       val (id, p, _) = it.next()
       id match {

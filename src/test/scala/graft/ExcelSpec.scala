@@ -150,6 +150,38 @@ class ExcelSpec extends SparkTestBase {
     assert(df.schema("amount").dataType == LongType)
   }
 
+  test("workbookPr date1904 switches xlsx date serials to the 1904 epoch") {
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "xlsx_1904").resolve("m.xlsx").toString
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<workbookPr date1904="1"/>
+        |<sheets><sheet name="D" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    put("xl/styles.xml",
+      """<styleSheet><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/>
+        |</cellXfs></styleSheet>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>when</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>45000</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = ExcelSource.readXlsx(spark, path).head._2
+    // 1904 epoch: 1904-01-01 + 45000 days, NOT the 1900-system 2023-03-15
+    val want = java.time.LocalDate.of(1904, 1, 1).plusDays(45000).toString
+    assert(df.head.getString(0) == want)
+  }
+
   test("a file that is neither zip nor OLE2 fails actionably, not as ZipException") {
     // real OLE2 .xls now parses (XlsSpec); the remaining failure mode is
     // junk content under a workbook extension

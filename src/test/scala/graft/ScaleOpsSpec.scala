@@ -97,23 +97,21 @@ class ScaleOpsSpec extends SparkTestBase {
   test("interrupted or stale centroid artifacts are rebuilt, not trusted") {
     val sfDir = "/root/testdata/sf0.01"
     val dir = new java.io.File(VectorOps.ensureCentroids(spark, sfDir))
-    def files() = dir.listFiles().map(_.getName).toSet
-    assert(files().contains("_SUCCESS") && files().contains("_GRAFT_SOURCE_FP"))
+    // the source fingerprint is part of the directory name: regenerated
+    // source data maps to a NEW write-once dir, never a mutation of this one
+    assert(dir.getName.matches("sf.*_[0-9a-f]{8}"), dir.getName)
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val other = new java.io.File(VectorOps.ensureCentroids(spark, "/root/testdata/sf0.001"))
+    assert(other.getName != dir.getName,
+      "different source data must key a different artifact dir")
 
     // simulate a killed writer: part files present but no commit marker —
-    // the old check (bare directory existence) would read this as-is
+    // a bare directory-existence check would read this as-is
     new java.io.File(dir, "_SUCCESS").delete()
     val rebuilt = new java.io.File(VectorOps.ensureCentroids(spark, sfDir))
-    assert(new java.io.File(rebuilt, "_SUCCESS").exists())
-    assert(VectorOps.qIvfTopk(spark, sfDir).count() == 10)
-
-    // simulate regenerated source data: fingerprint mismatch forces rebuild
-    java.nio.file.Files.write(new java.io.File(dir, "_GRAFT_SOURCE_FP").toPath,
-      "0:0".getBytes("UTF-8"))
-    VectorOps.ensureCentroids(spark, sfDir)
-    val fp = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(dir, "_GRAFT_SOURCE_FP").toPath), "UTF-8")
-    assert(fp != "0:0", "stale fingerprint was not refreshed by a rebuild")
+    assert(rebuilt.getName == dir.getName)
+    assert(new java.io.File(rebuilt, "_SUCCESS").exists(),
+      "partial artifact was trusted instead of rebuilt")
     assert(VectorOps.qIvfTopk(spark, sfDir).count() == 10)
   }
 }
