@@ -129,6 +129,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(byId(2L).getLong(2) == 9L)
   }
 
+  test("source mixing keeps at most everything, respects rank-weighted rates") {
+    val rows = CorpusOps.qMixSources(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("thr") >= 0L)
+    }
+    // the sampler must actually sample: with a 40% budget, not every source
+    // can keep everything
+    assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")))
+    // determinism: a second run produces the identical decision set
+    val again = CorpusOps.qMixSources(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("contamination audit bounds: flagged docs never exceed the source total") {
+    val rows = CorpusOps.qContamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_docs"))
+    // the synthetic corpus shares templates across docs, so the benchmark
+    // subset must contaminate SOMETHING — an all-zero audit would mean the
+    // shingle join silently matched nothing
+    assert(rows.map(_.getAs[Long]("n_contaminated")).sum > 0L)
+  }
+
   test("compaction rewrites many small files into the computed count") {
     val dir = java.nio.file.Files.createTempDirectory("corpus_compact").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
