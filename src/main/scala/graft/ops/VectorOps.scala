@@ -248,6 +248,10 @@ object VectorOps {
       catch { // a concurrent builder won the rename; its artifact is complete
         case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
       }
+      // belt-and-braces: never hand out a directory that is not committed
+      // (e.g. the delete above half-failed and the rename then bounced)
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        sys.error(s"IVF centroid artifact at $dir could not be installed")
     }
     dir.toString
   }
