@@ -57,6 +57,7 @@ object SparkEntry {
     "q_session_like_gap"      -> (EventOps.qSessionLikeGap _),
     "q_window_running_sum"    -> (EventOps.qWindowRunningSum _),
     "q_asof_join"             -> (TemporalJoinOps.qAsofJoin _),
+    "q_asof_join_blocked"     -> (TemporalJoinOps.qAsofJoinBlocked _),
     "q_range_join_windows"    -> (TemporalJoinOps.qRangeJoinWindows _),
     // catalog / profiling / ingestion (SURVEY §2a, V10)
     "q_describe"              -> (ProfileOps.qDescribe _),
@@ -349,6 +350,15 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
         |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
     "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |epoch_us(p.ts) AS ts_us, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+        |epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
+    // the blocked variant is semantically identical — same oracle
+    "q_asof_join_blocked" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         |SELECT p.event_id AS purchase_id, p.user_id,

@@ -83,7 +83,10 @@ object CatalogOps {
         s""""row_count":$rowCount,"column_count":$colCount,"columns":$cols,""" +
         s""""primary_key":"","foreign_keys":[],"data_quality_score":"",""" +
         s""""has_duplicates":"","null_percentage":""},""" +
-        s""""graph_metadata":{"graph_id":${q(s"graph_${sessionId.take(8)}_${logicalName.take(10)}")},""" +
+        // `filename.take(10)` — the reference truncates the parquet BASENAME
+        // including its extension (ingestion_pipeline_langgraph.py:842
+        // `filename[:10]` after os.path.basename), not the logical name
+        s""""graph_metadata":{"graph_id":${q(s"graph_${sessionId.take(8)}_${filename.take(10)}")},""" +
         s""""node_count":${120 + idx * 30},"edge_count":${200 + idx * 50},""" +
         s""""total_chunks":$totalChunks,"total_tokens":$totalTokens,""" +
         s""""total_characters":${totalTokens * 4},"total_pages":${totalChunks / 2},""" +

@@ -186,35 +186,49 @@ object DedupOps {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    val nodes = sym.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val nbrMin = sym.join(labels, sym("src") === labels("node"))
-        .groupBy(col("dst").as("node2")).agg(min(col("label")).as("nbr_label"))
-      // LAZY checkpoint: the convergence count below is the action that
-      // materializes (and persists) the round — one job per round, not a
-      // materialize job plus a scan job. A full count, not isEmpty, so no
-      // partition is skipped and the checkpoint is complete.
-      val next = labels.withColumnRenamed("label", "old")
-        .join(nbrMin, col("node") === col("node2"), "left")
-        .select(col("node"),
-          least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
-          col("old"))
-        .localCheckpoint(eager = false)
-      converged = next.filter(col("label") =!= col("old")).count() == 0
-      unpersistCheckpoint(labels) // superseded round's blocks are freed now
-      labels = next.select("node", "label")
-      i += 1
+    // every persisted block is freed on EVERY exit path except the one
+    // success return (whose labels the caller owns): sym always; the live
+    // labels checkpoint when the loop throws or fails to converge — without
+    // this, a failure pins executor storage for the app's lifetime
+    var labels: DataFrame = null
+    var handedOff = false
+    try {
+      val nodes = sym.select(col("src").as("node")).distinct()
+      labels = nodes.withColumn("label", col("node")).localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val nbrMin = sym.join(labels, sym("src") === labels("node"))
+          .groupBy(col("dst").as("node2")).agg(min(col("label")).as("nbr_label"))
+        // LAZY checkpoint: the convergence count below is the action that
+        // materializes (and persists) the round — one job per round, not a
+        // materialize job plus a scan job. A full count, not isEmpty, so no
+        // partition is skipped and the checkpoint is complete.
+        val next = labels.withColumnRenamed("label", "old")
+          .join(nbrMin, col("node") === col("node2"), "left")
+          .select(col("node"),
+            least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
+            col("old"))
+          .localCheckpoint(eager = false)
+        try converged = next.filter(col("label") =!= col("old")).count() == 0
+        catch { // count is what materializes next — free its partial blocks
+          case t: Throwable => unpersistCheckpoint(next); throw t
+        }
+        unpersistCheckpoint(labels) // superseded round's blocks are freed now
+        labels = next.select("node", "label")
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIter rounds — a " +
+            "component's diameter exceeds the bound; raise maxIter for " +
+            "chain-shaped graphs (labels would otherwise be silently wrong)")
+      handedOff = true
+      labels
+    } finally {
+      unpersistCheckpoint(sym)
+      if (!handedOff && labels != null) unpersistCheckpoint(labels)
     }
-    unpersistCheckpoint(sym)
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter rounds — a " +
-          "component's diameter exceeds the bound; raise maxIter for " +
-          "chain-shaped graphs (labels would otherwise be silently wrong)")
-    labels
   }
 
   /** Dedup clusters over the exact n-gram-Jaccard pair graph: connected

@@ -139,6 +139,31 @@ object TemporalJoinOps {
       .orderBy("purchase_id")
   }
 
+  /** The same attribution query through the hot-key-safe BLOCKED as-of
+    * join — semantically identical to `qAsofJoin` (TemporalJoinSpec
+    * asserts path equivalence on randomized input), so it shares the
+    * DuckDB ASOF JOIN oracle and the driver hash-verifies the blocked
+    * decomposition end-to-end, not just property-wise. Day-sized blocks
+    * put many blocks in the events range, exercising the cross-block
+    * carry, while keeping ts-ties (same microsecond) within one block. */
+  def qAsofJoinBlocked(s: SparkSession, sf: String): DataFrame = {
+    val ev = t(s, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    asofJoinBlocked(purchases, clicks, Seq("user_id"), "ts", "event_id",
+      Seq("event_id", "ts"), blockSpanUs = dayUs)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("right_event_id").as("click_id"),
+        unix_micros(col("right_ts")).as("click_ts_us"),
+        (unix_micros(col("ts")) - unix_micros(col("right_ts"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   /** Bucketed range join: `intervals` must carry (keyCol, ivId, startUs,
     * endUs); events join on (keyCol, bucket) where bucket spans
     * `bucketUs` micros, then the exact [startUs, endUs) predicate filters

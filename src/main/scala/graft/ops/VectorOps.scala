@@ -224,9 +224,11 @@ object VectorOps {
     * not hazards). Spark's `_SUCCESS` commit marker still gates against
     * interrupted writes; rebuilds land in a unique temp dir and are
     * atomically renamed, and when two builders race, each rename installs a
-    * COMPLETE artifact and the loser's temp is dropped. The only deletion
-    * of the target dir happens when it exists WITHOUT `_SUCCESS` — a state
-    * this function never hands to a reader. */
+    * COMPLETE artifact and the loser's temp is dropped. The target dir is
+    * only deleted when it (still) lacks `_SUCCESS` — re-checked right
+    * before the delete, so a racing builder that committed while this one
+    * was writing its temp keeps its artifact and any reader already
+    * serving from it is undisturbed. */
   def ensureCentroids(s: SparkSession, sf: String): String = {
     val base = new java.io.File("target/ivf_centroids")
     val src = new java.io.File(s"$sf/embeddings.parquet")
@@ -242,11 +244,17 @@ object VectorOps {
       val tmp = new java.io.File(base,
         s"${dir.getName}.tmp.${java.util.UUID.randomUUID}")
       writeCentroids(t(s, sf, "embeddings"), tmp.toString)
-      deleteRecursively(dir) // only ever a partial artifact, never served
-      try java.nio.file.Files.move(tmp.toPath, dir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // a concurrent builder won the rename; its artifact is complete
-        case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+      // re-check NOW: a concurrent builder may have committed a complete
+      // artifact while this one was writing tmp — deleting it would yank
+      // the directory from under a reader already serving from it
+      if (new java.io.File(dir, "_SUCCESS").exists()) deleteRecursively(tmp)
+      else {
+        deleteRecursively(dir) // uncommitted leftovers only, never served
+        try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // a concurrent builder won the rename; its artifact is complete
+          case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+        }
       }
       // belt-and-braces: never hand out a directory that is not committed
       // (e.g. the delete above half-failed and the rename then bounced)
@@ -256,7 +264,7 @@ object VectorOps {
     dir.toString
   }
 
-  private[ops] def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
     // listFiles is null when the dir vanished under a concurrent delete
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

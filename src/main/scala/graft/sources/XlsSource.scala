@@ -80,8 +80,13 @@ object XlsSource {
       val chained = mutable.ArrayBuffer.empty[Int]
       var difat = i32(68)
       val perSector = sectorSize / 4 - 1
+      var hops = 0
       while (difat != EndOfChain && difat != FreeSect) {
+        hops += 1
         val off = sectorOff(difat)
+        if (hops > bytes.length / sectorSize || off < 0 ||
+          off + sectorSize > bytes.length)
+          sys.error("cyclic or corrupt DIFAT chain — not a valid compound file")
         chained ++= (0 until perSector).map(i => i32(off + 4 * i))
           .filter(_ != FreeSect)
         difat = i32(off + 4 * perSector)
@@ -93,6 +98,8 @@ object XlsSource {
       val out = Array.newBuilder[Int]
       fatSectors.foreach { sec =>
         val off = sectorOff(sec)
+        if (off < 0 || off + sectorSize > bytes.length)
+          sys.error("FAT sector extends past end of file — truncated compound file")
         (0 until sectorSize / 4).foreach(i => out += i32(off + 4 * i))
       }
       out.result()
@@ -100,16 +107,21 @@ object XlsSource {
 
     /** Concatenate a FAT sector chain, truncated to `size`. A chain longer
       * than the FAT itself must contain a cycle — fail instead of spinning
-      * until OOM on a corrupt file. */
+      * until OOM on a corrupt file. Sector ids and the sector body are
+      * bounds-checked so a truncated/corrupt file fails with a diagnosis,
+      * not a raw ArrayIndexOutOfBoundsException. */
     private def chain(start: Int, size: Long): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       var sec = start
       var hops = 0
       while (sec != EndOfChain && sec >= 0 && out.size < size) {
         hops += 1
-        if (hops > fat.length)
+        if (hops > fat.length || sec >= fat.length)
           sys.error("cyclic or corrupt FAT sector chain — not a valid compound file")
-        out.write(bytes, sectorOff(sec), sectorSize)
+        val off = sectorOff(sec)
+        if (off < 0 || off + sectorSize > bytes.length)
+          sys.error("sector extends past end of file — truncated compound file")
+        out.write(bytes, off, sectorSize)
         sec = fat(sec)
       }
       out.toByteArray.take(math.min(size, out.size.toLong).toInt)
@@ -150,8 +162,10 @@ object XlsSource {
           var hops = 0
           while (sec != EndOfChain && sec >= 0 && out.size < e.size) {
             hops += 1
-            if (hops > miniFat.length)
+            if (hops > miniFat.length || sec >= miniFat.length)
               sys.error("cyclic or corrupt mini-FAT chain — not a valid compound file")
+            if (sec.toLong * miniSize + miniSize > miniStream.length)
+              sys.error("mini sector extends past the mini stream — truncated compound file")
             out.write(miniStream, sec * miniSize, miniSize)
             sec = miniFat(sec)
           }

@@ -60,7 +60,8 @@ class CatalogPlannerSpec extends SparkTestBase {
     val byName = rows.map(r => r.getString(0) -> r).toMap
     assert(byName("nation").getLong(1) == 25L)
     assert(byName("nation").getLong(2) == 120L && byName("region").getLong(2) == 150L)
-    assert(byName("nation").getString(3) == "graph_sess1234_nation")
+    // filename[:10] INCLUDING the .parquet extension, as the reference does
+    assert(byName("nation").getString(3) == "graph_sess1234_nation.par")
     val regionCols = spark.read.parquet(s"$sf/region.parquet").columns.length
     assert(byName("region").getString(4) ==
       s"Structured data with 5 rows and $regionCols columns")

@@ -97,6 +97,24 @@ class MergeOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponents frees its persisted blocks when it fails") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      graft.ops.DedupOps.connectedComponents(edges, maxIter = 3)
+    }
+    // unpersist is async (blocking = false) — poll briefly before failing
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var leaked = sc.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      leaked = sc.getPersistentRDDs.keySet -- before
+    }
+    assert(leaked.isEmpty,
+      s"non-convergence throw leaked persisted RDDs: $leaked")
+  }
+
   test("qDedupClusters reps are minimal members and clusters are non-trivial") {
     val rows = graft.ops.DedupOps.qDedupClusters(spark, sf).collect()
     // sf0.001 may legitimately have no near-dup pairs; invariants only

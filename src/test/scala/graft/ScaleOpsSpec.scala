@@ -114,4 +114,39 @@ class ScaleOpsSpec extends SparkTestBase {
       "partial artifact was trusted instead of rebuilt")
     assert(VectorOps.qIvfTopk(spark, sfDir).count() == 10)
   }
+
+  test("racing centroid builders never leave a reader without an artifact") {
+    // bench + correctness harness DO run concurrently against the same
+    // artifact dir; a losing builder must never delete the winner's
+    // committed artifact (it would 404 a reader mid-read). Hammer the
+    // build-from-absent path from several threads, reading immediately
+    // after each build — pre-fix this intermittently threw
+    // FileNotFoundException when the loser's delete landed post-commit.
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = new java.io.File(VectorOps.ensureCentroids(spark, sfDir))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      (1 to 3).foreach { _ =>
+        VectorOps.deleteRecursively(dir) // next round rebuilds from absent
+        val start = new CountDownLatch(1)
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val tasks = (1 to 4).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              start.await()
+              try {
+                val d = VectorOps.ensureCentroids(spark, sfDir)
+                assert(new java.io.File(d, "_SUCCESS").exists())
+                assert(spark.read.parquet(d).count() > 0)
+              } catch { case t: Throwable => failures.add(t): Unit }
+            }
+          })
+        }
+        start.countDown()
+        tasks.foreach(_.get(120, TimeUnit.SECONDS))
+        assert(failures.isEmpty, s"racing builder broke a reader: ${failures.peek}")
+      }
+    } finally pool.shutdownNow(): Unit
+  }
 }
