@@ -28,7 +28,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfBase = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,6 +38,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // larger-scale mode: SPARK_GRAFT_BENCH_MULT=N benches an N×-replicated
+    // key-offset copy of the sf dir (see BenchScale) — at sf0.1 the
+    // run-to-run spread exceeds real per-round signal on expensive queries;
+    // default 1 keeps driver numbers comparable across rounds
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "1").toInt
+    val sfDir = if (mult > 1) BenchScale.ensureScaled(spark, sfBase, mult)
+      else sfBase
     // JVM/codegen warmup: run every headline query once at the smallest SF so
     // the timed runs measure execution, not plan compilation (the generated
     // code is shape-keyed, so the codegen cache carries over across SF dirs).
@@ -50,11 +57,18 @@ object Bench {
     // median of N runs per query: a single run moved 41% between identical
     // snapshots (r2 vs r3), which would drown any real regression — the
     // median is robust to GC/scheduler spikes, and the spread is reported
-    // so a noisy measurement is visible instead of silently trusted
-    val runsPerQuery = 5
+    // so a noisy measurement is visible instead of silently trusted. The
+    // min is reported too: it is the stable "how fast CAN this plan go"
+    // estimator, immune to one-sided noise (GC, scheduler) by construction.
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to runsPerQuery).flatMap { _ =>
+      // untimed warmup at the TARGET sf (first-touch page cache, JIT at the
+      // real data shapes), then a GC so the previous query's garbage is not
+      // billed to this one's timings
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+      System.gc()
+      def timed(n: Int) = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           force(fn(spark, sfDir))
@@ -65,18 +79,29 @@ object Bench {
             None
         }
       }
-      if (times.isEmpty) (name, -1.0, -1.0)
+      var times = timed(runsPerQuery)
+      // adaptive re-sampling: a spread wider than the median means the
+      // sample is noise-dominated — double it before trusting the stats
+      if (times.nonEmpty) {
+        val s = times.sorted
+        if (s.last - s.head > math.max(0.2, s(s.size / 2)))
+          times ++= timed(runsPerQuery)
+      }
+      if (times.isEmpty) (name, -1.0, -1.0, -1.0, 0)
       else {
         val sorted = times.sorted
-        (name, sorted(sorted.size / 2), sorted.last - sorted.head)
+        (name, sorted(sorted.size / 2), sorted.head,
+          sorted.last - sorted.head, sorted.size)
       }
     }
-    def jmap(f: ((String, Double, Double)) => Double) =
+    def jmap(f: ((String, Double, Double, Double, Int)) => Double) =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val total = results.collect { case (_, med, _) if med >= 0 => med }.sum
+    val total = results.collect { case (_, med, _, _, _) if med >= 0 => med }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${jmap(_._2)},"spread":${jmap(_._3)},""" +
-      s""""runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
+      s""""queries":${jmap(_._2)},"min":${jmap(_._3)},"spread":${jmap(_._4)},""" +
+      s""""runs":${results.map(r => "\"" + r._1 + "\":" + r._5)
+        .mkString("{", ",", "}")},""" +
+      s""""runs_per_query":$runsPerQuery,"mult":$mult,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
