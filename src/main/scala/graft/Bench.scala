@@ -16,7 +16,7 @@ object Bench {
     "q_cosine_topk", "q_embed_neardup_pairs", "q_minhash_neardup",
     "q_ngram_jaccard_pairs", "q_salted_agg", "q_ivf_topk", "q_ivf_topk_batch",
     "q_join3_revenue",
-    "q_repetition", "q_asof_join", "q_range_join_windows",
+    "q_repetition", "q_asof_join", "q_asof_join_blocked", "q_range_join_windows",
     "q_upsert_merge", "q_quality_filter", "q_dedup_clusters")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
