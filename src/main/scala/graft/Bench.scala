@@ -37,7 +37,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the one-JSON-line output contract must not be
+    // polluted — localCheckpoint-unpersist WARNs were trailing the JSON
+    // line in captured output and breaking the driver's parse
+    spark.sparkContext.setLogLevel("ERROR")
     // larger-scale mode: SPARK_GRAFT_BENCH_MULT=N benches an N×-replicated
     // key-offset copy of the sf dir (see BenchScale) — at sf0.1 the
     // run-to-run spread exceeds real per-round signal on expensive queries;
@@ -97,11 +100,14 @@ object Bench {
     def jmap(f: ((String, Double, Double, Double, Int)) => Double) =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.collect { case (_, med, _, _, _) if med >= 0 => med }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${jmap(_._2)},"min":${jmap(_._3)},"spread":${jmap(_._4)},""" +
       s""""runs":${results.map(r => "\"" + r._1 + "\":" + r._5)
         .mkString("{", ",", "}")},""" +
-      s""""runs_per_query":$runsPerQuery,"mult":$mult,"sf":"$sfDir"}""")
+      s""""runs_per_query":$runsPerQuery,"mult":$mult,"sf":"$sfDir"}"""
+    // stop FIRST: executor/shutdown log lines must never trail the JSON
+    // line, it has to be the last thing on stdout
     spark.stop()
+    println(json)
   }
 }
