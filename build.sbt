@@ -29,5 +29,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: at 8g the checkpoint-heavy queries (dedup fixpoint) hit GC
+  // pauses that put a ~100%-of-median spread on their bench samples; the
+  // box has 128 GiB and heap is lazily committed, so this costs nothing
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

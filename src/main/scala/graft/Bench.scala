@@ -63,39 +63,49 @@ object Bench {
     // so a noisy measurement is visible instead of silently trusted. The
     // min is reported too: it is the stable "how fast CAN this plan go"
     // estimator, immune to one-sided noise (GC, scheduler) by construction.
+    //
+    // Runs are INTERLEAVED round-robin across queries (pass 1 of every
+    // query, then pass 2, …), with one GC between passes: back-to-back
+    // repeats of the same query hand its whole sample to a single GC/JIT
+    // episode, which is exactly how a 12 s spread landed on a 3 s query.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
-    val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      // untimed warmup at the TARGET sf (first-touch page cache, JIT at the
-      // real data shapes), then a GC so the previous query's garbage is not
-      // billed to this one's timings
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+    val fns = headline.map(n => n -> SparkEntry.queries(n)).toMap
+    def timedOne(name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        force(fns(name)(spark, sfDir))
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
+      }
+    }
+    // untimed warmup pass at the TARGET sf: first-touch page cache, JIT at
+    // the real data shapes — doubles as the round-robin's pass 0
+    headline.foreach { name =>
+      try force(fns(name)(spark, sfDir)) catch { case _: Throwable => () }
+    }
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    def passes(names: Seq[String], n: Int): Unit = (1 to n).foreach { _ =>
       System.gc()
-      def timed(n: Int) = (1 to n).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          force(fn(spark, sfDir))
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            None
-        }
-      }
-      var times = timed(runsPerQuery)
-      // adaptive re-sampling: a spread wider than the median means the
-      // sample is noise-dominated — double it before trusting the stats
-      if (times.nonEmpty) {
-        val s = times.sorted
-        if (s.last - s.head > math.max(0.2, s(s.size / 2)))
-          times ++= timed(runsPerQuery)
-      }
-      if (times.isEmpty) (name, -1.0, -1.0, -1.0, 0)
-      else {
-        val sorted = times.sorted
-        (name, sorted(sorted.size / 2), sorted.head,
-          sorted.last - sorted.head, sorted.size)
-      }
+      names.foreach(name => timedOne(name).foreach(t => samples(name) :+= t))
+    }
+    passes(headline, runsPerQuery)
+    // adaptive re-sampling: queries whose spread exceeds 30% of their
+    // median are noise-dominated — give them (and only them) a second
+    // interleaved block of passes before trusting the stats
+    val noisy = headline.filter { name =>
+      val s = samples(name).sorted
+      s.nonEmpty && s.last - s.head > math.max(0.2, 0.3 * s(s.size / 2))
+    }
+    passes(noisy, runsPerQuery)
+    val results = headline.map { name =>
+      val sorted = samples(name).sorted
+      if (sorted.isEmpty) (name, -1.0, -1.0, -1.0, 0)
+      else (name, sorted(sorted.size / 2), sorted.head,
+        sorted.last - sorted.head, sorted.size)
     }
     def jmap(f: ((String, Double, Double, Double, Int)) => Double) =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
