@@ -97,6 +97,27 @@ class PlanSpec extends SparkTestBase {
       s"event_type filters must reach the scan:\n$p")
   }
 
+  test("blocked as-of: partitioned windows, broadcast carry, no nested loop") {
+    val df = TemporalJoinOps.qAsofJoinBlocked(spark, sf)
+    val p = plan(df)
+    // every window is keyed — (key, block) in-block, (key) over the tiny
+    // carry spine; a whole-partition window would recreate the hot-key
+    // serialization this variant exists to avoid
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, s"expected windowed as-of:\n$p")
+    wins.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"unkeyed window in blocked as-of:\n$w"))
+    // the carry stitches back via broadcast (the spine is per (key, block),
+    // orders of magnitude smaller than the rows), never a nested loop
+    assert(p.contains("BroadcastHashJoin"), s"carry join must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested-loop/cartesian allowed:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"event_type filters must reach the scan:\n$p")
+  }
+
   test("upsert merge aggregates partial+final with no window sort") {
     val p = plan(MergeOps.qUpsertMerge(spark, sf))
     assert(!p.contains("Window"), s"latest-wins must use max_by agg, not window rank:\n$p")

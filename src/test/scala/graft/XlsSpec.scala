@@ -235,4 +235,38 @@ class XlsSpec extends SparkTestBase {
     val e2 = intercept[RuntimeException](XlsSource.readXls(spark, p2))
     assert(e2.getMessage.contains("no Workbook"))
   }
+
+  test("truncated or sector-corrupt files fail with a diagnosis, never AIOOBE") {
+    val full = cfb(buildWorkbook())
+    // truncation at arbitrary points: the reader must either still succeed
+    // (nothing it touches was cut) or fail with an actionable message —
+    // a raw ArrayIndexOutOfBoundsException's message is just a number
+    for (frac <- Seq(0.55, 0.70, 0.85, 0.97)) {
+      val p = writeXls(full.take((full.length * frac).toInt), s"trunc_$frac.xls")
+      try { XlsSource.readXls(spark, p); () }
+      catch {
+        case e: RuntimeException =>
+          assert(!e.isInstanceOf[IndexOutOfBoundsException], s"frac=$frac: raw $e")
+          assert(e.getMessage != null && (e.getMessage.contains("truncated") ||
+            e.getMessage.contains("corrupt") || e.getMessage.contains("compound") ||
+            e.getMessage.contains("past end of file")), s"frac=$frac: ${e.getMessage}")
+      }
+    }
+    // header DIFAT[0] pointing past EOF: the FAT build itself must diagnose
+    val badFat = full.clone()
+    i32(0x00FFFF0).copyToArray(badFat, 76)
+    val e1 = intercept[RuntimeException](
+      XlsSource.readXls(spark, writeXls(badFat, "badfat.xls")))
+    assert(!e1.isInstanceOf[IndexOutOfBoundsException], e1.toString)
+    assert(e1.getMessage.contains("past end of file"), e1.getMessage)
+    // first directory sector id corrupted to an absurd value: chain() must
+    // bounds-check the sector id before indexing the FAT
+    val badDir = full.clone()
+    i32(0x00FFFF0).copyToArray(badDir, 48)
+    val e2 = intercept[RuntimeException](
+      XlsSource.readXls(spark, writeXls(badDir, "baddir.xls")))
+    assert(!e2.isInstanceOf[IndexOutOfBoundsException], e2.toString)
+    assert(e2.getMessage.contains("corrupt") ||
+      e2.getMessage.contains("past end of file"), e2.getMessage)
+  }
 }
