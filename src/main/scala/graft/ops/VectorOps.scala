@@ -323,6 +323,110 @@ object VectorOps {
     ivfTopk(s.read.parquet(path), e, qv, nprobe = 3, k = 10)
   }
 
+  /** K-means-trained IVF for corpora that do NOT ship a pre-assigned list
+    * column (the `label`-based build above serves pre-clustered data; real
+    * embedding tables rarely arrive clustered). The canonical Lloyd loop,
+    * each iteration two distributed passes: ASSIGN — argmax cosine against
+    * the broadcast centroid table (O(nlist) work per row, no shuffle) —
+    * and RE-CENTER — per-(list, dim) average (the `buildCentroids` shape,
+    * bounded-key agg). Init is a deterministic stride sample over the id
+    * space (no RNG: rebuilds are reproducible and the artifact cache stays
+    * content-addressed); a list that loses all members simply drops out.
+    * Per-round centroids are localCheckpoint'd (they are nlist tiny rows)
+    * so iteration N+1 does not replay iteration N's full assign pass;
+    * superseded rounds are freed immediately, and the caller frees the
+    * final round once the artifact is written. The returned assignment is
+    * recomputed against the FINAL centroids, so probe-time routing and the
+    * centroid table are always mutually consistent. */
+  def trainIvf(e: DataFrame, nlist: Int, iters: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
+    val v = e.select(col("vec_id"), col("embedding"))
+    val maxId = v.agg(max(col("vec_id"))).head.getLong(0)
+    val stride = math.max(1L, (maxId + 1) / nlist)
+    var centroids = v
+      .filter(col("vec_id") % stride === 0 && (col("vec_id") / stride) < nlist)
+      .select((col("vec_id") / stride).cast("int").as("label"),
+        col("embedding").as("centroid"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assign = assignLists(v, centroids)
+      val next = buildCentroids(v.join(assign, "vec_id")
+        .select(col("label"), col("embedding"))).localCheckpoint()
+      unpersistCheckpoint(centroids)
+      centroids = next
+    }
+    (centroids, assignLists(v, centroids))
+  }
+
+  /** Argmax-cosine list assignment against a broadcast centroid table —
+    * ties break to the LOWEST list id, matching the probe tie-break. */
+  def assignLists(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"),
+        cosineFast(col("embedding"), col("centroid")).as("cs"))
+      .groupBy("vec_id")
+      .agg(max_by(col("label"), struct(col("cs"), -col("label"))).as("label"))
+
+  /** Build-if-absent for the TRAINED IVF artifact: `centroids/` and the
+    * final `assign/` (vec_id → list) under one fingerprint-named dir —
+    * the same write-once + recheck-before-delete discipline as
+    * `ensureCentroids`. The top-level `_GRAFT_OK` marker commits the PAIR
+    * of tables: each subdir's own `_SUCCESS` covers only that table, and a
+    * reader must never see committed centroids with absent assignments. */
+  def ensureTrainedIvf(s: SparkSession, sf: String, nlist: Int = 16,
+      iters: Int = 2): String = {
+    val base = new java.io.File("target/ivf_trained")
+    val src = new java.io.File(s"$sf/embeddings.parquet")
+    val fpTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.length}:${src.lastModified}:$nlist:$iters".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    val dir = new java.io.File(base,
+      "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fpTag)
+    def committed = new java.io.File(dir, "_GRAFT_OK").exists()
+    if (!committed) {
+      val tmp = new java.io.File(base,
+        s"${dir.getName}.tmp.${java.util.UUID.randomUUID}")
+      val (centroids, assign) =
+        trainIvf(t(s, sf, "embeddings"), nlist, iters)
+      assign.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .parquet(new java.io.File(tmp, "assign").toString)
+      centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .parquet(new java.io.File(tmp, "centroids").toString)
+      org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(centroids)
+      new java.io.File(tmp, "_GRAFT_OK").createNewFile()
+      if (committed) deleteRecursively(tmp) // a racing builder committed
+      else {
+        deleteRecursively(dir) // uncommitted leftovers only, never served
+        try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // a concurrent builder won the rename
+          case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+        }
+      }
+      if (!committed)
+        sys.error(s"trained IVF artifact at $dir could not be installed")
+    }
+    dir.toString
+  }
+
+  /** ANN top-k over the TRAINED index: routing joins the persisted
+    * assignment table, not a data-shipped label column. No oracle
+    * (approximate + float-iteration-seeded); ScaleOpsSpec asserts
+    * assignment/centroid consistency, exactness at nprobe = nlist, and
+    * recall vs brute force. */
+  def qIvfTrainedTopk(s: SparkSession, sf: String): DataFrame = {
+    val dir = ensureTrainedIvf(s, sf)
+    val centroids = s.read.parquet(s"$dir/centroids")
+    val assign = s.read.parquet(s"$dir/assign")
+    val e = t(s, sf, "embeddings").select(col("vec_id"), col("embedding"))
+      .join(assign, "vec_id")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    ivfTopk(centroids, e, qv, nprobe = 3, k = 10)
+  }
+
   /** ANN near-dup via LSH bucketing + exact re-score (no oracle: candidate
     * recall is probabilistic; invariants tested in ScaleOpsSpec). */
   def qEmbedNeardupLsh(s: SparkSession, sf: String): DataFrame =

@@ -115,6 +115,37 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(VectorOps.qIvfTopk(spark, sfDir).count() == 10)
   }
 
+  test("trained IVF: consistent routing, exact at full probe, real recall") {
+    val sfDir = "/root/testdata/sf0.01"
+    val dir = VectorOps.ensureTrainedIvf(spark, sfDir)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assign = spark.read.parquet(s"$dir/assign")
+    val e = Tables.t(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // every vector routed exactly once, to a list that exists
+    assert(assign.count() == e.count())
+    assert(assign.select("vec_id").distinct().count() == e.count())
+    val nlist = centroids.count()
+    assert(nlist >= 2 && nlist <= 16, s"nlist=$nlist")
+    assert(assign.join(centroids, Seq("label"), "left_anti").count() == 0)
+    // the shipped assignment is argmax-consistent with the shipped
+    // centroids (trainIvf recomputes it against the FINAL centroids)
+    val re = VectorOps.assignLists(e, centroids)
+    assert(assign.join(re, Seq("vec_id", "label"), "left_semi").count() ==
+      e.count(), "assignment drifted from the shipped centroids")
+    // probing EVERY list degenerates to exact brute-force top-k
+    val ej = e.join(assign, "vec_id")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val full = VectorOps.ivfTopk(centroids, ej, qv, nprobe = nlist.toInt, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = VectorOps.qCosineTopk(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(full == brute, s"full probe must be exact: $full != $brute")
+    // partial probe: self-match found, useful top-10 recall
+    val ivf = VectorOps.qIvfTrainedTopk(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(ivf.head == brute.head, "trained IVF must find the exact self-match")
+    val recall = (brute.toSet & ivf.toSet).size.toDouble / brute.size
+    assert(recall >= 0.5, s"top-10 recall too low: $recall (ivf=$ivf brute=$brute)")
+  }
+
   test("racing centroid builders never leave a reader without an artifact") {
     // bench + correctness harness DO run concurrently against the same
     // artifact dir; a losing builder must never delete the winner's
