@@ -84,6 +84,7 @@ object SparkEntry {
     "q_repetition"            -> (CorpusOps.qRepetition _),
     "q_pii_redact"            -> (CorpusOps.qPiiRedact _),
     "q_split_stratified"      -> (CorpusOps.qSplitStratified _),
+    "q_pack_sequences"        -> (CorpusOps.qPackSequences _),
     "q_mix_sources"           -> (CorpusOps.qMixSources _),
     "q_contamination"         -> (CorpusOps.qContamination _),
     "q_quality_filter"        -> (CorpusOps.qQualityFilter _),
@@ -598,6 +599,23 @@ object SparkEntry {
         |SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    // greedy packing is a sequential scan with reset state — the honest
+    // SQL formulation is a recursive CTE advancing one row at a time
+    "q_pack_sequences" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |g AS (
+        |  SELECT rn, doc_id, n_tok, CAST(0 AS BIGINT) AS pack_id, n_tok AS acc
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.rn, t.doc_id, t.n_tok,
+        |    CASE WHEN g.acc + t.n_tok <= 128 THEN g.pack_id ELSE g.pack_id + 1 END,
+        |    CASE WHEN g.acc + t.n_tok <= 128 THEN g.acc + t.n_tok ELSE t.n_tok END
+        |  FROM t JOIN g ON t.rn = g.rn + 1)
+        |SELECT doc_id, pack_id, n_tok FROM g ORDER BY doc_id""".stripMargin,
     "q_contamination" ->
       """WITH t0 AS (SELECT doc_id, source,
         |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -213,4 +213,71 @@ object CorpusOps {
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
       .orderBy("lang", "split")
+
+  /** X18: training-sequence packing — whole documents greedily packed, in
+    * doc_id order, into fixed token-budget sequences (the standard
+    * pretraining batch-prep step ahead of tokenization). Docs are never
+    * split; a doc that does not fit the open pack CLOSES it and opens the
+    * next (a greedy RESET — not expressible as cumsum bucketing, which
+    * would let a pack straddle the budget), and a doc alone over the
+    * budget gets a pack of its own.
+    *
+    * The state machine is inherently sequential, so the scale shape is the
+    * same two-level decomposition as the chunker and the blocked as-of:
+    *  1. docs are range-split into order-contiguous blocks of ≲
+    *     `rowsPerBlock` rows (`repartitionByRange` — block i holds
+    *     strictly smaller doc_ids than block i+1), and the greedy machine
+    *     runs per block iterator — bounded task state, a block boundary
+    *     forces a pack break;
+    *  2. per-block pack counts (ONE row per block) prefix-sum into block
+    *     offsets, and `pack_id = offset + pack_in_block` keeps ids dense
+    *     and globally ordered. The unpartitioned window runs over the
+    *     per-block aggregate only, never the rows (PlanSpec contract).
+    * Pack layout near block boundaries is an artifact (like chunk layout);
+    * coverage, doc order, the budget cap, and id density are the contract.
+    * The single-block formulation is the oracle (`q_pack_sequences`,
+    * checked against a DuckDB recursive-CTE greedy scan). */
+  def packSequences(docs: DataFrame, budget: Long,
+      rowsPerBlock: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_tok"))
+    val n = toks.count()
+    val nBlocks = math.max(1, math.ceil(n.toDouble / rowsPerBlock).toInt)
+    val packed = s.createDataFrame(
+      toks.repartitionByRange(nBlocks, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .as[(Long, Long)]
+        .rdd.mapPartitionsWithIndex { (blk, it) =>
+          // range partition i holds strictly smaller ids than i+1, so the
+          // partition index IS the block ordinal
+          var pack = -1L
+          var room = -1L
+          it.map { case (id, tok) =>
+            if (pack >= 0L && tok <= room) room -= tok
+            else { pack += 1; room = budget - tok } // negative for oversized
+            (blk, id, pack, tok)
+          }
+        }).toDF("blk", "doc_id", "pack_in_block", "n_tok")
+    val offsets = packed.groupBy("blk")
+      .agg((max(col("pack_in_block")) + 1L).as("np"))
+      .withColumn("off", coalesce(sum(col("np")).over(
+        Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("blk", "off")
+    packed.join(broadcast(offsets), "blk")
+      .select(col("doc_id"), (col("off") + col("pack_in_block")).as("pack_id"),
+        col("n_tok"))
+  }
+
+  /** Oracle face of X18: single-block greedy packing at a 128-token
+    * budget — the corpus spans 10-99 tokens/doc, so the result mixes
+    * multi-doc packs (up to 4 docs) with docs that close a pack alone,
+    * and every branch of the greedy reset is hash-checked. */
+  def qPackSequences(s: SparkSession, sf: String): DataFrame =
+    packSequences(t(s, sf, "documents"), budget = 128,
+      rowsPerBlock = Int.MaxValue).orderBy("doc_id")
 }

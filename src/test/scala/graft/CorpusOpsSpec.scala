@@ -171,4 +171,43 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(back.count() == docs.count())
     assert(back.except(docs).count() == 0)
   }
+
+  test("sequence packing: budget cap, dense ordered ids, block equivalence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { trial =>
+      val n = rnd.nextInt(300) + 50
+      val budget = rnd.nextInt(150) + 60L
+      // token counts 5..120 with some docs alone over the budget
+      val docs = (0 until n).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(116) + 5)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      def check(df: org.apache.spark.sql.DataFrame): Unit = {
+        val rows = df.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // coverage: every doc packed exactly once, in doc order the pack
+        // id never decreases and never skips (dense ids)
+        assert(rows.map(_._1).toSeq == (0L until n).toSeq)
+        val pids = rows.map(_._2)
+        assert(pids.head == 0L)
+        pids.sliding(2).foreach { w =>
+          if (w.size == 2) assert(w(1) == w(0) || w(1) == w(0) + 1, s"trial $trial: gap")
+        }
+        // budget cap: a pack only exceeds the budget when it IS one doc
+        rows.groupBy(_._2).foreach { case (p, ds) =>
+          val tot = ds.map(_._3).sum
+          assert(tot <= budget || ds.length == 1,
+            s"trial $trial: pack $p holds ${ds.length} docs, $tot > $budget tokens")
+        }
+      }
+      val single = CorpusOps.packSequences(docs, budget, rowsPerBlock = Int.MaxValue)
+      val blocked = CorpusOps.packSequences(docs, budget,
+        rowsPerBlock = rnd.nextInt(40) + 10)
+      check(single); check(blocked)
+      // a block at least as large as the input degenerates to single-block
+      val wide = CorpusOps.packSequences(docs, budget, rowsPerBlock = n)
+      assert(wide.orderBy("doc_id").collect().toSeq ==
+        single.orderBy("doc_id").collect().toSeq)
+    }
+  }
 }
