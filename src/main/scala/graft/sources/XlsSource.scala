@@ -185,12 +185,23 @@ object XlsSource {
     val STRING = 0x0207; val LABEL = 0x0204; val RSTRING = 0x00D6
   }
 
-  private def u16(b: Array[Byte], off: Int) =
+  // every fixed-offset read is bounds-checked: record LENGTHS come from the
+  // (possibly corrupt) file itself, so a short payload must fail with a
+  // diagnosis, not a raw IndexOutOfBoundsException (XlsFuzzSpec hammers this)
+  private def truncated(what: String): Nothing =
+    sys.error(s"truncated or corrupt $what — not a valid BIFF8 workbook")
+  private def u16(b: Array[Byte], off: Int) = {
+    if (off < 0 || off + 2 > b.length) truncated("BIFF record")
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
-  private def i32of(b: Array[Byte], off: Int) = ByteBuffer.wrap(b, off, 4)
-    .order(ByteOrder.LITTLE_ENDIAN).getInt
-  private def f64of(b: Array[Byte], off: Int) = ByteBuffer.wrap(b, off, 8)
-    .order(ByteOrder.LITTLE_ENDIAN).getDouble
+  }
+  private def i32of(b: Array[Byte], off: Int) = {
+    if (off < 0 || off + 4 > b.length) truncated("BIFF record")
+    ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+  }
+  private def f64of(b: Array[Byte], off: Int) = {
+    if (off < 0 || off + 8 > b.length) truncated("BIFF record")
+    ByteBuffer.wrap(b, off, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+  }
 
   /** Iterate (id, payload, offsetOfNextRecord) from `from`; stops at the
     * substream's EOF record or the end of data. */
@@ -219,7 +230,12 @@ object XlsSource {
     private def ensure(): Unit =
       while (bi < blocks.length && off >= blocks(bi).length) { bi += 1; off = 0 }
     def atEnd: Boolean = { ensure(); bi >= blocks.length }
-    def u8(): Int = { ensure(); val v = blocks(bi)(off) & 0xFF; off += 1; v }
+    def u8(): Int = {
+      ensure()
+      // a corrupt string/entry COUNT walks the cursor off the data
+      if (bi >= blocks.length) truncated("SST/CONTINUE string data")
+      val v = blocks(bi)(off) & 0xFF; off += 1; v
+    }
     def u16v(): Int = u8() | (u8() << 8)
     def i32v(): Int = u16v() | (u16v() << 16)
     def skip(n: Int): Unit = (0 until n).foreach(_ => u8())
@@ -262,6 +278,7 @@ object XlsSource {
     * throw mid-workbook. */
   private def unicodeString16(b: Array[Byte], off: Int): String = {
     val cch = u16(b, off)
+    if (off + 3 > b.length) truncated("BIFF string record")
     val flags = b(off + 2) & 0xFF
     val avail = b.length - off - 3
     if ((flags & 1) != 0)
@@ -299,10 +316,13 @@ object XlsSource {
             customDateFmts += fmtId
         case Rec.XF => xfFmts += u16(p, 2)
         case Rec.BOUNDSHEET =>
+          if (p.length < 8) truncated("BOUNDSHEET record")
           val pos = i32of(p, 0)
           val sheetType = p(5) & 0xFF
           val cch = p(6) & 0xFF
           val wide = (p(7) & 1) != 0
+          if (p.length < 8 + (if (wide) 2 * cch else cch))
+            truncated("BOUNDSHEET record")
           val name = if (wide) new String(p, 8, 2 * cch, "UTF-16LE")
             else new String(p.slice(8, 8 + cch).map(x => (x & 0xFF).toChar))
           if (sheetType == 0) sheets += ((name, pos)) // worksheets only
@@ -344,6 +364,9 @@ object XlsSource {
     var maxRow = -1
     var maxCol = -1
     def put(row: Int, col: Int, v: String): Unit = if (v.nonEmpty) {
+      // BIFF8 caps worksheets at 256 columns; a bigger index only occurs in
+      // corrupt files and would inflate the dense result grid 256-fold
+      if (col > 255) truncated("cell record (column index)")
       cells((row, col)) = v
       maxRow = math.max(maxRow, row)
       maxCol = math.max(maxCol, col)
@@ -367,6 +390,7 @@ object XlsSource {
               numText(rkValue(i32of(p, 6 + 6 * i)), u16(p, 4 + 6 * i), g))
           }
         case Rec.BOOLERR =>
+          if (p.length < 8) truncated("BOOLERR record")
           if ((p(7) & 0xFF) == 0) // errors are skipped like blank cells
             put(u16(p, 0), u16(p, 2), if (p(6) != 0) "true" else "false")
         case Rec.LABEL | Rec.RSTRING => // RSTRING = LABEL + trailing runs
