@@ -17,7 +17,8 @@ object Bench {
     "q_ngram_jaccard_pairs", "q_salted_agg", "q_ivf_topk", "q_ivf_topk_batch",
     "q_join3_revenue",
     "q_repetition", "q_asof_join", "q_asof_join_blocked", "q_range_join_windows",
-    "q_upsert_merge", "q_quality_filter", "q_dedup_clusters")
+    "q_upsert_merge", "q_quality_filter", "q_dedup_clusters",
+    "q_bm25_topk", "q_hybrid_rrf", "q_bigram_lm")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

@@ -102,7 +102,13 @@ object SparkEntry {
     "q_salted_agg"            -> (SkewOps.qSaltedAgg _),
     "q_upsert_merge"          -> (MergeOps.qUpsertMerge _),
     "q_dedup_incremental"     -> (MergeOps.qDedupIncremental _),
-    "q_dedup_incremental_bloom" -> (MergeOps.qDedupIncrementalBloom _)
+    "q_dedup_incremental_bloom" -> (MergeOps.qDedupIncrementalBloom _),
+    // lexical retrieval + statistical text models (SURVEY §2g X19-X22)
+    "q_bm25_topk"             -> (SearchOps.qBm25Topk _),
+    "q_bm25_batch"            -> (SearchOps.qBm25Batch _),
+    "q_hybrid_rrf"            -> (SearchOps.qHybridRrf _),
+    "q_tfidf_keywords"        -> (SearchOps.qTfidfKeywords _),
+    "q_bigram_lm"             -> (SearchOps.qBigramLm _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -666,6 +672,129 @@ object SparkEntry {
          |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
          |        a.band2 = b.band2 OR a.band3 = b.band3))
          |SELECT label, id_a, id_b, sim_e6 FROM c WHERE sim_e6 >= 300000
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    // BM25: per-term micro-scores (idf·tfn collapsed to BIGINT before any
+    // sum) keep the per-doc aggregate an order-independent integer sum
+    "q_bm25_topk" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |st AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+        |  (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  WHERE term IN ('vector','join','fast') GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |  CAST(round((ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
+        |    * 1000000, 0) AS BIGINT) AS s_e6
+        |  FROM tf JOIN dfq USING (term), st)
+        |SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6,
+        |count(*) AS n_terms FROM sc GROUP BY doc_id
+        |ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 15""".stripMargin,
+    // batch BM25: the corpus-side tf/df CTEs are shared by all queries of
+    // the batch, exactly like the Spark plan
+    "q_bm25_batch" ->
+      """WITH qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
+        |  (0,'vector'),(0,'join'),(0,'fast'),
+        |  (1,'table'),(1,'scan'),
+        |  (2,'hash'),(2,'merge'),(2,'sort'),
+        |  (3,'spark'),(3,'stream'),(3,'window'),
+        |  (4,'customer'),(4,'query'),(4,'big')) AS v(query_id, term)),
+        |d AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |st AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+        |  (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |  CAST(round((ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
+        |    * 1000000, 0) AS BIGINT) AS s_e6
+        |  FROM tf JOIN dfq USING (term), st),
+        |pq AS (SELECT qt.query_id, sc.doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6
+        |  FROM sc JOIN qt USING (term) GROUP BY qt.query_id, sc.doc_id),
+        |r AS (SELECT query_id, doc_id, bm25_e6, CAST(row_number() OVER
+        |  (PARTITION BY query_id ORDER BY bm25_e6 DESC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM pq)
+        |SELECT query_id, rk, doc_id, bm25_e6 FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+         |st AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+         |  (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+         |  WHERE term IN ('vector','join','fast') GROUP BY doc_id, dl, term),
+         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |  CAST(round((ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+         |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
+         |    * 1000000, 0) AS BIGINT) AS s_e6
+         |  FROM tf JOIN dfq USING (term), st),
+         |bm AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6 FROM sc
+         |  GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 50),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER
+         |  (ORDER BY bm25_e6 DESC, doc_id ASC) AS BIGINT) AS lex_rank FROM bm),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |den0 AS (SELECT vec_id, ${e6(cosSql("embedding", "qv"))} AS score_e6
+         |  FROM embeddings, q ORDER BY score_e6 DESC, vec_id ASC LIMIT 50),
+         |den AS (SELECT vec_id, CAST(row_number() OVER
+         |  (ORDER BY score_e6 DESC, vec_id ASC) AS BIGINT) AS dense_rank FROM den0)
+         |SELECT COALESCE(lex.doc_id, den.vec_id) AS id,
+         |CAST(round((COALESCE(1.0 / (60 + lex_rank), 0.0) +
+         |            COALESCE(1.0 / (60 + dense_rank), 0.0)) * 1000000, 0) AS BIGINT)
+         |  AS rrf_e6,
+         |lex_rank, dense_rank
+         |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.vec_id
+         |ORDER BY rrf_e6 DESC, id ASC LIMIT 15""".stripMargin,
+    "q_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok
+        |  WHERE term NOT IN ('the','a','of','and','to','in','is','it')),
+        |st AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok2),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+        |  WHERE doc_id < 20 GROUP BY doc_id, term),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |  CAST(round((tf.tf * ln((st.n_docs + 1.0) / (dft.df + 1.0)))
+        |    * 1000000, 0) AS BIGINT) AS tfidf_e6
+        |  FROM tf JOIN dft USING (term), st),
+        |r AS (SELECT doc_id, term, tfidf_e6, CAST(row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY tfidf_e6 DESC, term ASC) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT doc_id, rk, term, tfidf_e6 FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    // bigrams via generate_subscripts + lead (DuckDB's row-wise formulation
+    // of Spark's zip_with(slice,slice)); per-bigram log-probs are micro-ints
+    // before the per-doc sum
+    "q_bigram_lm" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        |tp AS (SELECT doc_id, unnest(toks) AS w,
+        |  generate_subscripts(toks, 1) AS pos FROM d),
+        |bg AS (SELECT doc_id, w AS w1,
+        |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tp),
+        |bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |uni AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |c1 AS (SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY w),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM uni),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg2 GROUP BY w1, w2),
+        |lp AS (SELECT bg2.doc_id,
+        |  CAST(round(ln((cb.cb + 1.0) / (c1.c1 + vocab.v)) * 1000000, 0) AS BIGINT) AS lp_e6
+        |  FROM bg2 JOIN cb USING (w1, w2) JOIN c1 USING (w1), vocab)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6,
+        |CAST(CAST(sum(lp_e6) AS BIGINT) AS DOUBLE) / count(*) AS avg_lp_e6
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Lexical retrieval + statistical text-model operators over `documents` —
+  * the sparse-search counterpart to `VectorOps`' dense path. The reference
+  * retrieves by embedding cosine only (`chroma_retrieval_util.py:112-142`);
+  * a production corpus engine also needs keyword (BM25) retrieval, hybrid
+  * fusion of the two rankings, deterministic keyword extraction (the
+  * engine-side analog of the reference's LLM "topics"/"tags" fields,
+  * `ingestion_pipeline_langgraph.py:1044-1056`), and cheap corpus-statistics
+  * quality models (n-gram LM) for data curation.
+  *
+  * Scale shapes (100 TB):
+  *  - Corpus-wide passes are one projection (`dl`) + one scalar aggregate
+  *    (`avgdl`, broadcast) — never a second full tokenize.
+  *  - Per-query work is filtered to the query's terms BEFORE any shuffle, so
+  *    the tf aggregation is O(matching postings), not O(corpus tokens);
+  *    document frequencies for a handful of terms broadcast.
+  *  - The bigram LM trains with shuffles keyed on (w1,w2) / w1 — linear in
+  *    corpus tokens, never doc×doc; scoring re-joins on the same keys.
+  *
+  * Float determinism: every log/division score is collapsed to micro-ints
+  * (`round(x*1e6)` AS BIGINT) at the PER-TERM level, so all downstream sums
+  * are order-independent integer sums (see Tables.dsum rationale).
+  */
+object SearchOps {
+
+  /** Fixed demo query — terms chosen from the corpus vocabulary with
+    * differing document frequencies. */
+  val queryTerms: Seq[String] = Seq("vector", "join", "fast")
+  val K1 = 1.2
+  val B  = 0.75
+
+  private def e6(c: Column): Column = round(c * 1000000, 0).cast("long")
+
+  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Per-(doc, query-term) BM25 partial scores in micro-units.
+    *
+    * idf(t)   = ln((N - df + 0.5)/(df + 0.5) + 1)          [Robertson/Lucene]
+    * tfn(t,d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * One corpus pass computes dl per doc; `avgdl`/`N` reduce to a 1-row
+    * broadcast; the posting explode is filtered to `terms` before the tf
+    * aggregation, and the tiny per-term df table broadcasts back. */
+  private def bm25PerTerm(s: SparkSession, sf: String, terms: Seq[String]): DataFrame = {
+    val docs = t(s, sf, "documents")
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * (K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), e6(idf * tfn).as("s_e6"))
+  }
+
+  /** BM25 document scores: integer sum of per-term micro-scores. */
+  def bm25Scores(s: SparkSession, sf: String, terms: Seq[String]): DataFrame =
+    bm25PerTerm(s, sf, terms)
+      .groupBy("doc_id")
+      .agg(sum(col("s_e6")).as("bm25_e6"), count(lit(1)).as("n_terms"))
+
+  /** X19: BM25 lexical top-k — the sparse side of hybrid retrieval.
+    * orderBy+limit lowers to TakeOrderedAndProject (per-partition heaps). */
+  def qBm25Topk(s: SparkSession, sf: String): DataFrame =
+    bm25Scores(s, sf, queryTerms)
+      .orderBy(col("bm25_e6").desc, col("doc_id").asc)
+      .limit(15)
+
+  /** Fixed batch of queries for `qBm25Batch` in exploded (query_id, term)
+    * form — the shape a retrieval-eval harness feeds in. */
+  val batchQueries: Seq[(Long, String)] = Seq(
+    0L -> "vector", 0L -> "join", 0L -> "fast",
+    1L -> "table", 1L -> "scan",
+    2L -> "hash", 2L -> "merge", 2L -> "sort",
+    3L -> "spark", 3L -> "stream", 3L -> "window",
+    4L -> "customer", 4L -> "query", 4L -> "big")
+
+  /** X19b: batch BM25 — one distributed plan scores EVERY query of a batch
+    * (the retrieval-eval shape; symmetric with `VectorOps.qIvfTopkBatch`).
+    * The corpus side is computed once for the whole batch: postings filter
+    * against the batch's distinct terms (broadcast), tf/df aggregate once
+    * per (doc, term) / term, and only then fan out to (query_id, doc)
+    * partial scores — so adding queries grows the tiny broadcast side, not
+    * the corpus work. Per-query top-k is a window keyed on query_id. */
+  def qBm25Batch(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val queries = batchQueries.toDF("query_id", "term")
+    val terms   = queries.select("term").distinct()
+    val docs = t(s, sf, "documents")
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * (K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    val perTerm = tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), e6(idf * tfn).as("s_e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25_e6").desc, col("doc_id").asc)
+    perTerm.join(broadcast(queries), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s_e6")).as("bm25_e6"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("bm25_e6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** X20: hybrid retrieval — reciprocal-rank fusion (K=60) of the BM25
+    * ranking with the dense cosine ranking (query vector = `vec_id = 0`,
+    * matching `VectorOps.qCosineTopk`). Each side is first cut to its own
+    * top-50 (TakeOrderedAndProject — the only corpus-sized work), so the
+    * fusion join touches ≤100 rows regardless of corpus size. A doc absent
+    * from one list contributes 0 from that side (full-outer + coalesce). */
+  def qHybridRrf(s: SparkSession, sf: String): DataFrame = {
+    val rrfK = 60
+    val n    = 50
+    val lex50 = bm25Scores(s, sf, queryTerms)
+      .orderBy(col("bm25_e6").desc, col("doc_id").asc)
+      .limit(n)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25_e6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = t(s, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dense50 = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), e6(cosineFast(col("embedding"), col("qv"))).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("vec_id").asc)
+      .limit(n)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("score_e6").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id"), col("dense_rank"))
+    val fused = lex50.join(dense50, lex50("doc_id") === dense50("vec_id"), "full_outer")
+      .select(
+        coalesce(lex50("doc_id"), dense50("vec_id")).as("id"),
+        col("lex_rank"), col("dense_rank"))
+    fused
+      .withColumn("rrf_e6",
+        e6(coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0))))
+      .select(col("id"), col("rrf_e6"), col("lex_rank"), col("dense_rank"))
+      .orderBy(col("rrf_e6").desc, col("id").asc)
+      .limit(15)
+  }
+
+  /** X21: TF-IDF keyword extraction — per-document top-3 terms by
+    * tf·ln((N+1)/(df+1)), stopwords excluded; the deterministic analog of
+    * the reference's LLM-generated per-table `tags`/`key_topics`
+    * (`ingestion_pipeline_langgraph.py:1044-1056`). Document frequencies are
+    * corpus-wide (one explode→agg keyed on term, vocab-bounded); the scored
+    * subset (here doc_id < 20 to bound driver output) filters BEFORE its tf
+    * aggregation; per-doc top-3 is a window over each doc's own terms. */
+  def qTfidfKeywords(s: SparkSession, sf: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val tokens = t(s, sf, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(!col("term").isin(stop: _*))
+    val stats = tokens.agg(countDistinct("doc_id").as("n_docs"))
+    val dfT = tokens.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val tf = tokens.filter(col("doc_id") < 20)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = log((col("n_docs") + 1.0) / (col("df") + 1.0))
+    val scored = tf.join(dfT, "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), e6(col("tf") * idf).as("tfidf_e6"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_e6").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf_e6"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** X22: bigram-LM corpus quality score — add-one-smoothed average token
+    * log-likelihood, ln((c(w1,w2)+1)/(c(w1)+V)), the cheap statistical
+    * quality model (KenLM-style perplexity proxy) used to rank documents
+    * for curation. Training = two count aggregations keyed on (w1,w2) / w1
+    * (linear in corpus tokens); scoring re-joins each doc's bigrams on the
+    * same keys; per-bigram log-probs collapse to micro-ints before the
+    * per-doc integer sum, so results are reduction-order independent. */
+  def qBigramLm(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = docs.select(
+      col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val unigrams = t(s, sf, "documents")
+      .select(explode(toks(col("text"))).as("w"))
+    val c1 = unigrams.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = unigrams.agg(countDistinct("w").as("v"))
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val lp = log((col("cb") + 1.0) / (col("c1") + col("v")))
+    bigrams
+      .join(cb, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), e6(lp).as("lp_e6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_e6")).as("sum_lp_e6"))
+      .withColumn("avg_lp_e6",
+        col("sum_lp_e6").cast("double") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+}
