@@ -105,6 +105,7 @@ object SparkEntry {
     "q_dedup_incremental_bloom" -> (MergeOps.qDedupIncrementalBloom _),
     // lexical retrieval + statistical text models (SURVEY §2g X19-X22)
     "q_bm25_topk"             -> (SearchOps.qBm25Topk _),
+    "q_bm25_index_topk"       -> (SearchOps.qBm25IndexTopk _),
     "q_bm25_batch"            -> (SearchOps.qBm25Batch _),
     "q_hybrid_rrf"            -> (SearchOps.qHybridRrf _),
     "q_tfidf_keywords"        -> (SearchOps.qTfidfKeywords _),
@@ -138,6 +139,28 @@ object SparkEntry {
   }
 
   private def e6(expr: String): String = s"CAST(round($expr * 1000000, 0) AS BIGINT)"
+
+  /** Shared by `q_bm25_topk` and `q_bm25_index_topk`: the indexed variant
+    * probes the persisted inverted index but computes the same counts and
+    * the same arithmetic, so both hash-match this one SQL. */
+  private val bm25OracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+      |st AS (SELECT count(*) AS n_docs,
+      |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+      |  (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+      |  WHERE term IN ('vector','join','fast') GROUP BY doc_id, dl, term),
+      |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id,
+      |  CAST(round((ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+      |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
+      |    * 1000000, 0) AS BIGINT) AS s_e6
+      |  FROM tf JOIN dfq USING (term), st)
+      |SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6,
+      |count(*) AS n_terms FROM sc GROUP BY doc_id
+      |ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 15""".stripMargin
 
   /** DuckDB mirror of `VectorOps.cmpBandKeys` — identical bit layout (bit i
     * = `embedding[2i+1] >= embedding[2i+2]`, 1-indexed; bands of bits/bands
@@ -674,25 +697,11 @@ object SparkEntry {
          |SELECT label, id_a, id_b, sim_e6 FROM c WHERE sim_e6 >= 300000
          |ORDER BY id_a, id_b""".stripMargin,
     // BM25: per-term micro-scores (idf·tfn collapsed to BIGINT before any
-    // sum) keep the per-doc aggregate an order-independent integer sum
-    "q_bm25_topk" ->
-      """WITH d AS (SELECT doc_id,
-        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
-        |st AS (SELECT count(*) AS n_docs,
-        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
-        |  (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
-        |  WHERE term IN ('vector','join','fast') GROUP BY doc_id, dl, term),
-        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-        |sc AS (SELECT tf.doc_id,
-        |  CAST(round((ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
-        |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
-        |    * 1000000, 0) AS BIGINT) AS s_e6
-        |  FROM tf JOIN dfq USING (term), st)
-        |SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6,
-        |count(*) AS n_terms FROM sc GROUP BY doc_id
-        |ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 15""".stripMargin,
+    // sum) keep the per-doc aggregate an order-independent integer sum.
+    // The indexed variant probes the persisted inverted index but computes
+    // the same counts and arithmetic — it shares this oracle verbatim.
+    "q_bm25_index_topk" -> bm25OracleSql,
+    "q_bm25_topk" -> bm25OracleSql,
     // batch BM25: the corpus-side tf/df CTEs are shared by all queries of
     // the batch, exactly like the Spark plan
     "q_bm25_batch" ->

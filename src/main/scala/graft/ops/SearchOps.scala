@@ -81,6 +81,104 @@ object SearchOps {
       .orderBy(col("bm25_e6").desc, col("doc_id").asc)
       .limit(15)
 
+  /** The ad-hoc BM25 path above tokenizes the corpus once per branch (tf,
+    * df) — fine for a one-shot query, but a standing search workload builds
+    * an INVERTED INDEX once and probes it. `ensureLexIndex` persists that
+    * index as a write-once artifact (same race-safe lifecycle as the IVF
+    * artifacts, VectorOps.ensureTrainedIvf):
+    *   postings/ (term, doc_id, dl, tf) range-partitioned AND sorted by
+    *             term, so a probe's `term IN (...)` predicate pushes into
+    *             the parquet scan and row-group min/max skip everything else
+    *   terms/    (term, df, ctf) — per-term document/collection frequency
+    *   stats/    (n_docs, avgdl) — one row
+    * The corpus is tokenized exactly ONCE per build; `terms`/`stats` derive
+    * from reading back the just-written postings (an index-sized scan, not
+    * a corpus scan). Probing touches only the query's posting lists. */
+  def buildLexIndex(s: SparkSession, sf: String, outDir: String): Unit = {
+    val zstd = (df: DataFrame, p: String) =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(p)
+    val postings = t(s, sf, "documents")
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    zstd(postings.repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id"), s"$outDir/postings")
+    val back = s.read.parquet(s"$outDir/postings")
+    zstd(back.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"), sum("tf").as("ctf")),
+      s"$outDir/terms")
+    zstd(back.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")),
+      s"$outDir/stats")
+  }
+
+  /** Build-if-absent for the inverted-index artifact: fingerprint-named
+    * write-once dirs, `_GRAFT_OK` gating, racing-builder-safe install —
+    * the lifecycle proven out on the IVF artifacts. */
+  def ensureLexIndex(s: SparkSession, sf: String): String = {
+    val base = new java.io.File("target/lex_index")
+    val src = new java.io.File(s"$sf/documents.parquet")
+    val fpTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.length}:${src.lastModified}:v1".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    val dir = new java.io.File(base,
+      "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fpTag)
+    def committed = new java.io.File(dir, "_GRAFT_OK").exists()
+    if (!committed) {
+      val tmp = new java.io.File(base,
+        s"${dir.getName}.tmp.${java.util.UUID.randomUUID}")
+      buildLexIndex(s, sf, tmp.toString)
+      new java.io.File(tmp, "_GRAFT_OK").createNewFile()
+      if (committed) VectorOps.deleteRecursively(tmp) // racing builder committed
+      else {
+        VectorOps.deleteRecursively(dir) // uncommitted leftovers only
+        try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // a concurrent builder won the rename
+          case _: java.nio.file.FileSystemException => VectorOps.deleteRecursively(tmp)
+        }
+      }
+      if (!committed)
+        sys.error(s"lex index artifact at $dir could not be installed")
+    }
+    dir.toString
+  }
+
+  /** BM25 scores over the persisted inverted index: the probe reads ONLY
+    * the query terms' posting lists (`term IN (...)` pushes into the sorted
+    * parquet scan), joins the tiny per-term df rows and 1-row stats by
+    * broadcast, and sums integer micro-scores — zero corpus-sized work at
+    * query time. Bit-identical to `bm25Scores` (same counts, same
+    * arithmetic), which is what lets `q_bm25_index_topk` share
+    * `q_bm25_topk`'s oracle. */
+  def bm25IndexScores(s: SparkSession, sf: String, terms: Seq[String]): DataFrame = {
+    val dir = ensureLexIndex(s, sf)
+    val postings = s.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*))
+    val dfq = s.read.parquet(s"$dir/terms")
+      .filter(col("term").isin(terms: _*)).select("term", "df")
+    val stats = s.read.parquet(s"$dir/stats")
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * (K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    postings.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), e6(idf * tfn).as("s_e6"))
+      .groupBy("doc_id")
+      .agg(sum(col("s_e6")).as("bm25_e6"), count(lit(1)).as("n_terms"))
+  }
+
+  /** X19c: BM25 top-k over the persisted inverted index — the standing-
+    * workload face of `qBm25Topk`, same results by construction. */
+  def qBm25IndexTopk(s: SparkSession, sf: String): DataFrame =
+    bm25IndexScores(s, sf, queryTerms)
+      .orderBy(col("bm25_e6").desc, col("doc_id").asc)
+      .limit(15)
+
   /** Fixed batch of queries for `qBm25Batch` in exploded (query_id, term)
     * form — the shape a retrieval-eval harness feeds in. */
   val batchQueries: Seq[(Long, String)] = Seq(

@@ -112,6 +112,33 @@ class SearchOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bm25 index: probe reproduces the direct-path top-15 exactly") {
+    val direct = SearchOps.qBm25Topk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val indexed = SearchOps.qBm25IndexTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(indexed == direct,
+      "index build must preserve every tf/df/dl/avgdl count bit-for-bit")
+  }
+
+  test("bm25 index: second ensure call reuses the committed artifact") {
+    val d1 = SearchOps.ensureLexIndex(spark, sf)
+    val marker = new java.io.File(d1, "_GRAFT_OK")
+    assert(marker.exists())
+    val stamp = marker.lastModified()
+    val d2 = SearchOps.ensureLexIndex(spark, sf)
+    assert(d2 == d1 && marker.lastModified() == stamp, "no rebuild on reuse")
+  }
+
+  test("bm25 index plan: the term predicate pushes into the postings scan") {
+    val dir = SearchOps.ensureLexIndex(spark, sf)
+    val probe = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(SearchOps.queryTerms: _*))
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [In(term"),
+      s"postings probe must push the IN(term) filter, got:\n$scan")
+  }
+
   test("bm25 plan: per-term df and corpus stats broadcast; no corpus-sized shuffle on the probe side") {
     val plan = SearchOps.qBm25Topk(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), "df/stats tables must broadcast")
