@@ -107,6 +107,8 @@ object SparkEntry {
     "q_bm25_topk"             -> (SearchOps.qBm25Topk _),
     "q_bm25_index_topk"       -> (SearchOps.qBm25IndexTopk _),
     "q_bm25_batch"            -> (SearchOps.qBm25Batch _),
+    "q_phrase_match"          -> (SearchOps.qPhraseMatch _),
+    "q_phrase_match_index"    -> (SearchOps.qPhraseMatchIndex _),
     "q_hybrid_rrf"            -> (SearchOps.qHybridRrf _),
     "q_tfidf_keywords"        -> (SearchOps.qTfidfKeywords _),
     "q_bigram_lm"             -> (SearchOps.qBigramLm _)
@@ -161,6 +163,16 @@ object SparkEntry {
       |SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6,
       |count(*) AS n_terms FROM sc GROUP BY doc_id
       |ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 15""".stripMargin
+
+  /** Shared by `q_phrase_match` and `q_phrase_match_index`: both Spark
+    * variants intersect positional posting lists; the oracle instead checks
+    * token-boundary-safe substring containment of the normalized token
+    * stream — an independent formulation of "contains the phrase". */
+  private val phraseOracleSql: String =
+    """SELECT source, count(*) AS n_docs FROM documents
+      |WHERE ' ' || array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') || ' '
+      |  LIKE '% hash join %'
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** DuckDB mirror of `VectorOps.cmpBandKeys` — identical bit layout (bit i
     * = `embedding[2i+1] >= embedding[2i+2]`, 1-indexed; bands of bits/bands
@@ -702,6 +714,11 @@ object SparkEntry {
     // the same counts and arithmetic — it shares this oracle verbatim.
     "q_bm25_index_topk" -> bm25OracleSql,
     "q_bm25_topk" -> bm25OracleSql,
+    // phrase match: the oracle is an INDEPENDENT formulation (token-
+    // boundary-safe substring containment), shared by the positional-chain
+    // and positional-index variants
+    "q_phrase_match" -> phraseOracleSql,
+    "q_phrase_match_index" -> phraseOracleSql,
     // batch BM25: the corpus-side tf/df CTEs are shared by all queries of
     // the batch, exactly like the Spark plan
     "q_bm25_batch" ->

@@ -86,25 +86,36 @@ object SearchOps {
     * an INVERTED INDEX once and probes it. `ensureLexIndex` persists that
     * index as a write-once artifact (same race-safe lifecycle as the IVF
     * artifacts, VectorOps.ensureTrainedIvf):
-    *   postings/ (term, doc_id, dl, tf) range-partitioned AND sorted by
-    *             term, so a probe's `term IN (...)` predicate pushes into
-    *             the parquet scan and row-group min/max skip everything else
+    *   postings_pos/ (term, doc_id, dl, positions) — positional postings,
+    *             range-partitioned AND sorted by term, so a probe's
+    *             `term IN (...)` predicate pushes into the parquet scan and
+    *             row-group min/max skip everything else
+    *   postings/ (term, doc_id, dl, tf) — frequency postings (tf = length
+    *             of the position list), same layout
     *   terms/    (term, df, ctf) — per-term document/collection frequency
     *   stats/    (n_docs, avgdl) — one row
-    * The corpus is tokenized exactly ONCE per build; `terms`/`stats` derive
-    * from reading back the just-written postings (an index-sized scan, not
-    * a corpus scan). Probing touches only the query's posting lists. */
+    * The corpus is tokenized exactly ONCE per build; `postings`/`terms`/
+    * `stats` all derive from reading back the just-written positional
+    * postings (index-sized scans, not corpus scans). Probing touches only
+    * the query's posting lists. */
   def buildLexIndex(s: SparkSession, sf: String, outDir: String): Unit = {
     val zstd = (df: DataFrame, p: String) =>
       df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("compression", "zstd").parquet(p)
-    val postings = t(s, sf, "documents")
+    val postingsPos = t(s, sf, "documents")
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
-    zstd(postings.repartitionByRange(col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    zstd(postingsPos.repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id"), s"$outDir/postings_pos")
+    val backPos = s.read.parquet(s"$outDir/postings_pos")
+    zstd(backPos
+      .select(col("term"), col("doc_id"), col("dl"),
+        size(col("positions")).cast("long").as("tf"))
+      .repartitionByRange(col("term"))
       .sortWithinPartitions("term", "doc_id"), s"$outDir/postings")
     val back = s.read.parquet(s"$outDir/postings")
     zstd(back.groupBy("term")
@@ -123,7 +134,7 @@ object SearchOps {
     val base = new java.io.File("target/lex_index")
     val src = new java.io.File(s"$sf/documents.parquet")
     val fpTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.length}:${src.lastModified}:v1".getBytes("UTF-8"))
+      .digest(s"${src.length}:${src.lastModified}:v2".getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
     val dir = new java.io.File(base,
       "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fpTag)
@@ -226,6 +237,61 @@ object SearchOps {
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("rk"), col("doc_id"), col("bm25_e6"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Demo phrase for the phrase-match queries (both words corpus-frequent;
+    * adjacency is what's being tested). */
+  val phrase: Seq[String] = Seq("hash", "join")
+
+  /** X23: positional phrase match, direct path — the positional-index
+    * intersection shape: each phrase term's (doc, pos) list is filtered out
+    * of the token stream BEFORE any shuffle, then chained with equi-joins
+    * on (doc_id, pos + offset). Work is O(position lists of the phrase's
+    * terms), never O(corpus tokens), and every join is an equi-join (no
+    * range/nested-loop fallback). Output: per-source count of docs
+    * containing the phrase. */
+  def phraseMatchDocs(s: SparkSession, sf: String, ph: Seq[String]): DataFrame = {
+    val pos = t(s, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(toks(col("text"))).as(Seq("pos", "term")))
+    val first = pos.filter(col("term") === ph.head)
+      .select(col("doc_id"), col("source"), col("pos"))
+    ph.zipWithIndex.tail.foldLeft(first) { case (acc, (term, i)) =>
+      val next = pos.filter(col("term") === term)
+        .select(col("doc_id").as("d2"), (col("pos") - i).as("p2"))
+      acc.join(next, acc("doc_id") === col("d2") && acc("pos") === col("p2"))
+        .select(acc("doc_id"), acc("source"), acc("pos"))
+    }.select("doc_id", "source").distinct()
+  }
+
+  def qPhraseMatch(s: SparkSession, sf: String): DataFrame =
+    phraseMatchDocs(s, sf, phrase)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  /** X23b: phrase match over the persisted positional index — reads ONLY
+    * the phrase terms' position lists (`term IN` pushed into the sorted
+    * postings_pos scan), then chains candidate start positions with array
+    * intersection per doc: ps := {p ∈ ps | p + i ∈ positions(term_i)}.
+    * Zero corpus-sized work at query time; doc→source attribution is one
+    * equi-join against the documents table, keyed on doc_id. Shares
+    * `q_phrase_match`'s oracle (an independent LIKE formulation). */
+  def qPhraseMatchIndex(s: SparkSession, sf: String): DataFrame = {
+    val dir = ensureLexIndex(s, sf)
+    val pp = s.read.parquet(s"$dir/postings_pos")
+    def listsOf(term: String, as: String) =
+      pp.filter(col("term") === term).select(col("doc_id"), col("positions").as(as))
+    val seed = listsOf(phrase.head, "ps")
+    val matched = phrase.zipWithIndex.tail.foldLeft(seed) { case (acc, (term, i)) =>
+      acc.join(listsOf(term, s"p$i"), "doc_id")
+        .withColumn("ps", expr(s"filter(ps, p -> array_contains(p$i, p + $i))"))
+        .filter(size(col("ps")) > 0)
+        .select(col("doc_id"), col("ps"))
+    }
+    matched.select("doc_id")
+      .join(t(s, sf, "documents").select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source")
   }
 
   /** X20: hybrid retrieval — reciprocal-rank fusion (K=60) of the BM25

@@ -139,6 +139,27 @@ class SearchOpsSpec extends SparkTestBase {
       s"postings probe must push the IN(term) filter, got:\n$scan")
   }
 
+  test("phrase match: adjacency required, order respected, repeats not double-counted") {
+    val dir = writeDocs(Seq(
+      (1L, "a hash join b", "en", "s0", 1L),          // match
+      (2L, "a join hash b", "en", "s0", 1L),          // reversed — no
+      (3L, "hash x join", "en", "s0", 1L),            // gap — no
+      (4L, "hash join hash join", "en", "s1", 1L),    // twice — count once
+      (5L, "hash", "en", "s1", 1L)))                  // prefix only — no
+    val out = SearchOps.qPhraseMatch(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    assert(out == Map("s0" -> 1L, "s1" -> 1L))
+  }
+
+  test("phrase match: index probe reproduces the direct path exactly") {
+    val direct = SearchOps.qPhraseMatch(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val indexed = SearchOps.qPhraseMatchIndex(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(direct.nonEmpty, "testdata must contain the demo phrase")
+    assert(indexed == direct)
+  }
+
   test("bm25 plan: per-term df and corpus stats broadcast; no corpus-sized shuffle on the probe side") {
     val plan = SearchOps.qBm25Topk(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), "df/stats tables must broadcast")
