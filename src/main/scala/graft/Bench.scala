@@ -18,7 +18,8 @@ object Bench {
     "q_join3_revenue",
     "q_repetition", "q_asof_join", "q_asof_join_blocked", "q_range_join_windows",
     "q_upsert_merge", "q_quality_filter", "q_dedup_clusters",
-    "q_bm25_topk", "q_bm25_index_topk", "q_hybrid_rrf", "q_bigram_lm")
+    "q_bm25_topk", "q_bm25_index_topk", "q_hybrid_rrf", "q_bigram_lm",
+    "q_phrase_match", "q_phrase_match_index")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a
