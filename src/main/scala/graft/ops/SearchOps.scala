@@ -15,11 +15,12 @@ import Tables._
   * quality models (n-gram LM) for data curation.
   *
   * Scale shapes (100 TB):
-  *  - Corpus-wide passes are one projection (`dl`) + one scalar aggregate
-  *    (`avgdl`, broadcast) — never a second full tokenize.
   *  - Per-query work is filtered to the query's terms BEFORE any shuffle, so
   *    the tf aggregation is O(matching postings), not O(corpus tokens);
-  *    document frequencies for a handful of terms broadcast.
+  *    document frequencies for a handful of terms broadcast. (The ad-hoc
+  *    paths still tokenize the corpus once per stat branch — Catalyst
+  *    recomputes lineage across join branches — which is exactly what the
+  *    persisted inverted index eliminates for standing workloads.)
   *  - The bigram LM trains with shuffles keyed on (w1,w2) / w1 — linear in
   *    corpus tokens, never doc×doc; scoring re-joins on the same keys.
   *
