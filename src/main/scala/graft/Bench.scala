@@ -18,8 +18,10 @@ object Bench {
     "q_join3_revenue",
     "q_repetition", "q_asof_join", "q_asof_join_blocked", "q_range_join_windows",
     "q_upsert_merge", "q_quality_filter", "q_dedup_clusters",
-    "q_bm25_topk", "q_bm25_index_topk", "q_hybrid_rrf", "q_bigram_lm",
-    "q_phrase_match", "q_phrase_match_index")
+    "q_bm25_topk", "q_bm25_index_topk", "q_bm25_batch",
+    "q_hybrid_rrf", "q_hybrid_rrf_index", "q_bigram_lm",
+    "q_phrase_match", "q_phrase_match_index", "q_phrase_match3",
+    "q_tfidf_keywords", "q_pack_sequences", "q_ivf_trained_topk")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a
@@ -83,6 +85,17 @@ object Bench {
           None
       }
     }
+    // build the persisted index artifacts for the BENCHED sfDir explicitly
+    // before any timed pass: the sf0.001 warmup above built artifacts for a
+    // DIFFERENT fingerprint key, and with SPARK_GRAFT_BENCH_RUNS=1 a cold
+    // artifact would fold its one-time build into the first probe timing —
+    // probe queries must measure probes on any run, not index construction
+    try graft.ops.SearchOps.ensureLexIndex(spark, sfDir): Unit
+    catch { case _: Throwable => () }
+    try graft.ops.VectorOps.ensureCentroids(spark, sfDir): Unit
+    catch { case _: Throwable => () }
+    try graft.ops.VectorOps.ensureTrainedIvf(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     // untimed warmup pass at the TARGET sf: first-touch page cache, JIT at
     // the real data shapes — doubles as the round-robin's pass 0
     headline.foreach { name =>
@@ -118,8 +131,15 @@ object Bench {
         .mkString("{", ",", "}")},""" +
       s""""runs_per_query":$runsPerQuery,"mult":$mult,"sf":"$sfDir"}"""
     // stop FIRST: executor/shutdown log lines must never trail the JSON
-    // line, it has to be the last thing on stdout
+    // lines, they have to be the last things on stdout
     spark.stop()
     println(json)
+    // compact totals line LAST: the full per-query line above outgrew the
+    // driver's tail-capture window at 33+ queries, truncating the totals —
+    // a short trailing summary line always survives a tail capture
+    val nOk = results.count(_._2 >= 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${headline.size},"n_ok":$nOk,""" +
+      s""""runs_per_query":$runsPerQuery,"mult":$mult,"sf":"$sfDir"}""")
   }
 }

@@ -109,7 +109,10 @@ object SparkEntry {
     "q_bm25_batch"            -> (SearchOps.qBm25Batch _),
     "q_phrase_match"          -> (SearchOps.qPhraseMatch _),
     "q_phrase_match_index"    -> (SearchOps.qPhraseMatchIndex _),
+    "q_phrase_match3"         -> (SearchOps.qPhraseMatch3 _),
+    "q_phrase_match3_index"   -> (SearchOps.qPhraseMatch3Index _),
     "q_hybrid_rrf"            -> (SearchOps.qHybridRrf _),
+    "q_hybrid_rrf_index"      -> (SearchOps.qHybridRrfIndex _),
     "q_tfidf_keywords"        -> (SearchOps.qTfidfKeywords _),
     "q_bigram_lm"             -> (SearchOps.qBigramLm _)
   )
@@ -164,15 +167,51 @@ object SparkEntry {
       |count(*) AS n_terms FROM sc GROUP BY doc_id
       |ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 15""".stripMargin
 
-  /** Shared by `q_phrase_match` and `q_phrase_match_index`: both Spark
-    * variants intersect positional posting lists; the oracle instead checks
-    * token-boundary-safe substring containment of the normalized token
-    * stream — an independent formulation of "contains the phrase". */
-  private val phraseOracleSql: String =
-    """SELECT source, count(*) AS n_docs FROM documents
-      |WHERE ' ' || array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') || ' '
-      |  LIKE '% hash join %'
-      |GROUP BY source ORDER BY source""".stripMargin
+  /** Shared by `q_hybrid_rrf` and `q_hybrid_rrf_index`: the indexed
+    * variant's lexical ranking probes the persisted inverted index, but
+    * `bm25IndexScores` is bit-identical to `bm25Scores`, so the fused
+    * result hashes against this one SQL for both. */
+  private lazy val hybridRrfOracleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+       |st AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+       |  (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+       |  WHERE term IN ('vector','join','fast') GROUP BY doc_id, dl, term),
+       |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |  CAST(round((ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+       |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
+       |    * 1000000, 0) AS BIGINT) AS s_e6
+       |  FROM tf JOIN dfq USING (term), st),
+       |bm AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6 FROM sc
+       |  GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 50),
+       |lex AS (SELECT doc_id, CAST(row_number() OVER
+       |  (ORDER BY bm25_e6 DESC, doc_id ASC) AS BIGINT) AS lex_rank FROM bm),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |den0 AS (SELECT vec_id, ${e6(cosSql("embedding", "qv"))} AS score_e6
+       |  FROM embeddings, q ORDER BY score_e6 DESC, vec_id ASC LIMIT 50),
+       |den AS (SELECT vec_id, CAST(row_number() OVER
+       |  (ORDER BY score_e6 DESC, vec_id ASC) AS BIGINT) AS dense_rank FROM den0)
+       |SELECT COALESCE(lex.doc_id, den.vec_id) AS id,
+       |CAST(round((COALESCE(1.0 / (60 + lex_rank), 0.0) +
+       |            COALESCE(1.0 / (60 + dense_rank), 0.0)) * 1000000, 0) AS BIGINT)
+       |  AS rrf_e6,
+       |lex_rank, dense_rank
+       |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.vec_id
+       |ORDER BY rrf_e6 DESC, id ASC LIMIT 15""".stripMargin
+
+  /** Shared by the direct and index variants of each phrase query: the
+    * Spark sides intersect positional posting lists; the oracle instead
+    * checks token-boundary-safe substring containment of the normalized
+    * token stream — an independent formulation of "contains the phrase". */
+  private def phraseOracleSql(phraseText: String): String =
+    s"""SELECT source, count(*) AS n_docs FROM documents
+       |WHERE ' ' || array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ') || ' '
+       |  LIKE '% $phraseText %'
+       |GROUP BY source ORDER BY source""".stripMargin
 
   /** DuckDB mirror of `VectorOps.cmpBandKeys` — identical bit layout (bit i
     * = `embedding[2i+1] >= embedding[2i+2]`, 1-indexed; bands of bits/bands
@@ -716,9 +755,12 @@ object SparkEntry {
     "q_bm25_topk" -> bm25OracleSql,
     // phrase match: the oracle is an INDEPENDENT formulation (token-
     // boundary-safe substring containment), shared by the positional-chain
-    // and positional-index variants
-    "q_phrase_match" -> phraseOracleSql,
-    "q_phrase_match_index" -> phraseOracleSql,
+    // and positional-index variants; the 3-term rows exercise the
+    // multi-hop fold (one more chained join / array-intersection hop)
+    "q_phrase_match" -> phraseOracleSql("hash join"),
+    "q_phrase_match_index" -> phraseOracleSql("hash join"),
+    "q_phrase_match3" -> phraseOracleSql("hash join fast"),
+    "q_phrase_match3_index" -> phraseOracleSql("hash join fast"),
     // batch BM25: the corpus-side tf/df CTEs are shared by all queries of
     // the batch, exactly like the Spark plan
     "q_bm25_batch" ->
@@ -749,37 +791,11 @@ object SparkEntry {
         |  FROM pq)
         |SELECT query_id, rk, doc_id, bm25_e6 FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
-    "q_hybrid_rrf" ->
-      s"""WITH d AS (SELECT doc_id,
-         |  string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
-         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
-         |st AS (SELECT count(*) AS n_docs,
-         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
-         |  (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
-         |  WHERE term IN ('vector','join','fast') GROUP BY doc_id, dl, term),
-         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT tf.doc_id,
-         |  CAST(round((ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
-         |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
-         |    * 1000000, 0) AS BIGINT) AS s_e6
-         |  FROM tf JOIN dfq USING (term), st),
-         |bm AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6 FROM sc
-         |  GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 50),
-         |lex AS (SELECT doc_id, CAST(row_number() OVER
-         |  (ORDER BY bm25_e6 DESC, doc_id ASC) AS BIGINT) AS lex_rank FROM bm),
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |den0 AS (SELECT vec_id, ${e6(cosSql("embedding", "qv"))} AS score_e6
-         |  FROM embeddings, q ORDER BY score_e6 DESC, vec_id ASC LIMIT 50),
-         |den AS (SELECT vec_id, CAST(row_number() OVER
-         |  (ORDER BY score_e6 DESC, vec_id ASC) AS BIGINT) AS dense_rank FROM den0)
-         |SELECT COALESCE(lex.doc_id, den.vec_id) AS id,
-         |CAST(round((COALESCE(1.0 / (60 + lex_rank), 0.0) +
-         |            COALESCE(1.0 / (60 + dense_rank), 0.0)) * 1000000, 0) AS BIGINT)
-         |  AS rrf_e6,
-         |lex_rank, dense_rank
-         |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.vec_id
-         |ORDER BY rrf_e6 DESC, id ASC LIMIT 15""".stripMargin,
+    // hybrid RRF: the indexed variant's lexical side probes the persisted
+    // inverted index but bm25IndexScores is bit-identical to bm25Scores,
+    // so both variants share this one SQL
+    "q_hybrid_rrf" -> hybridRrfOracleSql,
+    "q_hybrid_rrf_index" -> hybridRrfOracleSql,
     "q_tfidf_keywords" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
         |  FROM documents),

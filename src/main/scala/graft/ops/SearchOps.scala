@@ -86,7 +86,7 @@ object SearchOps {
     * df) — fine for a one-shot query, but a standing search workload builds
     * an INVERTED INDEX once and probes it. `ensureLexIndex` persists that
     * index as a write-once artifact (same race-safe lifecycle as the IVF
-    * artifacts, VectorOps.ensureTrainedIvf):
+    * artifacts, now shared via `ArtifactStore`):
     *   postings_pos/ (term, doc_id, dl, positions) — positional postings,
     *             range-partitioned AND sorted by term, so a probe's
     *             `term IN (...)` predicate pushes into the parquet scan and
@@ -94,24 +94,48 @@ object SearchOps {
     *   postings/ (term, doc_id, dl, tf) — frequency postings (tf = length
     *             of the position list), same layout
     *   terms/    (term, df, ctf) — per-term document/collection frequency
-    *   stats/    (n_docs, avgdl) — one row
-    * The corpus is tokenized exactly ONCE per build; `postings`/`terms`/
-    * `stats` all derive from reading back the just-written positional
-    * postings (index-sized scans, not corpus scans). Probing touches only
-    * the query's posting lists. */
-  def buildLexIndex(s: SparkSession, sf: String, outDir: String): Unit = {
-    val zstd = (df: DataFrame, p: String) =>
-      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("compression", "zstd").parquet(p)
-    val postingsPos = t(s, sf, "documents")
+    *   stats/    (n_docs, avgdl, sum_dl) — one row
+    * The corpus is tokenized exactly ONCE per build; `postings`/`terms`
+    * derive from reading back the just-written positional postings
+    * (index-sized scans, not corpus scans). `stats` comes from the
+    * tokenized DOCUMENTS frame, not the postings read-back: posexplode of a
+    * NULL text emits no postings, so a postings-derived n_docs would drop
+    * null-text documents that the ad-hoc path's count(lit(1)) counts — the
+    * docs-side aggregate keeps indexed scores bit-identical to
+    * `bm25Scores` on any corpus. `sum_dl` (exact integer) is carried so
+    * segment merges can recombine avgdl exactly (weighted means drift). */
+  def buildLexIndex(s: SparkSession, sf: String, outDir: String): Unit =
+    buildLexIndexFrom(t(s, sf, "documents"), outDir)
+
+  private def zstd(df: DataFrame, p: String): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(p)
+
+  /** Index one batch of documents (the whole corpus, or one append
+    * segment) into `outDir`. A segment is a complete mini-index — same
+    * four tables, same layout — so probes and merges treat "full index"
+    * and "segment" uniformly. */
+  def buildLexIndexFrom(documents: DataFrame, outDir: String): Unit = {
+    val docsTok = documents
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
+    zstd(docsTok.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      sum(col("dl")).as("sum_dl")), s"$outDir/stats")
+    val postingsPos = docsTok
       .select(col("doc_id"), col("dl"),
         posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy("term", "doc_id", "dl")
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
     zstd(postingsPos.repartitionByRange(col("term"))
       .sortWithinPartitions("term", "doc_id"), s"$outDir/postings_pos")
+    derivePostingsTables(documents.sparkSession, outDir)
+  }
+
+  /** Re-derive `postings` and `terms` from an already-written
+    * `postings_pos` — index-sized scans, shared by build and merge. */
+  private def derivePostingsTables(s: SparkSession, outDir: String): Unit = {
     val backPos = s.read.parquet(s"$outDir/postings_pos")
     zstd(backPos
       .select(col("term"), col("doc_id"), col("dl"),
@@ -122,21 +146,47 @@ object SearchOps {
     zstd(back.groupBy("term")
       .agg(countDistinct("doc_id").as("df"), sum("tf").as("ctf")),
       s"$outDir/terms")
-    zstd(back.select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")),
-      s"$outDir/stats")
   }
 
-  /** Build-if-absent for the inverted-index artifact: fingerprint-named
-    * write-once dirs, `_GRAFT_OK` gating, racing-builder-safe install —
-    * the lifecycle proven out on the IVF artifacts. */
+  /** Segment MERGE: combine per-batch segment indexes into one index with
+    * the exact layout (and exact scores) of a from-scratch build — corpus
+    * appends re-index only the delta, never the base. Segments must cover
+    * disjoint doc_id batches (append semantics). Work is INDEX-sized:
+    * positional postings union + one re-sort by term (so `term IN` pushes
+    * into the merged scan exactly as before), `postings`/`terms` re-derived
+    * from the merged postings, and `stats` recombined from the segments'
+    * exact integer (n_docs, sum_dl) — avgdl = Σsum_dl / Σn_docs is
+    * bit-identical to a whole-corpus aggregate, so BM25 over the merged
+    * index equals a from-scratch build term for term. The reference's
+    * refresh story is delete-then-recreate of a whole collection
+    * (`chroma_ingestion_util.py:267-327`); at 100 TB a rebuild-per-append
+    * is untenable — this is the LSM-ish alternative: seal segments, merge
+    * periodically (compaction discipline as in IngestOps.compact). */
+  def mergeLexIndex(s: SparkSession, segDirs: Seq[String], outDir: String): Unit = {
+    require(segDirs.nonEmpty, "mergeLexIndex: no segments")
+    val pos = segDirs.map(d => s.read.parquet(s"$d/postings_pos"))
+      .reduce(_.unionByName(_))
+    zstd(pos.repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id"), s"$outDir/postings_pos")
+    derivePostingsTables(s, outDir)
+    val st = segDirs.map(d => s.read.parquet(s"$d/stats"))
+      .reduce(_.unionByName(_))
+    zstd(st.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
+        col("sum_dl")), s"$outDir/stats")
+  }
+
+  /** Build-if-absent for the inverted-index artifact: content-fingerprint-
+    * named write-once dirs, `_GRAFT_OK` gating, lock-serialized install —
+    * the `ArtifactStore` lifecycle shared with the IVF artifacts. The
+    * fingerprint hashes the part files INSIDE the documents dataset (not
+    * the directory inode), so a regenerated corpus can never silently
+    * serve a stale index. */
   def ensureLexIndex(s: SparkSession, sf: String): String = {
     val base = new java.io.File("target/lex_index")
     val src = new java.io.File(s"$sf/documents.parquet")
-    val fpTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.length}:${src.lastModified}:v2".getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+    val fpTag = ArtifactStore.fingerprint(src, "v3")
     val dir = new java.io.File(base,
       "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fpTag)
     def committed = new java.io.File(dir, "_GRAFT_OK").exists()
@@ -145,15 +195,7 @@ object SearchOps {
         s"${dir.getName}.tmp.${java.util.UUID.randomUUID}")
       buildLexIndex(s, sf, tmp.toString)
       new java.io.File(tmp, "_GRAFT_OK").createNewFile()
-      if (committed) VectorOps.deleteRecursively(tmp) // racing builder committed
-      else {
-        VectorOps.deleteRecursively(dir) // uncommitted leftovers only
-        try java.nio.file.Files.move(tmp.toPath, dir.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { // a concurrent builder won the rename
-          case _: java.nio.file.FileSystemException => VectorOps.deleteRecursively(tmp)
-        }
-      }
+      ArtifactStore.install(base, dir, tmp, () => committed)
       if (!committed)
         sys.error(s"lex index artifact at $dir could not be installed")
     }
@@ -167,13 +209,17 @@ object SearchOps {
     * query time. Bit-identical to `bm25Scores` (same counts, same
     * arithmetic), which is what lets `q_bm25_index_topk` share
     * `q_bm25_topk`'s oracle. */
-  def bm25IndexScores(s: SparkSession, sf: String, terms: Seq[String]): DataFrame = {
-    val dir = ensureLexIndex(s, sf)
+  def bm25IndexScores(s: SparkSession, sf: String, terms: Seq[String]): DataFrame =
+    bm25IndexScoresAt(s, ensureLexIndex(s, sf), terms)
+
+  /** Probe an explicit index directory — the entry point a segment-merged
+    * index (see `mergeLexIndex`) is queried through. */
+  def bm25IndexScoresAt(s: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
     val postings = s.read.parquet(s"$dir/postings")
       .filter(col("term").isin(terms: _*))
     val dfq = s.read.parquet(s"$dir/terms")
       .filter(col("term").isin(terms: _*)).select("term", "df")
-    val stats = s.read.parquet(s"$dir/stats")
+    val stats = s.read.parquet(s"$dir/stats").select("n_docs", "avgdl")
     val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val tfn = (col("tf") * (K1 + 1.0)) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
@@ -244,6 +290,15 @@ object SearchOps {
     * adjacency is what's being tested). */
   val phrase: Seq[String] = Seq("hash", "join")
 
+  /** 3-term demo phrase — extends `phrase` by one hop so the driver oracle
+    * exercises the multi-hop fold (k>2), not just the single-join bigram
+    * case. Present at every SF of the synthetic corpus. */
+  val phrase3: Seq[String] = Seq("hash", "join", "fast")
+
+  private def countBySource(matched: DataFrame): DataFrame =
+    matched.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
   /** X23: positional phrase match, direct path — the positional-index
     * intersection shape: each phrase term's (doc, pos) list is filtered out
     * of the token stream BEFORE any shuffle, then chained with equi-joins
@@ -266,9 +321,11 @@ object SearchOps {
   }
 
   def qPhraseMatch(s: SparkSession, sf: String): DataFrame =
-    phraseMatchDocs(s, sf, phrase)
-      .groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .orderBy("source")
+    countBySource(phraseMatchDocs(s, sf, phrase))
+
+  /** X23 at k=3: same fold, one more positional hop. */
+  def qPhraseMatch3(s: SparkSession, sf: String): DataFrame =
+    countBySource(phraseMatchDocs(s, sf, phrase3))
 
   /** X23b: phrase match over the persisted positional index — reads ONLY
     * the phrase terms' position lists (`term IN` pushed into the sorted
@@ -277,13 +334,13 @@ object SearchOps {
     * Zero corpus-sized work at query time; doc→source attribution is one
     * equi-join against the documents table, keyed on doc_id. Shares
     * `q_phrase_match`'s oracle (an independent LIKE formulation). */
-  def qPhraseMatchIndex(s: SparkSession, sf: String): DataFrame = {
+  def phraseMatchIndexDocs(s: SparkSession, sf: String, ph: Seq[String]): DataFrame = {
     val dir = ensureLexIndex(s, sf)
     val pp = s.read.parquet(s"$dir/postings_pos")
     def listsOf(term: String, as: String) =
       pp.filter(col("term") === term).select(col("doc_id"), col("positions").as(as))
-    val seed = listsOf(phrase.head, "ps")
-    val matched = phrase.zipWithIndex.tail.foldLeft(seed) { case (acc, (term, i)) =>
+    val seed = listsOf(ph.head, "ps")
+    val matched = ph.zipWithIndex.tail.foldLeft(seed) { case (acc, (term, i)) =>
       acc.join(listsOf(term, s"p$i"), "doc_id")
         .withColumn("ps", expr(s"filter(ps, p -> array_contains(p$i, p + $i))"))
         .filter(size(col("ps")) > 0)
@@ -291,9 +348,15 @@ object SearchOps {
     }
     matched.select("doc_id")
       .join(t(s, sf, "documents").select("doc_id", "source"), "doc_id")
-      .groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .orderBy("source")
   }
+
+  def qPhraseMatchIndex(s: SparkSession, sf: String): DataFrame =
+    countBySource(phraseMatchIndexDocs(s, sf, phrase))
+
+  /** X23b at k=3: two chained array-intersection hops over the positional
+    * index; shares `q_phrase_match3`'s independent LIKE oracle. */
+  def qPhraseMatch3Index(s: SparkSession, sf: String): DataFrame =
+    countBySource(phraseMatchIndexDocs(s, sf, phrase3))
 
   /** X20: hybrid retrieval — reciprocal-rank fusion (K=60) of the BM25
     * ranking with the dense cosine ranking (query vector = `vec_id = 0`,
@@ -301,10 +364,24 @@ object SearchOps {
     * top-50 (TakeOrderedAndProject — the only corpus-sized work), so the
     * fusion join touches ≤100 rows regardless of corpus size. A doc absent
     * from one list contributes 0 from that side (full-outer + coalesce). */
-  def qHybridRrf(s: SparkSession, sf: String): DataFrame = {
+  def qHybridRrf(s: SparkSession, sf: String): DataFrame =
+    hybridRrf(s, sf, bm25Scores(s, sf, queryTerms))
+
+  /** X20b: hybrid fusion with the LEXICAL side served by the persisted
+    * inverted index — the standing-workload face of `qHybridRrf`. The
+    * ad-hoc path re-tokenizes the corpus once per statistic branch inside a
+    * fused query; this variant's lexical work is posting-list-sized
+    * (`term IN` pushed into the sorted postings scan), so the only
+    * corpus-sized work left in the whole query is the dense side's one
+    * scan of `embeddings`. `bm25IndexScores` is bit-identical to
+    * `bm25Scores`, so this shares `q_hybrid_rrf`'s oracle verbatim. */
+  def qHybridRrfIndex(s: SparkSession, sf: String): DataFrame =
+    hybridRrf(s, sf, bm25IndexScores(s, sf, queryTerms))
+
+  private def hybridRrf(s: SparkSession, sf: String, lexScores: DataFrame): DataFrame = {
     val rrfK = 60
     val n    = 50
-    val lex50 = bm25Scores(s, sf, queryTerms)
+    val lex50 = lexScores
       .orderBy(col("bm25_e6").desc, col("doc_id").asc)
       .limit(n)
       .withColumn("lex_rank",
@@ -337,16 +414,30 @@ object SearchOps {
     * the reference's LLM-generated per-table `tags`/`key_topics`
     * (`ingestion_pipeline_langgraph.py:1044-1056`). Document frequencies are
     * corpus-wide (one explode→agg keyed on term, vocab-bounded); the scored
-    * subset (here doc_id < 20 to bound driver output) filters BEFORE its tf
-    * aggregation; per-doc top-3 is a window over each doc's own terms. */
-  def qTfidfKeywords(s: SparkSession, sf: String): DataFrame = {
+    * subset (`docPred`) filters BEFORE its tf aggregation; per-doc top-N is
+    * a window over each doc's own terms.
+    *
+    * Join shapes, locked for scale: `stats` is a 1-row broadcast. The
+    * df-side join deliberately stays a shuffle join keyed on term — BOTH
+    * sides are already aggregates (subset tf ≤ subset tokens; df is
+    * vocab-bounded), never corpus-row-sized, and neither is safely
+    * broadcastable in general: the vocabulary of a 100 TB corpus is too
+    * large, and `docPred` is caller-chosen so the tf side can be
+    * arbitrarily wide. A shuffle keyed on term is the shape that survives
+    * both. The corpus-sized token stream feeds partial (map-side)
+    * aggregates before any exchange. */
+  def qTfidfKeywords(s: SparkSession, sf: String): DataFrame =
+    tfidfKeywords(s, sf, col("doc_id") < 20, topN = 3)
+
+  def tfidfKeywords(s: SparkSession, sf: String, docPred: Column,
+      topN: Int): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     val tokens = t(s, sf, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(!col("term").isin(stop: _*))
     val stats = tokens.agg(countDistinct("doc_id").as("n_docs"))
     val dfT = tokens.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val tf = tokens.filter(col("doc_id") < 20)
+    val tf = tokens.filter(docPred)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val idf = log((col("n_docs") + 1.0) / (col("df") + 1.0))
     val scored = tf.join(dfT, "term").crossJoin(broadcast(stats))
@@ -355,7 +446,7 @@ object SearchOps {
       .orderBy(col("tfidf_e6").desc, col("term").asc)
     scored
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= topN)
       .select(col("doc_id"), col("rk"), col("term"), col("tfidf_e6"))
       .orderBy(col("doc_id"), col("rk"))
   }

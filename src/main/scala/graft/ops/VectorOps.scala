@@ -216,9 +216,10 @@ object VectorOps {
       .limit(k)
   }
 
-  /** Build-if-absent for the persisted centroid artifact. A fingerprint of
-    * the source embeddings file (length + mtime) is part of the directory
-    * NAME, making each artifact write-once: regenerated source data maps to
+  /** Build-if-absent for the persisted centroid artifact. A CONTENT
+    * fingerprint of the source embeddings dataset (the part files'
+    * name/size/mtime — see ArtifactStore.fingerprint) is part of the
+    * directory NAME, making each artifact write-once: regenerated source data maps to
     * a NEW directory, so a rebuild never deletes the directory a concurrent
     * reader is serving from (stale-fingerprint dirs become inert garbage,
     * not hazards). Spark's `_SUCCESS` commit marker still gates against
@@ -232,33 +233,24 @@ object VectorOps {
   def ensureCentroids(s: SparkSession, sf: String): String = {
     val base = new java.io.File("target/ivf_centroids")
     val src = new java.io.File(s"$sf/embeddings.parquet")
-    val fpTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.length}:${src.lastModified}".getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+    val fpTag = ArtifactStore.fingerprint(src, "v2")
     // the "sf" prefix keeps the dir name from starting with "_": Spark's
     // path filter treats _-prefixed names as hidden metadata and logs
     // "All paths were ignored" on every read of such a root
     val dir = new java.io.File(base,
       "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fpTag)
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    def committed = new java.io.File(dir, "_SUCCESS").exists()
+    if (!committed) {
       val tmp = new java.io.File(base,
         s"${dir.getName}.tmp.${java.util.UUID.randomUUID}")
       writeCentroids(t(s, sf, "embeddings"), tmp.toString)
-      // re-check NOW: a concurrent builder may have committed a complete
-      // artifact while this one was writing tmp — deleting it would yank
-      // the directory from under a reader already serving from it
-      if (new java.io.File(dir, "_SUCCESS").exists()) deleteRecursively(tmp)
-      else {
-        deleteRecursively(dir) // uncommitted leftovers only, never served
-        try java.nio.file.Files.move(tmp.toPath, dir.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { // a concurrent builder won the rename; its artifact is complete
-          case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
-        }
-      }
+      // the committed re-check, leftover delete and ATOMIC_MOVE run under
+      // the ArtifactStore install lock: a racing builder that commits
+      // first keeps its artifact (this one's tmp is dropped), and the
+      // delete can never yank a just-committed dir from under a reader
+      ArtifactStore.install(base, dir, tmp, () => committed)
       // belt-and-braces: never hand out a directory that is not committed
-      // (e.g. the delete above half-failed and the rename then bounced)
-      if (!new java.io.File(dir, "_SUCCESS").exists())
+      if (!committed)
         sys.error(s"IVF centroid artifact at $dir could not be installed")
     }
     dir.toString
@@ -378,9 +370,7 @@ object VectorOps {
       iters: Int = 2): String = {
     val base = new java.io.File("target/ivf_trained")
     val src = new java.io.File(s"$sf/embeddings.parquet")
-    val fpTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.length}:${src.lastModified}:$nlist:$iters".getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+    val fpTag = ArtifactStore.fingerprint(src, s"$nlist:$iters:v2")
     val dir = new java.io.File(base,
       "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fpTag)
     def committed = new java.io.File(dir, "_GRAFT_OK").exists()
@@ -397,15 +387,8 @@ object VectorOps {
         .parquet(new java.io.File(tmp, "centroids").toString)
       org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(centroids)
       new java.io.File(tmp, "_GRAFT_OK").createNewFile()
-      if (committed) deleteRecursively(tmp) // a racing builder committed
-      else {
-        deleteRecursively(dir) // uncommitted leftovers only, never served
-        try java.nio.file.Files.move(tmp.toPath, dir.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { // a concurrent builder won the rename
-          case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
-        }
-      }
+      // committed re-check + delete + ATOMIC_MOVE under the install lock
+      ArtifactStore.install(base, dir, tmp, () => committed)
       if (!committed)
         sys.error(s"trained IVF artifact at $dir could not be installed")
     }

@@ -155,11 +155,58 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Generate"), s"expected in-bucket pair explode:\n$p")
   }
 
+  test("bm25 batch: batch terms broadcast against the corpus side; no cartesian") {
+    val p = plan(SearchOps.qBm25Batch(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch-term and df joins must broadcast the tiny side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast joins may fan out the batch:\n$p")
+  }
+
+  test("tfidf: subset filter reaches the scan; stats broadcast; term join never cartesian") {
+    val p = plan(SearchOps.qTfidfKeywords(spark, sf))
+    // the scored-subset branch must filter BEFORE tokenize/aggregate — the
+    // predicate belongs in the parquet scan, not above the explode
+    assert(p.contains("LessThan(doc_id,20)"),
+      s"doc_id<20 must push into the documents scan:\n$p")
+    assert(p.contains("BroadcastExchange"), s"1-row stats must broadcast:\n$p")
+    // the vocab join stays a keyed equi-join: at 100 TB neither the
+    // vocabulary nor an arbitrary caller subset is safely broadcastable,
+    // so nothing in this plan may degenerate to an unkeyed product (the
+    // broadcast of the 1-row stats table is the only nested-loop allowed)
+    assert(!p.contains("CartesianProduct"),
+      s"term join must stay a keyed equi-join:\n$p")
+  }
+
+  test("pack sequences: the only window runs over per-block aggregates, never rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = CorpusOps.qPackSequences(spark, sf).queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size == 1, s"exactly one (prefix-sum) window expected:\n$lp")
+    assert(wins.head.collectFirst { case a: Aggregate => a }.nonEmpty,
+      s"the window's input must be the per-block aggregate, one row per block:\n$lp")
+  }
+
+  test("trained IVF probe reads the persisted artifact pair, top-k without global sort") {
+    val p = plan(VectorOps.qIvfTrainedTopk(spark, sf))
+    assert(p.contains("ivf_trained"),
+      s"probe must read centroids+assignments from the trained artifact:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("hybrid rrf via index: zero corpus-sized work on the lexical side") {
+    val p = plan(SearchOps.qHybridRrfIndex(spark, sf))
+    assert(p.contains("lex_index"),
+      s"lexical ranking must probe the persisted inverted index:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"the documents corpus must not be scanned at query time:\n$p")
+  }
+
   test("contract consistency: every oracle key is a wired query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
-    assert(SparkEntry.queries.size >= 68)
-    assert(SparkEntry.oracleSql.size >= 59)
+    assert(SparkEntry.queries.size >= 71)
+    assert(SparkEntry.oracleSql.size >= 62)
   }
 
   test("query functions never collect to the driver") {

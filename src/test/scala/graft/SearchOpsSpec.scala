@@ -38,7 +38,7 @@ class SearchOpsSpec extends SparkTestBase {
   }
 
   test("bm25: rarer term carries a larger idf contribution than a ubiquitous one") {
-    // "vector" appears in 1 of 6 docs; "join" in all 6 — same tf, same dl
+    // "vector" appears in 1 of the 8 docs; "join" in 7 of 8 — same tf, same dl
     val docs = (1L to 5L).map(i => (i, "join pad pad pad", "en", "s0", 1L)) :+
       ((6L, "join pad pad pad", "en", "s0", 1L))
     val dir = writeDocs(docs :+ ((7L, "vector pad pad pad", "en", "s0", 1L))
@@ -164,5 +164,112 @@ class SearchOpsSpec extends SparkTestBase {
     val plan = SearchOps.qBm25Topk(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), "df/stats tables must broadcast")
     assert(plan.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
+  private def overwriteDocs(dir: String,
+      rows: Seq[(Long, String, String, String, Long)]): Unit =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("lex index segment merge: base+delta merged index equals a from-scratch build") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = docs.agg(avg(col("doc_id"))).head.getDouble(0)
+    val tmp = java.nio.file.Files.createTempDirectory("lex_merge").toString
+    SearchOps.buildLexIndexFrom(docs.filter(col("doc_id") < cut), s"$tmp/seg0")
+    SearchOps.buildLexIndexFrom(docs.filter(col("doc_id") >= cut), s"$tmp/seg1")
+    SearchOps.mergeLexIndex(spark, Seq(s"$tmp/seg0", s"$tmp/seg1"), s"$tmp/merged")
+    SearchOps.buildLexIndexFrom(docs, s"$tmp/full")
+    def scores(d: String) =
+      SearchOps.bm25IndexScoresAt(spark, d, SearchOps.queryTerms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val merged = scores(s"$tmp/merged")
+    val full   = scores(s"$tmp/full")
+    assert(merged.nonEmpty && merged == full,
+      "merged-index BM25 must be bit-identical to a from-scratch build")
+    // the direct (no-index) path is the independent cross-check
+    val direct = SearchOps.bm25Scores(spark, sf, SearchOps.queryTerms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(merged == direct)
+    // exact stats recombination: (n_docs, avgdl, sum_dl) bit-equal
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).head
+    assert(stats(s"$tmp/merged") == stats(s"$tmp/full"))
+    // per-term df/ctf identical after the merge's re-derivation
+    def terms(d: String) = spark.read.parquet(s"$d/terms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(terms(s"$tmp/merged") == terms(s"$tmp/full"))
+  }
+
+  test("lex index: null-text documents count in stats exactly as the direct path") {
+    val dir = writeDocs(Seq(
+      (1L, "vector join vector", "en", "s0", 1L),
+      (2L, null.asInstanceOf[String], "en", "s0", 1L), // no postings, still a doc
+      (3L, "vector fast", "en", "s1", 1L)))
+    val direct = SearchOps.bm25Scores(spark, dir, Seq("vector"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val indexed = SearchOps.bm25IndexScores(spark, dir, Seq("vector"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(indexed == direct,
+      "postings-derived stats would drop the null-text doc from n_docs/avgdl")
+  }
+
+  test("hybrid rrf: index-backed variant reproduces the ad-hoc variant exactly") {
+    val direct  = SearchOps.qHybridRrf(spark, sf).collect().toSeq
+    val indexed = SearchOps.qHybridRrfIndex(spark, sf).collect().toSeq
+    assert(direct.nonEmpty && indexed == direct)
+  }
+
+  test("phrase match k=3: strict 3-term adjacency; direct and index paths agree") {
+    val dir = writeDocs(Seq(
+      (1L, "x hash join fast y", "en", "s0", 1L),               // match
+      (2L, "hash join slow fast", "en", "s0", 1L),              // gap — no
+      (3L, "fast join hash", "en", "s0", 1L),                   // reversed — no
+      (4L, "hash join fast hash join fast", "en", "s1", 1L),    // twice — once
+      (5L, "hash join", "en", "s1", 1L)))                       // prefix only — no
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toMap(SearchOps.qPhraseMatch3(spark, dir)) == Map("s0" -> 1L, "s1" -> 1L))
+    assert(toMap(SearchOps.qPhraseMatch3Index(spark, dir)) == Map("s0" -> 1L, "s1" -> 1L))
+  }
+
+  test("tfidf keywords: scored subset and topN are caller-controlled") {
+    val narrow = SearchOps.tfidfKeywords(spark, sf, col("doc_id") < 5, topN = 2)
+      .collect()
+    assert(narrow.nonEmpty)
+    assert(narrow.forall(_.getAs[Long]("doc_id") < 5))
+    assert(narrow.groupBy(_.getAs[Long]("doc_id")).values.forall(_.length <= 2))
+    assert(narrow.forall(_.getAs[Long]("rk") <= 2))
+    // the driver-facing wrapper keeps its original bound
+    val std = SearchOps.qTfidfKeywords(spark, sf).collect()
+    assert(std.forall(_.getAs[Long]("doc_id") < 20))
+  }
+
+  test("artifact fingerprint tracks part-file content inside a dataset directory") {
+    import graft.ops.ArtifactStore
+    val dir = writeDocs(Seq((1L, "alpha", "en", "s0", 1L)))
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val fp1 = ArtifactStore.fingerprint(src, "t")
+    assert(fp1.matches("[0-9a-f]{8}"))
+    assert(ArtifactStore.fingerprint(src, "t") == fp1, "deterministic")
+    assert(ArtifactStore.fingerprint(src, "u") != fp1, "salt-sensitive")
+    // regenerate the dataset at the SAME path: the directory inode's
+    // length/mtime may not change, but the part files inside do
+    overwriteDocs(dir, Seq((1L, "beta gamma", "en", "s0", 1L),
+      (2L, "delta", "en", "s0", 1L)))
+    assert(ArtifactStore.fingerprint(src, "t") != fp1,
+      "regenerated content must change the fingerprint")
+  }
+
+  test("lex index: a regenerated corpus is never served from a stale index") {
+    val dir = writeDocs(Seq((1L, "vector vector", "en", "s0", 1L)))
+    val before = SearchOps.bm25IndexScores(spark, dir, Seq("join")).collect()
+    assert(before.isEmpty, "'join' absent from the original corpus")
+    overwriteDocs(dir, Seq((1L, "join join join", "en", "s0", 1L)))
+    val after = SearchOps.bm25IndexScores(spark, dir, Seq("join")).collect()
+    assert(after.nonEmpty,
+      "index must re-key on the regenerated corpus, not serve the stale artifact")
   }
 }
