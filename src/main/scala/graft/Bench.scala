@@ -21,7 +21,8 @@ object Bench {
     "q_bm25_topk", "q_bm25_index_topk", "q_bm25_batch",
     "q_hybrid_rrf", "q_hybrid_rrf_index", "q_bigram_lm",
     "q_phrase_match", "q_phrase_match_index", "q_phrase_match3",
-    "q_tfidf_keywords", "q_pack_sequences", "q_ivf_trained_topk")
+    "q_tfidf_keywords", "q_pack_sequences", "q_ivf_trained_topk",
+    "q_rm3_expansion")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

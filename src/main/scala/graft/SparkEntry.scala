@@ -114,7 +114,8 @@ object SparkEntry {
     "q_hybrid_rrf"            -> (SearchOps.qHybridRrf _),
     "q_hybrid_rrf_index"      -> (SearchOps.qHybridRrfIndex _),
     "q_tfidf_keywords"        -> (SearchOps.qTfidfKeywords _),
-    "q_bigram_lm"             -> (SearchOps.qBigramLm _)
+    "q_bigram_lm"             -> (SearchOps.qBigramLm _),
+    "q_rm3_expansion"         -> (SearchOps.qRm3Expansion _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -837,6 +838,35 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6,
         |CAST(CAST(sum(lp_e6) AS BIGINT) AS DOUBLE) / count(*) AS avg_lp_e6
-        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // RM3 expansion: the feedback set is the BM25 oracle's own top-10; term
+    // weight = Σ over feedback docs of tf·bm25_e6, expressed as "each token
+    // occurrence contributes its doc's micro-int score once" — an exact
+    // integer sum in both engines. Query terms + stopwords excluded.
+    "q_rm3_expansion" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |st AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+        |  (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  WHERE term IN ('vector','join','fast') GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |  CAST(round((ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
+        |    * 1000000, 0) AS BIGINT) AS s_e6
+        |  FROM tf JOIN dfq USING (term), st),
+        |fb AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6 FROM sc
+        |  GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 10),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |w AS (SELECT term, CAST(sum(bm25_e6) AS BIGINT) AS w_e6
+        |  FROM tok JOIN fb USING (doc_id)
+        |  WHERE term NOT IN ('vector','join','fast',
+        |    'the','a','of','and','to','in','is','it')
+        |  GROUP BY term)
+        |SELECT CAST(row_number() OVER (ORDER BY w_e6 DESC, term ASC) AS BIGINT) AS rk,
+        |  term, w_e6 FROM w ORDER BY w_e6 DESC, term ASC LIMIT 8""".stripMargin
   )
 }

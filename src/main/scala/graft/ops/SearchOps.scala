@@ -429,9 +429,12 @@ object SearchOps {
   def qTfidfKeywords(s: SparkSession, sf: String): DataFrame =
     tfidfKeywords(s, sf, col("doc_id") < 20, topN = 3)
 
+  /** Shared stopword list for keyword extraction and query expansion. */
+  val stopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
   def tfidfKeywords(s: SparkSession, sf: String, docPred: Column,
       topN: Int): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val stop = stopWords
     val tokens = t(s, sf, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(!col("term").isin(stop: _*))
@@ -449,6 +452,56 @@ object SearchOps {
       .filter(col("rk") <= topN)
       .select(col("doc_id"), col("rk"), col("term"), col("tfidf_e6"))
       .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** X24: pseudo-relevance-feedback query expansion (RM3-style). Retrieval
+    * quality's cheapest big win: run the query, take the top `fbDocs`
+    * documents as implicit relevance feedback, and mine them for the terms
+    * that best expand the query. The reference can only rephrase queries by
+    * LLM (`langgraph_pipeline.py` decompose/rewrite hooks); this is the
+    * engine-side statistical analog, fully deterministic.
+    *
+    * Term weight is the classic RM1 estimate with BM25 relevance weights,
+    * kept in exact integers: w(t) = Σ_{d ∈ F} tf(t,d) · bm25_e6(d) — each
+    * token OCCURRENCE contributes its document's micro-int score once, so
+    * the weight is an order-independent integer sum (no float drift).
+    * Original query terms and stopwords are excluded; ties break on term.
+    *
+    * Scale shape: the feedback set is `fbDocs` rows (a TakeOrderedAndProject
+    * over the BM25 scores, which are themselves posting-sized — see
+    * `bm25PerTerm`). The corpus token stream joins that ≤`fbDocs`-row set by
+    * BROADCAST hash join directly after the scan, so only the feedback
+    * documents' own tokens survive to the term aggregation — work after the
+    * scan is O(tokens of fbDocs docs), not O(corpus). (On a standing
+    * corpus the scan itself collapses too: fetch the fbDocs documents by id
+    * from the doc store — or read tf straight from the inverted index's
+    * postings via a doc_id-keyed probe.) The final top-N runs over the
+    * feedback vocabulary (bounded by fbDocs · doclen), tiny by
+    * construction; its unpartitioned window is over ≤ topN rows post-limit,
+    * same discipline as `qPackSequences`' aggregate-only window. */
+  def qRm3Expansion(s: SparkSession, sf: String): DataFrame =
+    rm3Expansion(s, sf, queryTerms, fbDocs = 10, topN = 8)
+
+  def rm3Expansion(s: SparkSession, sf: String, terms: Seq[String],
+      fbDocs: Int, topN: Int): DataFrame = {
+    val fb = bm25Scores(s, sf, terms)
+      .orderBy(col("bm25_e6").desc, col("doc_id").asc)
+      .limit(fbDocs)
+      .select(col("doc_id"), col("bm25_e6"))
+    val fbTokens = t(s, sf, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .join(broadcast(fb), "doc_id")
+    val weights = fbTokens
+      .filter(!col("term").isin((terms ++ stopWords): _*))
+      .groupBy("term")
+      .agg(sum(col("bm25_e6")).as("w_e6"))
+      .orderBy(col("w_e6").desc, col("term").asc)
+      .limit(topN)
+    weights
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("w_e6").desc, col("term").asc)).cast("long"))
+      .select(col("rk"), col("term"), col("w_e6"))
+      .orderBy(col("rk"))
   }
 
   /** X22: bigram-LM corpus quality score — add-one-smoothed average token

@@ -395,6 +395,35 @@ object VectorOps {
     dir.toString
   }
 
+  /** Append a batch of new vectors to a TRAINED IVF artifact WITHOUT
+    * retraining — the vector-side analog of `SearchOps.mergeLexIndex`.
+    * Centroids are FROZEN (copied verbatim, so probe routing is unchanged)
+    * and the delta is assigned by `assignLists` with the same argmax
+    * cosine / lowest-list tie-break the base build used. List assignment
+    * is pointwise per vector, so base-assign ∪ delta-assign is
+    * bit-identical to assigning base+delta from scratch against the same
+    * centroids (ScaleOpsSpec proves the equality and that exactness at
+    * nprobe = nlist holds over the appended corpus). Work is
+    * O(delta · nlist) — corpus appends never touch the base vectors.
+    * Centroid drift under sustained appends is handled by periodic
+    * retraining, which lands under a NEW content fingerprint via
+    * `ensureTrainedIvf`; append covers the high-frequency path between
+    * retrains, exactly the posting-segment/compaction split on the
+    * lexical side. */
+  def appendTrainedIvf(s: SparkSession, baseDir: String, delta: DataFrame,
+      outDir: String): Unit = {
+    val centroids = s.read.parquet(s"$baseDir/centroids")
+    val merged = s.read.parquet(s"$baseDir/assign")
+      .unionByName(assignLists(delta, centroids))
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(new java.io.File(outDir, "assign").toString)
+    centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(new java.io.File(outDir, "centroids").toString)
+    new java.io.File(outDir, "_GRAFT_OK").createNewFile(): Unit
+  }
+
   /** ANN top-k over the TRAINED index: routing joins the persisted
     * assignment table, not a data-shipped label column. No oracle
     * (approximate + float-iteration-seeded); ScaleOpsSpec asserts

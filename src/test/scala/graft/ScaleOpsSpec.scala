@@ -146,6 +146,40 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"top-10 recall too low: $recall (ivf=$ivf brute=$brute)")
   }
 
+  test("IVF append: frozen centroids + delta assignment == from-scratch; exact at full probe") {
+    val sfDir = "/root/testdata/sf0.01"
+    val e = Tables.t(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val cut = e.agg(avg(col("vec_id"))).head.getDouble(0)
+    val base = e.filter(col("vec_id") < cut)
+    val delta = e.filter(col("vec_id") >= cut)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    // trained artifact over the BASE half only
+    val (centroids, baseAssign) = VectorOps.trainIvf(base, nlist = 8, iters = 2)
+    baseAssign.write.parquet(s"$tmp/base/assign")
+    centroids.write.parquet(s"$tmp/base/centroids")
+    VectorOps.appendTrainedIvf(spark, s"$tmp/base", delta, s"$tmp/appended")
+    org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(centroids)
+    assert(new java.io.File(s"$tmp/appended", "_GRAFT_OK").exists())
+    val cFrozen = spark.read.parquet(s"$tmp/appended/centroids")
+    val merged = spark.read.parquet(s"$tmp/appended/assign")
+    // centroids frozen: same (label, centroid) set
+    assert(cFrozen.collect().toSet ==
+      spark.read.parquet(s"$tmp/base/centroids").collect().toSet)
+    // append == pointwise from-scratch assignment against the same centroids
+    val scratch = VectorOps.assignLists(e, cFrozen)
+    assert(merged.count() == e.count())
+    assert(merged.join(scratch, Seq("vec_id", "label"), "left_semi").count() ==
+      e.count(), "appended assignment drifted from a from-scratch assignment")
+    // full probe over the appended artifact == exact brute force on base+delta
+    val ej = e.join(merged, "vec_id")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val full = VectorOps.ivfTopk(cFrozen, ej, qv,
+        nprobe = cFrozen.count().toInt, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = VectorOps.qCosineTopk(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(full == brute, s"appended full probe must be exact: $full != $brute")
+  }
+
   test("racing centroid builders never leave a reader without an artifact") {
     // bench + correctness harness DO run concurrently against the same
     // artifact dir; a losing builder must never delete the winner's

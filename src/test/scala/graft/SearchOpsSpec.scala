@@ -160,6 +160,26 @@ class SearchOpsSpec extends SparkTestBase {
     assert(indexed == direct)
   }
 
+  test("rm3 expansion: terms disjoint from query+stopwords, weights descending, feedback set broadcast") {
+    val out = SearchOps.qRm3Expansion(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 8)
+    val rks = out.map(_.getLong(0)).toSeq
+    assert(rks == (1L to out.length).toSeq, s"rk must be dense 1..n: $rks")
+    val terms = out.map(_.getString(1)).toSeq
+    val banned = (SearchOps.queryTerms ++ SearchOps.stopWords).toSet
+    assert(terms.forall(t => !banned.contains(t)),
+      s"expansion must exclude query terms and stopwords: $terms")
+    val ws = out.map(_.getLong(2)).toSeq
+    assert(ws == ws.sorted.reverse && ws.forall(_ > 0),
+      s"weights must be positive and descending: $ws")
+    // the ≤fbDocs feedback set must join the corpus token stream by
+    // broadcast — the corpus side must never shuffle on doc_id
+    val plan = SearchOps.qRm3Expansion(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"feedback-doc join must broadcast:\n$plan")
+  }
+
   test("bm25 plan: per-term df and corpus stats broadcast; no corpus-sized shuffle on the probe side") {
     val plan = SearchOps.qBm25Topk(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), "df/stats tables must broadcast")

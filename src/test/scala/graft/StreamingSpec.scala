@@ -160,4 +160,37 @@ class StreamingSpec extends SparkTestBase {
       assert(s2.contains(Session(7, b + 4 * 3600 * m, b + 4 * 3600 * m, 1)))
     } finally q.stop()
   }
+
+  test("streaming index segments: one sealed segment per micro-batch; compaction equals a batch build") {
+    import spark.implicits._
+    import graft.ops.SearchOps
+    import graft.streaming.IndexStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lex_stream").toString
+    val b1 = Seq((0L, "fast vector join"), (1L, "hash join fast table"))
+    val b2 = Seq((2L, "vector vector scan"), (3L, "sort merge join vector"))
+    val stream = MemoryStream[(Long, String)]
+    val q = IndexStream.sealSegments(
+      stream.toDF.toDF("doc_id", "text"), s"$tmp/segs")
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val segs = IndexStream.sealedSegments(s"$tmp/segs")
+    assert(segs.size == 2, s"expected 2 sealed segments, got: $segs")
+    IndexStream.compact(spark, s"$tmp/segs", s"$tmp/merged")
+    SearchOps.buildLexIndexFrom((b1 ++ b2).toDF("doc_id", "text"), s"$tmp/full")
+    def scores(d: String) =
+      SearchOps.bm25IndexScoresAt(spark, d, SearchOps.queryTerms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val streamed = scores(s"$tmp/merged")
+    assert(streamed.nonEmpty && streamed == scores(s"$tmp/full"),
+      "streamed-then-compacted index must be bit-identical to a batch build")
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).head
+    assert(stats(s"$tmp/merged") == stats(s"$tmp/full"))
+  }
 }
