@@ -193,4 +193,41 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).head
     assert(stats(s"$tmp/merged") == stats(s"$tmp/full"))
   }
+
+  test("streaming IVF assignment: per-batch segments against frozen centroids == batch assignment") {
+    import spark.implicits._
+    import graft.ops.VectorOps
+    import graft.streaming.VectorStream
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val e = graft.ops.Tables.t(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val cut = e.agg(avg(col("vec_id"))).head.getDouble(0)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val (centroids, baseAssign) =
+      VectorOps.trainIvf(e.filter(col("vec_id") < cut), nlist = 4, iters = 1)
+    baseAssign.write.parquet(s"$tmp/ivf/assign")
+    centroids.write.parquet(s"$tmp/ivf/centroids")
+    org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(centroids)
+    // the delta arrives as a stream, split across two micro-batches
+    val delta = e.filter(col("vec_id") >= cut).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (d1, d2) = delta.splitAt(delta.length / 2)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = VectorStream.assignSegments(
+      stream.toDF.toDF("vec_id", "embedding"), s"$tmp/ivf", s"$tmp/segs")
+    try {
+      stream.addData(d1.toSeq)
+      q.processAllAvailable()
+      stream.addData(d2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(VectorStream.sealedSegments(s"$tmp/segs").size == 2)
+    val all = VectorStream.assignmentsWithSegments(spark, s"$tmp/ivf", s"$tmp/segs")
+    val cFrozen = spark.read.parquet(s"$tmp/ivf/centroids")
+    val scratch = VectorOps.assignLists(e, cFrozen)
+    assert(all.count() == e.count(), "every vector assigned exactly once")
+    assert(all.join(scratch, Seq("vec_id", "label"), "left_semi").count() ==
+      e.count(), "streamed assignment drifted from the batch assignment")
+  }
 }
