@@ -22,7 +22,7 @@ object Bench {
     "q_hybrid_rrf", "q_hybrid_rrf_index", "q_bigram_lm",
     "q_phrase_match", "q_phrase_match_index", "q_phrase_match3",
     "q_tfidf_keywords", "q_pack_sequences", "q_ivf_trained_topk",
-    "q_rm3_expansion")
+    "q_rm3_expansion", "q_rm3_rescore")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

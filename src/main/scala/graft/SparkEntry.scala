@@ -115,7 +115,8 @@ object SparkEntry {
     "q_hybrid_rrf_index"      -> (SearchOps.qHybridRrfIndex _),
     "q_tfidf_keywords"        -> (SearchOps.qTfidfKeywords _),
     "q_bigram_lm"             -> (SearchOps.qBigramLm _),
-    "q_rm3_expansion"         -> (SearchOps.qRm3Expansion _)
+    "q_rm3_expansion"         -> (SearchOps.qRm3Expansion _),
+    "q_rm3_rescore"           -> (SearchOps.qRm3Rescore _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -867,6 +868,51 @@ object SparkEntry {
         |    'the','a','of','and','to','in','is','it')
         |  GROUP BY term)
         |SELECT CAST(row_number() OVER (ORDER BY w_e6 DESC, term ASC) AS BIGINT) AS rk,
-        |  term, w_e6 FROM w ORDER BY w_e6 DESC, term ASC LIMIT 8""".stripMargin
+        |  term, w_e6 FROM w ORDER BY w_e6 DESC, term ASC LIMIT 8""".stripMargin,
+    // RM3 re-retrieval: the expanded weighted query re-scores the corpus.
+    // Weights are exact integers (expansion = RM1 w_e6; originals =
+    // 2*max(w_e6)), so sum(s_e6*wt) is order-free in both engines.
+    "q_rm3_rescore" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |st AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+        |  (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  WHERE term IN ('vector','join','fast') GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |  CAST(round((ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
+        |    * 1000000, 0) AS BIGINT) AS s_e6
+        |  FROM tf JOIN dfq USING (term), st),
+        |fb AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6 FROM sc
+        |  GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 10),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |w AS (SELECT term, CAST(sum(bm25_e6) AS BIGINT) AS w_e6
+        |  FROM tok JOIN fb USING (doc_id)
+        |  WHERE term NOT IN ('vector','join','fast',
+        |    'the','a','of','and','to','in','is','it')
+        |  GROUP BY term),
+        |exp AS (SELECT term, w_e6 FROM w
+        |  ORDER BY w_e6 DESC, term ASC LIMIT 8),
+        |wmax AS (SELECT max(w_e6) AS wmax FROM exp),
+        |tw AS (SELECT term, w_e6 AS wt FROM exp
+        |  UNION ALL SELECT v.term, 2 * wmax.wmax FROM
+        |  (VALUES ('vector'),('join'),('fast')) AS v(term), wmax),
+        |tf2 AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+        |  (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  WHERE term IN (SELECT term FROM tw) GROUP BY doc_id, dl, term),
+        |df2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY term),
+        |sc2 AS (SELECT tf2.doc_id, tf2.term,
+        |  CAST(round((ln((st.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1.0) *
+        |    ((tf2.tf * 2.2) / (tf2.tf + 1.2 * (0.25 + 0.75 * tf2.dl / st.avgdl))))
+        |    * 1000000, 0) AS BIGINT) AS s_e6
+        |  FROM tf2 JOIN df2 USING (term), st)
+        |SELECT sc2.doc_id, CAST(sum(sc2.s_e6 * tw.wt) AS BIGINT) AS rm3_e6,
+        |count(*) AS n_terms
+        |FROM sc2 JOIN tw USING (term)
+        |GROUP BY sc2.doc_id ORDER BY rm3_e6 DESC, doc_id ASC LIMIT 15""".stripMargin
   )
 }

@@ -484,17 +484,7 @@ object SearchOps {
 
   def rm3Expansion(s: SparkSession, sf: String, terms: Seq[String],
       fbDocs: Int, topN: Int): DataFrame = {
-    val fb = bm25Scores(s, sf, terms)
-      .orderBy(col("bm25_e6").desc, col("doc_id").asc)
-      .limit(fbDocs)
-      .select(col("doc_id"), col("bm25_e6"))
-    val fbTokens = t(s, sf, "documents")
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .join(broadcast(fb), "doc_id")
-    val weights = fbTokens
-      .filter(!col("term").isin((terms ++ stopWords): _*))
-      .groupBy("term")
-      .agg(sum(col("bm25_e6")).as("w_e6"))
+    val weights = rm3Weights(s, sf, terms, fbDocs)
       .orderBy(col("w_e6").desc, col("term").asc)
       .limit(topN)
     weights
@@ -502,6 +492,89 @@ object SearchOps {
         .over(Window.orderBy(col("w_e6").desc, col("term").asc)).cast("long"))
       .select(col("rk"), col("term"), col("w_e6"))
       .orderBy(col("rk"))
+  }
+
+  /** Unranked RM1 term weights over the feedback set (see `rm3Expansion`
+    * for the weighting rationale): (term, w_e6), vocab-of-feedback-docs
+    * sized. */
+  private def rm3Weights(s: SparkSession, sf: String, terms: Seq[String],
+      fbDocs: Int): DataFrame = {
+    val fb = bm25Scores(s, sf, terms)
+      .orderBy(col("bm25_e6").desc, col("doc_id").asc)
+      .limit(fbDocs)
+      .select(col("doc_id"), col("bm25_e6"))
+    t(s, sf, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .join(broadcast(fb), "doc_id")
+      .filter(!col("term").isin((terms ++ stopWords): _*))
+      .groupBy("term")
+      .agg(sum(col("bm25_e6")).as("w_e6"))
+  }
+
+  /** Per-(doc, term) BM25 micro-scores for a DATA-DEPENDENT term set (a
+    * tiny DataFrame instead of a literal list) — the building block for
+    * re-retrieval with expanded queries. The term table broadcasts, so the
+    * corpus token stream is cut to matching postings by a broadcast hash
+    * join directly after the scan; everything downstream is posting-sized,
+    * identical to `bm25PerTerm`. */
+  private def bm25PerTermDf(s: SparkSession, sf: String,
+      termsDf: DataFrame): DataFrame = {
+    val docs = t(s, sf, "documents")
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(termsDf.select("term")), "term")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * (K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), e6(idf * tfn).as("s_e6"))
+  }
+
+  /** X24b: RM3 re-retrieval — run the EXPANDED query. The full
+    * pseudo-relevance-feedback loop: retrieve (BM25 top-`fbDocs`), expand
+    * (top-`topN` RM1 terms), re-retrieve with the combined weighted query.
+    *
+    * Exact-integer weighting (no float normalization, so the DuckDB oracle
+    * matches hash-exactly): expansion term t carries its RM1 weight
+    * w_e6(t); each ORIGINAL query term carries 2·max(w_e6) — the original
+    * intent always outweighs any single mined term, the integer analog of
+    * RM3's λ-interpolation. Final score(d) = Σ_t s_e6(t,d)·wt(t), a sum of
+    * Long products (≤ ~1e15 per term, no overflow), order-independent.
+    *
+    * Scale shape: the weight table is ≤ |q|+topN rows and broadcasts into
+    * `bm25PerTermDf`'s posting-sized pipeline; the only corpus-sized work
+    * is the token scans already inherent to ad-hoc BM25 (a standing corpus
+    * serves both from the inverted index instead). */
+  def qRm3Rescore(s: SparkSession, sf: String): DataFrame =
+    rm3Rescore(s, sf, queryTerms, fbDocs = 10, topN = 8, k = 15)
+
+  def rm3Rescore(s: SparkSession, sf: String, terms: Seq[String],
+      fbDocs: Int, topN: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val exp = rm3Weights(s, sf, terms, fbDocs)
+      .orderBy(col("w_e6").desc, col("term").asc)
+      .limit(topN)
+    val wmax = exp.agg(max(col("w_e6")).as("wmax"))
+    val orig = terms.toDF("term")
+      .crossJoin(broadcast(wmax))
+      .select(col("term"), (col("wmax") * 2).as("wt"))
+    val tw = exp.select(col("term"), col("w_e6").as("wt")).unionByName(orig)
+    bm25PerTermDf(s, sf, tw)
+      .join(broadcast(tw), "term")
+      .groupBy("doc_id")
+      .agg(sum(col("s_e6") * col("wt")).as("rm3_e6"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("rm3_e6").desc, col("doc_id").asc)
+      .limit(k)
   }
 
   /** X22: bigram-LM corpus quality score — add-one-smoothed average token

@@ -180,6 +180,26 @@ class SearchOpsSpec extends SparkTestBase {
       s"feedback-doc join must broadcast:\n$plan")
   }
 
+  test("rm3 rescore: expanded query re-ranks; original terms dominate; weight table broadcast") {
+    val out = SearchOps.qRm3Rescore(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 15)
+    val scores = out.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse, "rescore must rank descending")
+    // docs matching only original query terms still outrank docs matching
+    // only expansion terms: original wt = 2*max(expansion) by construction.
+    // Sanity-check via the weight relation on the output's n_terms bound:
+    // a doc can match at most |q| + topN = 11 weighted terms
+    assert(out.forall(_.getLong(2) <= 11L))
+    // the ≤11-row weight table must broadcast into the token stream; the
+    // corpus side must never shuffle corpus-sized data on term
+    val plan = SearchOps.qRm3Rescore(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight-table join must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
+
   test("bm25 plan: per-term df and corpus stats broadcast; no corpus-sized shuffle on the probe side") {
     val plan = SearchOps.qBm25Topk(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), "df/stats tables must broadcast")
