@@ -43,6 +43,8 @@ object SparkEntry {
     "q_pivot_month"           -> (Relational.qPivotMonth _),
     "q_except_semi"           -> (Relational.qExceptSemi _),
     "q_rollup"                -> (Relational.qRollup _),
+    "q_grouping_sets"         -> (Relational.qGroupingSets _),
+    "q_histogram"             -> (Relational.qHistogram _),
     "q_percentiles"           -> (Relational.qPercentiles _),
     "q_stats_moments"         -> (Relational.qStatsMoments _),
     "q_intersect"             -> (Relational.qIntersect _),
@@ -56,6 +58,7 @@ object SparkEntry {
     "q_tumbling_window"       -> (EventOps.qTumblingWindow _),
     "q_session_like_gap"      -> (EventOps.qSessionLikeGap _),
     "q_window_running_sum"    -> (EventOps.qWindowRunningSum _),
+    "q_funnel_steps"          -> (EventOps.qFunnelSteps _),
     "q_asof_join"             -> (TemporalJoinOps.qAsofJoin _),
     "q_asof_join_blocked"     -> (TemporalJoinOps.qAsofJoinBlocked _),
     "q_range_join_windows"    -> (TemporalJoinOps.qRangeJoinWindows _),
@@ -90,6 +93,8 @@ object SparkEntry {
     "q_quality_filter"        -> (CorpusOps.qQualityFilter _),
     "q_minhash_neardup"       -> (DedupOps.qMinhashNeardup _),
     "q_dedup_clusters"        -> (DedupOps.qDedupClusters _),
+    "q_semantic_dedup"        -> (DedupOps.qSemanticDedup _),
+    "q_dup_ngram_spans"       -> (CorpusOps.qDupNgramSpans _),
     "q_binary_meta"           -> (MultimodalOps.qBinaryMeta _),
     "q_cosine_topk"           -> (VectorOps.qCosineTopk _),
     "q_collection_routing"    -> (VectorOps.qCollectionRouting _),
@@ -351,6 +356,18 @@ object SparkEntry {
         |CAST(grouping(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |CAST(round(quantile_cont(l_quantity, 0.5) * 1000000, 0) AS BIGINT) AS med_qty_e6,
@@ -433,6 +450,22 @@ object SparkEntry {
         |CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
         |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
+    // funnel: timestamps compared as exact integer micros on both sides —
+    // Spark's events reader truncates ns → µs, so the oracle floors the
+    // native ns value identically before any min/chaining comparison
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |v AS (SELECT user_id, min(tus) AS t_view_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.tus) AS t_click_us FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.tus > v.t_view_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.tus) AS t_purchase_us FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus > c.t_click_us GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view_us, c.t_click_us, p.t_purchase_us,
+        |CAST(1 + (CASE WHEN c.t_click_us IS NOT NULL THEN 1 ELSE 0 END)
+        |       + (CASE WHEN p.t_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
@@ -524,6 +557,26 @@ object SparkEntry {
         |lab AS (SELECT rs AS node, least(rs, min(rd)) AS label FROM r GROUP BY rs)
         |SELECT label AS cluster_rep, count(*) AS n_members, max(node) AS max_member
         |FROM lab GROUP BY label HAVING count(*) >= 2 ORDER BY cluster_rep""".stripMargin,
+    // X27: same word-3-shingle construction as the dedup family, then
+    // corpus-wide duplicate-shingle detection keyed on the shingle
+    "q_dup_ngram_spans" ->
+      """WITH t0 AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |dd AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(len(toks) - 2), i ->
+        |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t0),
+        |ex AS (SELECT doc_id, unnest(sh) AS key FROM dd),
+        |dk AS (SELECT key FROM ex GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
+        |pd AS (SELECT ex.doc_id, count(*) AS n_dup FROM ex
+        |  JOIN dk ON ex.key = dk.key GROUP BY ex.doc_id),
+        |ns AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id)
+        |SELECT ns.doc_id, ns.n_shingles,
+        |CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+        |CAST(round(CAST(COALESCE(pd.n_dup, 0) AS DOUBLE) / ns.n_shingles * 1000000, 0) AS BIGINT) AS dup_frac_e6
+        |FROM ns LEFT JOIN pd ON ns.doc_id = pd.doc_id ORDER BY ns.doc_id""".stripMargin,
     "q_chunk_rows" ->
       """WITH r AS (SELECT source, doc_id,
         |  '[index ' || doc_id || '] ' || 'doc_id:' || doc_id || ' | text:' || text ||
@@ -749,6 +802,36 @@ object SparkEntry {
          |        a.band2 = b.band2 OR a.band3 = b.band3))
          |SELECT label, id_a, id_b, sim_e6 FROM c WHERE sim_e6 >= 300000
          |ORDER BY id_a, id_b""".stripMargin,
+    // X26 semantic dedup: transitive closure over the SAME band-blocked
+    // exact-cosine pair graph as q_embed_neardup_pairs, so the cluster
+    // fixpoint itself is hash-verified (mirrors the q_dedup_clusters
+    // recursive-CTE discipline on the embedding side)
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE s AS (SELECT vec_id, label, embedding,
+         |  ${cmpBandSql(32, 4).zipWithIndex
+               .map { case (b, i) => s"($b) AS band$i" }.mkString(",\n  ")}
+         |  FROM embeddings),
+         |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${e6(cosSql("a.embedding", "b.embedding"))} AS sim_e6
+         |  FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |        a.band2 = b.band2 OR a.band3 = b.band3)),
+         |pp AS (SELECT id_a, id_b FROM c WHERE sim_e6 >= 300000),
+         |eg AS (SELECT id_a AS es, id_b AS ed FROM pp
+         |  UNION ALL SELECT id_b, id_a FROM pp),
+         |r(rs, rd) AS (SELECT es, ed FROM eg
+         |  UNION SELECT r.rs, eg.ed FROM r JOIN eg ON r.rd = eg.es),
+         |lab AS (SELECT rs AS node, least(rs, min(rd)) AS comp FROM r GROUP BY rs),
+         |att AS (SELECT emb.label AS coll, lab.comp FROM lab
+         |  JOIN embeddings emb ON emb.vec_id = lab.node),
+         |ds AS (SELECT coll, count(*) AS n_clustered,
+         |  count(DISTINCT comp) AS n_clusters FROM att GROUP BY coll),
+         |tot AS (SELECT label AS coll, count(*) AS n_vecs FROM embeddings GROUP BY label)
+         |SELECT tot.coll AS label, tot.n_vecs,
+         |CAST(COALESCE(ds.n_clustered, 0) AS BIGINT) AS n_in_dup_clusters,
+         |CAST(COALESCE(ds.n_clusters, 0) AS BIGINT) AS n_clusters,
+         |CAST(tot.n_vecs - COALESCE(ds.n_clustered - ds.n_clusters, 0) AS BIGINT) AS n_kept
+         |FROM tot LEFT JOIN ds ON tot.coll = ds.coll ORDER BY label""".stripMargin,
     // BM25: per-term micro-scores (idf·tfn collapsed to BIGINT before any
     // sum) keep the per-doc aggregate an order-independent integer sum.
     // The indexed variant probes the persisted inverted index but computes

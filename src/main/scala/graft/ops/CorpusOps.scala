@@ -201,6 +201,35 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** X27: duplicated-shingle span profile — the exact substring-duplication
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better") at word-3-shingle granularity: for each document, the
+    * fraction of its distinct shingles that also occur in ≥1 OTHER
+    * document. High dup_frac flags boilerplate/templated text for
+    * span-level (not whole-doc) dedup. Corpus-wide duplicate-shingle
+    * detection is one explode→agg keyed on the shingle — linear in corpus
+    * tokens with map-side combine; the per-doc rollup LEFT SEMI joins doc
+    * shingles against the dup-key set on the same key. Never doc×doc, and
+    * no driver-side state, so the shape holds at 100 TB. */
+  def qDupNgramSpans(s: SparkSession, sf: String): DataFrame = {
+    val sh = DedupOps.withShingles(t(s, sf, "documents"))
+      .select(col("doc_id"), explode(col("sh")).as("key"))
+    val dupKeys = sh.groupBy("key")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("key")
+    val perDoc = sh.join(dupKeys, Seq("key"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_shingles"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"),
+        round(coalesce(col("n_dup_shingles"), lit(0L)).cast("double")
+          / col("n_shingles").cast("double") * 1000000, 0).cast("long")
+          .as("dup_frac_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Stratified split audit: per (lang, split) doc counts and char volume —
     * the sanity report run after assignment to confirm strata balance. */
   def qSplitStratified(s: SparkSession, sf: String): DataFrame =

@@ -266,4 +266,38 @@ object DedupOps {
       .filter(col("jaccard") >= 0.4)
       .orderBy("id_a", "id_b")
   }
+
+  /** X26: semantic dedup (SemDeDup-style, Abbas et al. 2023) — keep ONE
+    * representative per cluster of near-identical EMBEDDINGS, the
+    * curation pass that removes semantic (not just lexical) duplicates
+    * before training. Composes two independently-verified stages: the
+    * band-blocked exact-cosine pair graph (`VectorOps.qEmbedNeardupPairs`
+    * — candidates blocked on deterministic comparison-bit bands, so the
+    * DuckDB oracle reproduces the candidate set term for term) and
+    * min-label connected components. The report is per collection label:
+    * total vectors, vectors in ≥2-member clusters, cluster count, and the
+    * survivor count after keep-min-per-cluster. Every stage is a keyed
+    * shuffle (band keys, then component labels, then the label-sized
+    * report agg) — never vector×vector — so the shape holds at 100 TB. */
+  def qSemanticDedup(s: SparkSession, sf: String): DataFrame = {
+    val pairs = VectorOps.qEmbedNeardupPairs(s, sf)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = connectedComponents(pairs) // (node, label) = (vec_id, component rep)
+    val e = Tables.t(s, sf, "embeddings").select(col("vec_id"), col("label").as("coll"))
+    val dupStats = e
+      .join(comp.select(col("node").as("vec_id"), col("label").as("comp")), Seq("vec_id"))
+      .groupBy("coll")
+      .agg(count(lit(1)).as("n_clustered"), countDistinct(col("comp")).as("n_clusters"))
+    val report = e.groupBy("coll").agg(count(lit(1)).as("n_vecs"))
+      .join(dupStats, Seq("coll"), "left")
+      .select(col("coll").as("label"), col("n_vecs"),
+        coalesce(col("n_clustered"), lit(0L)).as("n_in_dup_clusters"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+        (col("n_vecs") - coalesce(col("n_clustered") - col("n_clusters"), lit(0L)))
+          .as("n_kept"))
+      .orderBy("label")
+      .localCheckpoint() // free the component labels (see qDedupClusters)
+    org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(comp)
+    report
+  }
 }

@@ -60,4 +60,31 @@ object EventOps {
           .over(w).cast("double").as("run_sum"))
       .orderBy("user_id", "event_id")
   }
+
+  /** E3: ordered funnel — view → click → purchase per user, each stage
+    * timestamped by the EARLIEST qualifying event STRICTLY AFTER the prior
+    * stage (min-ts chaining, the standard product-analytics funnel).
+    * Three aggregations keyed on user_id plus two equi-joins on the same
+    * key — work is linear in events and shuffles only on user_id, never
+    * event×event. Timestamps compare as exact integer micros
+    * (`unix_micros`) so the µs-truncating events reader (Tables.events)
+    * and a ns-native oracle agree bit-for-bit. */
+  def qFunnelSteps(s: SparkSession, sf: String): DataFrame = {
+    val e = t(s, sf, "events").select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("t_view_us"))
+    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("tus") > col("t_view_us"))
+      .groupBy("user_id").agg(min(col("tus")).as("t_click_us"))
+    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("tus") > col("t_click_us"))
+      .groupBy("user_id").agg(min(col("tus")).as("t_purchase_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view_us"), col("t_click_us"),
+        col("t_purchase_us"),
+        (lit(1L) + when(col("t_click_us").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase_us").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy("user_id")
+  }
 }

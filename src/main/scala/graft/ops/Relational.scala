@@ -256,6 +256,35 @@ object Relational {
         grouping(col("l_linestatus")).cast("long").as("g_status"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** R10d: GROUPING SETS — the general grouped-subtotal form. The set
+    * selection here ((l_returnflag), (l_linestatus)) — two independent
+    * one-column aggregates, WITHOUT the pair — is expressible by neither
+    * ROLLUP nor CUBE, and Catalyst lowers it to ONE Expand + hash
+    * aggregate over a single scan (not two scans unioned), the shape that
+    * matters when the input is 100 TB read once. */
+  def qGroupingSets(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem")
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** R10e / V10: fixed-width numeric histogram — the value-distribution
+    * profile a catalog publishes per numeric column (the deterministic
+    * analog of the reference's LLM column descriptions,
+    * `ingestion_pipeline_langgraph.py:428-526`). Bucket id is pure
+    * projection arithmetic (codegen, no shuffle); the agg is keyed on the
+    * bounded bucket id, so map-side partial aggregation collapses each
+    * partition to ≤ n_buckets rows before the exchange. */
+  def qHistogram(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem")
+      .withColumn("bucket", floor(col("l_extendedprice") / lit(5000.0)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("bucket")
+
   /** R16b: INTERSECT — customers active in both 1995 and 2000. */
   def qIntersect(s: SparkSession, sf: String): DataFrame = {
     val o = t(s, sf, "orders")
