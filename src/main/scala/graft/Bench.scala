@@ -22,7 +22,9 @@ object Bench {
     "q_hybrid_rrf", "q_hybrid_rrf_index", "q_bigram_lm",
     "q_phrase_match", "q_phrase_match_index", "q_phrase_match3",
     "q_tfidf_keywords", "q_pack_sequences", "q_ivf_trained_topk",
-    "q_rm3_expansion", "q_rm3_rescore")
+    "q_rm3_expansion", "q_rm3_rescore",
+    "q_semantic_dedup", "q_dup_ngram_spans", "q_funnel_steps",
+    "q_pq_topk", "q_ivfpq_topk")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a
@@ -96,6 +98,8 @@ object Bench {
     try graft.ops.VectorOps.ensureCentroids(spark, sfDir): Unit
     catch { case _: Throwable => () }
     try graft.ops.VectorOps.ensureTrainedIvf(spark, sfDir): Unit
+    catch { case _: Throwable => () }
+    try graft.ops.PqOps.ensurePq(spark, sfDir): Unit
     catch { case _: Throwable => () }
     // untimed warmup pass at the TARGET sf: first-touch page cache, JIT at
     // the real data shapes — doubles as the round-robin's pass 0

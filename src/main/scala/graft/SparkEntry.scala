@@ -104,6 +104,8 @@ object SparkEntry {
     "q_ivf_topk"              -> (VectorOps.qIvfTopk _),
     "q_ivf_topk_batch"        -> (VectorOps.qIvfTopkBatch _),
     "q_ivf_trained_topk"      -> (VectorOps.qIvfTrainedTopk _),
+    "q_pq_topk"               -> (PqOps.qPqTopk _),
+    "q_ivfpq_topk"            -> (PqOps.qIvfPqTopk _),
     "q_salted_agg"            -> (SkewOps.qSaltedAgg _),
     "q_upsert_merge"          -> (MergeOps.qUpsertMerge _),
     "q_dedup_incremental"     -> (MergeOps.qDedupIncremental _),

@@ -202,11 +202,43 @@ class PlanSpec extends SparkTestBase {
       s"the documents corpus must not be scanned at query time:\n$p")
   }
 
+  test("grouping sets lowers to one Expand over a single scan, not a union of scans") {
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    val qe = Relational.qGroupingSets(spark, sf).queryExecution
+    val expands = qe.optimizedPlan.collect { case e: Expand => e }
+    assert(expands.size == 1, s"expected one Expand:\n${qe.optimizedPlan}")
+    val p = plan(Relational.qGroupingSets(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"grouping sets must read lineitem once, saw $scans scans:\n$p")
+  }
+
+  test("funnel chains keyed joins on user_id; no nested loop or cartesian") {
+    val p = plan(EventOps.qFunnelSteps(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"funnel must stay keyed on user_id:\n$p")
+  }
+
+  test("dup-shingle spans: dup keys prune via a semi-join, never doc x doc") {
+    val p = plan(CorpusOps.qDupNgramSpans(spark, sf))
+    assert(p.contains("LeftSemi"), s"expected a left-semi dup-key join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span profile must never compare doc pairs:\n$p")
+  }
+
+  test("pq probe reads the codes artifact; raw embeddings only behind the shortlist semi-join") {
+    val p = plan(PqOps.qPqTopk(spark, sf))
+    assert(p.contains("/pq/sf"),
+      s"ADC stage must read the persisted codes artifact:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"raw embeddings must be gated by the shortlist semi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
   test("contract consistency: every oracle key is a wired query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
-    assert(SparkEntry.queries.size >= 71)
-    assert(SparkEntry.oracleSql.size >= 62)
+    assert(SparkEntry.queries.size >= 95)
+    assert(SparkEntry.oracleSql.size >= 85)
   }
 
   test("query functions never collect to the driver") {
@@ -215,7 +247,8 @@ class PlanSpec extends SparkTestBase {
     // are excluded because exporting + re-reading files is their semantics
     val sideEffecting = Set("q_ingest_csv_roundtrip", "q_ingest_tsv_roundtrip",
       "q_ingest_json_roundtrip", "q_partitioned_roundtrip",
-      "q_dedup_clusters") // iterative fixpoint runs jobs during construction
+      // iterative fixpoints run jobs during construction
+      "q_dedup_clusters", "q_semantic_dedup")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!sideEffecting(name)) {
         val df = fn(spark, sf)
