@@ -95,6 +95,7 @@ object SparkEntry {
     "q_dedup_clusters"        -> (DedupOps.qDedupClusters _),
     "q_semantic_dedup"        -> (DedupOps.qSemanticDedup _),
     "q_dup_ngram_spans"       -> (CorpusOps.qDupNgramSpans _),
+    "q_curation_funnel"       -> (CorpusOps.qCurationFunnel _),
     "q_binary_meta"           -> (MultimodalOps.qBinaryMeta _),
     "q_cosine_topk"           -> (VectorOps.qCosineTopk _),
     "q_collection_routing"    -> (VectorOps.qCollectionRouting _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_ivfpq_topk"            -> (PqOps.qIvfPqTopk _),
     "q_salted_agg"            -> (SkewOps.qSaltedAgg _),
     "q_upsert_merge"          -> (MergeOps.qUpsertMerge _),
+    "q_scd2_history"          -> (MergeOps.qScd2History _),
     "q_dedup_incremental"     -> (MergeOps.qDedupIncremental _),
     "q_dedup_incremental_bloom" -> (MergeOps.qDedupIncrementalBloom _),
     // lexical retrieval + statistical text models (SURVEY §2g X19-X22)
@@ -468,6 +470,16 @@ object SparkEntry {
         |       + (CASE WHEN p.t_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
         |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // X7b SCD2: validity intervals from the purchase change feed — exact
+    // integer micros on both sides, lead() tie-broken on event_id
+    "q_scd2_history" ->
+      """WITH p AS (SELECT user_id, event_id, value,
+        |  epoch_ns(ts) // 1000 AS valid_from_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, value, valid_from_us,
+        |lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us, event_id) AS valid_to_us,
+        |(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us, event_id) IS NULL) AS is_current
+        |FROM p ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
@@ -579,6 +591,45 @@ object SparkEntry {
         |CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_shingles,
         |CAST(round(CAST(COALESCE(pd.n_dup, 0) AS DOUBLE) / ns.n_shingles * 1000000, 0) AS BIGINT) AS dup_frac_e6
         |FROM ns LEFT JOIN pd ON ns.doc_id = pd.doc_id ORDER BY ns.doc_id""".stripMargin,
+    // X29 curation funnel: each stage CTE reuses the formulation already
+    // verified standalone (md5 fingerprint dedup, shingle-overlap
+    // decontamination, micro-int quality score), chained per doc
+    "q_curation_funnel" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        |bt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |bk AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(len(toks) - 2), i ->
+        |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [array_to_string(toks, ' ')] END) AS key FROM bt),
+        |ctk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM corpus),
+        |cex AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(len(toks) - 2), i ->
+        |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [array_to_string(toks, ' ')] END) AS key FROM ctk),
+        |contaminated AS (SELECT DISTINCT cex.doc_id FROM cex JOIN bk ON cex.key = bk.key),
+        |qx AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS alnum FROM corpus),
+        |qy AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS stop_cnt,
+        |  alnum FROM qx),
+        |qz AS (SELECT doc_id,
+        |  CAST(round(stop_cnt / CAST(n_tokens AS DOUBLE) * 1000000, 0) AS BIGINT) AS stop_ratio_e6,
+        |  CAST(round(alnum / CAST(n_tokens AS DOUBLE) * 1000000, 0) AS BIGINT) AS avg_word_len_e6 FROM qy),
+        |qual AS (SELECT doc_id FROM qz WHERE
+        |  CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE) + CAST(0.05 AS DOUBLE) * (CAST(avg_word_len_e6 AS DOUBLE) / 1000000.0)
+        |    - CAST(0.8 AS DOUBLE) * (CAST(stop_ratio_e6 AS DOUBLE) / 1000000.0))) * 1000000, 0) AS BIGINT) >= 500000)
+        |SELECT c.source, count(*) AS n_raw,
+        |CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+        |CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND ct.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after_decontam,
+        |CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND ct.doc_id IS NULL AND q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+        |CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND ct.doc_id IS NULL AND q.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT) AS chars_final
+        |FROM corpus c LEFT JOIN keep k ON c.doc_id = k.doc_id
+        |LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+        |LEFT JOIN qual q ON c.doc_id = q.doc_id
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
     "q_chunk_rows" ->
       """WITH r AS (SELECT source, doc_id,
         |  '[index ' || doc_id || '] ' || 'doc_id:' || doc_id || ' | text:' || text ||

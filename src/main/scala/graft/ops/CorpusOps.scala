@@ -201,6 +201,48 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** X29: end-to-end curation funnel — the chained survivor report a
+    * corpus release tracks per source: raw → exact dedup (keep the lowest
+    * doc_id per md5 fingerprint) → benchmark decontamination (drop docs
+    * sharing any word-3-shingle with the held-out eval slice, doc_id %
+    * 97 == 0) → quality floor (quality_e6 ≥ 500000). One DataFrame
+    * program composing three ALREADY-verified stage shapes (hash-agg
+    * dedup, shingle-keyed semi-join, pure-projection scoring) through
+    * doc_id-keyed left joins; every shuffle is keyed on fingerprint,
+    * shingle, or doc_id — the whole funnel remains linear in corpus
+    * tokens and produces one row per source. Demonstrates that a user's
+    * full release pipeline runs as ONE lazy plan (stage flags never
+    * materialize per-doc intermediates to the driver). */
+  def qCurationFunnel(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents").filter(col("doc_id") % 97 =!= 0)
+    val keepDedup = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val benchKeys = DedupOps.withShingles(
+        t(s, sf, "documents").filter(col("doc_id") % 97 === 0))
+      .select(explode(col("sh")).as("key")).distinct()
+    val contaminated = DedupOps.withShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("key"))
+      .join(benchKeys, Seq("key"), "left_semi")
+      .select("doc_id").distinct()
+    val quality = TextOps.qualityPerDoc(docs)
+      .filter(col("quality_e6") >= 500000).select("doc_id")
+    docs.select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+      .join(keepDedup.withColumn("s1", lit(1L)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("ct", lit(1L)), Seq("doc_id"), "left")
+      .join(quality.withColumn("q", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("s1").isNotNull, 1L).otherwise(0L)).as("n_after_dedup"),
+        sum(when(col("s1").isNotNull && col("ct").isNull, 1L).otherwise(0L))
+          .as("n_after_decontam"),
+        sum(when(col("s1").isNotNull && col("ct").isNull && col("q").isNotNull,
+          1L).otherwise(0L)).as("n_final"),
+        sum(when(col("s1").isNotNull && col("ct").isNull && col("q").isNotNull,
+          col("n_chars")).otherwise(0L)).as("chars_final"))
+      .orderBy("source")
+  }
+
   /** X27: duplicated-shingle span profile — the exact substring-duplication
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better") at word-3-shingle granularity: for each document, the

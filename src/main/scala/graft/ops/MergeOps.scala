@@ -51,6 +51,27 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
+  /** X7b: SCD2 dimension history — the effective-dated face of CDC: each
+    * key's change events become validity intervals `[valid_from, valid_to)`
+    * with an open-ended current row (the slowly-changing-dimension type-2
+    * table a lakehouse derives from the same change feed `upsertLatest`
+    * compacts). ONE window keyed on the entity (lead over (ts, event_id) —
+    * the same deterministic tie-break as the sessionizer), zero joins;
+    * linear in change events and shuffled on the entity key only.
+    * Timestamps are exact integer micros so the interval bounds
+    * hash-match a ns-native oracle. */
+  def qScd2History(s: SparkSession, sf: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    t(s, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
   /** Drop incoming documents whose exact content fingerprint already exists
     * in the corpus — a left-anti join on md5(text): the standard admission
     * filter in front of a training corpus (near-dup admission composes the

@@ -110,6 +110,48 @@ object EventStream {
       }
   }
 
+  case class FEvt(user_id: Long, event_id: Long, tsMicros: Long, event_type: String)
+  case class FunnelState(view: Long, click: Long, purchase: Long) // -1 = unset
+  case class FunnelRow(user_id: Long, t_view_us: java.lang.Long,
+      t_click_us: java.lang.Long, t_purchase_us: java.lang.Long, stage: Long)
+
+  /** Streaming funnel — the incremental face of `EventOps.qFunnelSteps`:
+    * per-user view → click → purchase chaining held as THREE longs of
+    * state, emitted (Update mode) whenever a user's funnel advances.
+    * Within a micro-batch events are processed in (ts, event_id) order;
+    * across batches the chain advances monotonically, which equals the
+    * batch min-ts chaining whenever each user's events arrive in event
+    * order (the file-source / log-compacted case). A later-arriving
+    * EARLIER view cannot retroactively lower `t_view` once a click
+    * chained — the standard streaming-funnel approximation; bound
+    * disorder with a watermark upstream if the source reorders. Stage 0
+    * rows (no view yet) are emitted so downstream sees every active
+    * user; the batch operator's output is the stage ≥ 1 subset. */
+  def funnelSteps(events: Dataset[FEvt]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout()) {
+        case (user, evts, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          evts.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if s.view < 0 =>
+                s = s.copy(view = e.tsMicros)
+              case "click" if s.view >= 0 && s.click < 0 && e.tsMicros > s.view =>
+                s = s.copy(click = e.tsMicros)
+              case "purchase" if s.click >= 0 && s.purchase < 0 && e.tsMicros > s.click =>
+                s = s.copy(purchase = e.tsMicros)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          def opt(v: Long): java.lang.Long = if (v >= 0) v else null
+          val stage = (if (s.view >= 0) 1L else 0L) +
+            (if (s.click >= 0) 1L else 0L) + (if (s.purchase >= 0) 1L else 0L)
+          FunnelRow(user, opt(s.view), opt(s.click), opt(s.purchase), stage)
+      }
+  }
+
   /** Streaming exact dedup: suppress repeated event ids with state bounded
     * by the watermark (ids older than the delay are expired from state —
     * the streaming face of the batch `dropDuplicates` dedup family). */

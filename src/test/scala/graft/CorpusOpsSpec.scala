@@ -210,4 +210,27 @@ class CorpusOpsSpec extends SparkTestBase {
         single.orderBy("doc_id").collect().toSeq)
     }
   }
+
+  test("curation funnel: stage counts are monotone and every stage drops something") {
+    val rows = CorpusOps.qCurationFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (raw, d, c, f) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_after_dedup"),
+        r.getAs[Long]("n_after_decontam"), r.getAs[Long]("n_final"))
+      assert(raw >= d && d >= c && c >= f, s"non-monotone funnel row: $r")
+      assert(r.getAs[Long]("chars_final") >= 0L)
+    }
+    // on the synthetic corpus each stage must actually bite somewhere —
+    // a stage that drops nothing anywhere means its join matched nothing
+    val t = rows.map(r => (r.getAs[Long]("n_raw"), r.getAs[Long]("n_after_dedup"),
+      r.getAs[Long]("n_after_decontam"), r.getAs[Long]("n_final")))
+    // dedup bites only where exact duplicates exist (none at sf0.001, some
+    // at sf0.01) — assert agreement with the standalone dedup report
+    // rather than assuming the corpus has dups at this SF
+    val expectedDups = graft.ops.TextOps.qExactDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_dups")).sum
+    assert(t.map(x => x._1 - x._2).sum <= expectedDups,
+      "dedup stage dropped more than the corpus' exact-dup count")
+    assert(t.map(x => x._2 - x._3).sum > 0L, "decontamination stage dropped nothing")
+  }
 }

@@ -230,4 +230,60 @@ class StreamingSpec extends SparkTestBase {
     assert(all.join(scratch, Seq("vec_id", "label"), "left_semi").count() ==
       e.count(), "streamed assignment drifted from the batch assignment")
   }
+
+  test("streaming funnel advances incrementally and ignores out-of-chain events") {
+    import spark.implicits._
+    import EventStream.{FEvt, FunnelRow}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[FEvt]
+    // user 1: click BEFORE any view (must not chain), then the real chain
+    stream.addData(FEvt(1, 1, 100L, "click"), FEvt(1, 2, 200L, "view"),
+      FEvt(2, 3, 100L, "view"))
+    val q = EventStream.funnelSteps(stream.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("funnel").as[FunnelRow].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.last }
+      assert(r1(1L).stage == 1 && r1(1L).t_view_us == 200L,
+        s"pre-view click must not count: ${r1(1L)}")
+      // user 1 clicks after the view, then purchases; a second (later)
+      // click must not move t_click_us
+      stream.addData(FEvt(1, 4, 300L, "click"), FEvt(1, 5, 400L, "click"),
+        FEvt(1, 6, 500L, "purchase"))
+      q.processAllAvailable()
+      val r2 = spark.table("funnel").as[FunnelRow].collect()
+        .filter(_.user_id == 1L).last
+      assert(r2 == FunnelRow(1L, 200L, 300L, 500L, 3L), s"got $r2")
+    } finally q.stop()
+  }
+
+  test("streaming funnel over the events table equals the batch funnel") {
+    import spark.implicits._
+    import EventStream.{FEvt, FunnelRow}
+    implicit val sqlCtx = spark.sqlContext
+    val evts = graft.ops.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_type"))
+      .as[FEvt].collect().toSeq
+    val stream = MemoryStream[FEvt]
+    stream.addData(evts)
+    val q = EventStream.funnelSteps(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_parity")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("funnel_parity").as[FunnelRow].collect()
+      .groupBy(_.user_id).map { case (_, rs) => rs.last }
+      .filter(_.stage >= 1)
+      .map(r => (r.user_id, r.t_view_us, r.t_click_us, r.t_purchase_us, r.stage))
+      .toSet
+    val batch = graft.ops.EventOps.qFunnelSteps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[java.lang.Long],
+        r.get(2).asInstanceOf[java.lang.Long],
+        r.get(3).asInstanceOf[java.lang.Long], r.getLong(4)))
+      .toSet
+    assert(streamed == batch,
+      s"stream/batch diverged: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+  }
 }
