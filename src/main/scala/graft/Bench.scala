@@ -24,7 +24,7 @@ object Bench {
     "q_tfidf_keywords", "q_pack_sequences", "q_ivf_trained_topk",
     "q_rm3_expansion", "q_rm3_rescore",
     "q_semantic_dedup", "q_dup_ngram_spans", "q_funnel_steps",
-    "q_pq_topk", "q_ivfpq_topk")
+    "q_pq_topk", "q_ivfpq_topk", "q_curation_funnel", "q_scd2_history")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

@@ -234,6 +234,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("scd2 history is one entity-keyed window, zero joins") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val lp = MergeOps.qScd2History(spark, sf).queryExecution.optimizedPlan
+    assert(lp.collect { case w: LWindow => w }.size == 1,
+      s"expected exactly one window:\n$lp")
+    assert(lp.collect { case j: Join => j }.isEmpty,
+      s"SCD2 must not self-join the change feed:\n$lp")
+  }
+
   test("contract consistency: every oracle key is a wired query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
