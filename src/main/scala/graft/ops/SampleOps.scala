@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Corpus sampling / ordering operators for training-data preparation: the
+  * steps between a curated corpus and the token stream a trainer actually
+  * reads. Per-source contribution caps (the RefinedWeb-style anti-dominance
+  * guard), temperature-scaled mixture weights (the multilingual /
+  * multi-source sampling schedule), and deterministic shard assignment (the
+  * data-parallel training order). Engine-side statistical analogs of the
+  * reference's corpus-prep surface (`ingestion_pipeline_langgraph.py`
+  * source handling); everything here is hash-deterministic so the driver's
+  * DuckDB oracle verifies each decision bit-for-bit — a `rand()`-based
+  * sampler never could be.
+  */
+object SampleOps {
+
+  /** Deterministic per-doc ordering key: md5 over the doc id plus a
+    * purpose tag, so independent sampling decisions are independent
+    * (the cap draw does not correlate with the split draw in
+    * [[CorpusOps.splitAssign]], which salts with its own tag). */
+  private def ordKey(tag: String): Column =
+    md5(concat(col("doc_id").cast("string"), lit(tag)))
+
+  /** X30: per-source contribution cap — keep at most `cap` documents per
+    * source, chosen by a deterministic hash order (RefinedWeb / Gopher cap
+    * per-domain contributions so no single domain dominates the mixture).
+    *
+    * Scale shape: a single `row_number` window per source shuffles every
+    * row of a source into ONE task — a 100 TB crawl with a mega-domain
+    * dies there. So selection runs two-level, like the cross-collection
+    * TopK: (1) rows salt into `salts` sub-partitions per source and each
+    * keeps its own hash-ordered top-`cap` (windows over (source, salt) —
+    * bounded skew), (2) the final top-`cap` window runs over the ≤
+    * salts·cap survivors per source. Both levels keep the SAME total
+    * order (ord, doc_id), so the composition equals the single-window
+    * formulation exactly (SampleOpsSpec proves it; the oracle re-derives
+    * it with one plain window). */
+  def sourceCap(docs: DataFrame, cap: Int, salts: Int = 16): DataFrame = {
+    val ord = ordKey(":cap")
+    // salt from a disjoint slice of the same md5 (chars 30..32) — decorrelated
+    // from the ordering prefix, deterministic, no extra hash pass
+    val salt = substring(ord, 30, 3)
+    val base = docs.select(col("doc_id"), col("source"),
+      col("n_chars").cast("long").as("n_chars"), ord.as("ord"), salt.as("salt"))
+    val local = Window.partitionBy("source", "salt")
+      .orderBy(col("ord"), col("doc_id"))
+    val global = Window.partitionBy("source").orderBy(col("ord"), col("doc_id"))
+    base
+      .withColumn("rn_local", row_number().over(local))
+      .filter(col("rn_local") <= cap)
+      .withColumn("rn", row_number().over(global))
+      .filter(col("rn") <= cap)
+      .drop("rn_local", "salt")
+  }
+
+  /** Per-source cap report: raw vs kept doc/char volume. One row per
+    * source; the kept side re-aggregates [[sourceCap]]'s survivors. */
+  def qSourceCap(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+    val raw = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars").cast("long")).as("chars_total"))
+    val kept = sourceCap(docs, cap = 15).groupBy("source").agg(
+      count(lit(1)).as("n_kept"),
+      sum(col("n_chars")).as("chars_kept"),
+      min(col("doc_id")).as("first_kept"))
+    raw.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        col("chars_total"), coalesce(col("chars_kept"), lit(0L)).as("chars_kept"),
+        col("first_kept"))
+      .orderBy("source")
+  }
+
+  /** X31: temperature-scaled mixture weights — the multi-source sampling
+    * schedule (p_s ∝ n_s^α with α = 1/2, the standard temperature
+    * flattening used for multilingual / multi-source pretraining mixes):
+    * per source, its token count, unnormalized weight, sampling
+    * probability, expected token draw for a 10M-token budget, and implied
+    * epochs over the source (how many times the source is re-read —
+    * the up-sampling factor for small sources).
+    *
+    * Determinism discipline: the only cross-row float reduction (the
+    * normalizer Σ n_s^α) is collapsed per source to a micro-int
+    * (`floor(sqrt(n)·1e6)`) BEFORE summing, so the denominator is an
+    * order-free integer sum; every downstream number is a fixed
+    * single-association chain of IEEE double ops over exact integers —
+    * bit-identical in Spark and DuckDB. Two aggs (per-source, then a
+    * 1-row total broadcast) — O(sources) result, linear scan cost. */
+  def qMixtureWeights(s: SparkSession, sf: String): DataFrame = {
+    val budget = 10000000L
+    val per = t(s, sf, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w_e6",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000000).cast("long"))
+    val tot = per.agg(sum(col("w_e6")).as("wsum_e6"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("ratio", col("w_e6").cast("double") / col("wsum_e6").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_e6"),
+        round(col("ratio") * 1000000, 0).cast("long").as("p_e6"),
+        round(col("ratio") * budget, 0).cast("long").as("expected_tokens"),
+        round(col("ratio") * budget / col("n_tokens").cast("double") * 1000000, 0)
+          .cast("long").as("epochs_e6"))
+      .orderBy("source")
+  }
+
+  /** X34: deterministic shard assignment — the final "global shuffle +
+    * shard for N data-parallel readers" step of training-data prep.
+    * Each doc hashes to a shard (first hex digit of its order key mod 8)
+    * and takes a position within the shard by (hash, doc_id) order. NO
+    * global sort anywhere: sharding is embarrassingly parallel and the
+    * only ordered reduction is per shard — at 100 TB each shard's order
+    * is produced by that shard's writer task(s) alone. The per-shard
+    * md5-of-id-chain proves the order is a pure function of the data
+    * (the oracle reproduces it from scratch in DuckDB via an
+    * independent hex-digit decode: strpos vs conv). */
+  def qShardAssign(s: SparkSession, sf: String): DataFrame = {
+    val nShards = 8
+    val ord = ordKey(":ord")
+    val docs = t(s, sf, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        ord.as("ord"))
+      .withColumn("shard",
+        pmod(conv(substring(col("ord"), 1, 1), 16, 10).cast("long"), lit(nShards.toLong)))
+    docs.groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ord"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")),
+          ",")).as("order_md5"))
+      .orderBy("shard")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -447,4 +447,74 @@ object VectorOps {
         microScore(cosineFast(col("va"), col("vb"))).as("sim_e6"))
       .filter(col("sim_e6") >= 300000)
       .orderBy("id_a", "id_b")
+
+  /** X33: hard-negative mining for contrastive training — for each query
+    * vector, the top-k most-similar vectors carrying a DIFFERENT label
+    * (the "looks the same, isn't" examples a retrieval/embedding trainer
+    * wants as negatives). Query batch (vec_id < 5) is a broadcast; the
+    * corpus streams through one codegen'd cosine pass per query, and the
+    * per-query top-8 is a window keyed on q_id. The shape is the batch
+    * k-NN shape (`qIvfTopkBatch`): partitions = queries, so a large query
+    * batch spreads across the cluster; a huge corpus per query swaps the
+    * window for the bounded-heap TopKByScore aggregator (map-side
+    * partials) — both formulations are proven identical in TopKSpec. */
+  def qHardNegatives(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score_e6").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        microScore(cosineFast(col("embedding"), col("qv"))).as("score_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 8)
+      .orderBy("q_id", "rank")
+  }
+
+  /** X32: per-label centroid cohesion report — cluster prototypes plus
+    * intra-cluster dispersion (n, avg/min/max cosine-to-centroid), the
+    * diagnostic a curation pass reads before centroid-based selection or
+    * SemDeDup-style pruning (Abbas et al. 2023 cluster embeddings first).
+    *
+    * Determinism discipline: every embedding element collapses to a
+    * micro-int BEFORE any cross-row reduction, so the per-(label, dim)
+    * centroid sums are order-free integer sums; cosine against the
+    * integer centroid is scale-invariant (sums, never divided by n) and
+    * runs as the usual sequential in-row double fold; per-vector scores
+    * re-collapse to micro-ints before the per-label avg. Shuffles are
+    * keyed on (label, dim) then label — dims explode the corpus ×64 but
+    * stay linear, and the centroid table (labels × dims) is broadcast
+    * back. Hash-exact vs a DuckDB oracle that rebuilds the same sums. */
+  def qLabelCentroids(s: SparkSession, sf: String): DataFrame = {
+    val e = t(s, sf, "embeddings").select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "value")))
+      .groupBy("label", "dim").agg(sum(col("value")).as("sv"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("sv")))),
+        x => x.getField("sv")).as("cent"))
+    val dot = aggregate(
+      zip_with(col("v"), col("cent"), (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    def norm2(c: Column) =
+      aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    e.join(broadcast(cent), Seq("label"))
+      .select(col("label"),
+        microScore(dot / (sqrt(norm2(col("v"))) * sqrt(norm2(col("cent")))))
+          .as("cos_e6"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cos_e6")).cast("double") / count(lit(1)), 0).cast("long")
+          .as("avg_cos_e6"),
+        min(col("cos_e6")).as("min_cos_e6"),
+        max(col("cos_e6")).as("max_cos_e6"))
+      .orderBy("label")
+  }
 }
