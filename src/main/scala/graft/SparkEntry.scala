@@ -125,7 +125,13 @@ object SparkEntry {
     "q_tfidf_keywords"        -> (SearchOps.qTfidfKeywords _),
     "q_bigram_lm"             -> (SearchOps.qBigramLm _),
     "q_rm3_expansion"         -> (SearchOps.qRm3Expansion _),
-    "q_rm3_rescore"           -> (SearchOps.qRm3Rescore _)
+    "q_rm3_rescore"           -> (SearchOps.qRm3Rescore _),
+    // training-mixture sampling + contrastive mining (SURVEY §2g X30-X34)
+    "q_source_cap"            -> (SampleOps.qSourceCap _),
+    "q_mixture_weights"       -> (SampleOps.qMixtureWeights _),
+    "q_shard_assign"          -> (SampleOps.qShardAssign _),
+    "q_hard_negatives"        -> (VectorOps.qHardNegatives _),
+    "q_label_centroids"       -> (VectorOps.qLabelCentroids _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -1049,6 +1055,84 @@ object SparkEntry {
         |SELECT sc2.doc_id, CAST(sum(sc2.s_e6 * tw.wt) AS BIGINT) AS rm3_e6,
         |count(*) AS n_terms
         |FROM sc2 JOIN tw USING (term)
-        |GROUP BY sc2.doc_id ORDER BY rm3_e6 DESC, doc_id ASC LIMIT 15""".stripMargin
+        |GROUP BY sc2.doc_id ORDER BY rm3_e6 DESC, doc_id ASC LIMIT 15""".stripMargin,
+    // X30 per-source cap: same md5 order key + cap=15; the oracle derives
+    // the kept set with ONE plain window — proving the Spark side's salted
+    // two-level selection equals the single-window formulation exactly
+    "q_source_cap" ->
+      """WITH base AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |  md5(CAST(doc_id AS VARCHAR) || ':cap') AS ord FROM documents),
+        |k AS (SELECT * FROM (SELECT base.*,
+        |    row_number() OVER (PARTITION BY source ORDER BY ord, doc_id) AS rn
+        |  FROM base) WHERE rn <= 15),
+        |raw AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total FROM base GROUP BY source),
+        |kept AS (SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+        |  min(doc_id) AS first_kept FROM k GROUP BY source)
+        |SELECT r.source, r.n_docs, COALESCE(k.n_kept, 0) AS n_kept,
+        |r.n_docs - COALESCE(k.n_kept, 0) AS n_dropped,
+        |r.chars_total, COALESCE(k.chars_kept, 0) AS chars_kept, k.first_kept
+        |FROM raw r LEFT JOIN kept k USING (source) ORDER BY r.source""".stripMargin,
+    // X31 temperature mixture: the only cross-row float reduction (the
+    // normalizer) is collapsed to micro-ints before summing on BOTH sides,
+    // so every downstream double is a fixed single-association chain
+    "q_mixture_weights" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+        |  AS w_e6 FROM per),
+        |t AS (SELECT CAST(sum(w_e6) AS BIGINT) AS wsum_e6 FROM w)
+        |SELECT source, n_docs, n_tokens, w_e6,
+        |CAST(round(CAST(w_e6 AS DOUBLE) / CAST(wsum_e6 AS DOUBLE) * 1000000, 0) AS BIGINT) AS p_e6,
+        |CAST(round(CAST(w_e6 AS DOUBLE) / CAST(wsum_e6 AS DOUBLE) * 10000000, 0) AS BIGINT) AS expected_tokens,
+        |CAST(round(CAST(w_e6 AS DOUBLE) / CAST(wsum_e6 AS DOUBLE) * 10000000
+        |  / CAST(n_tokens AS DOUBLE) * 1000000, 0) AS BIGINT) AS epochs_e6
+        |FROM w, t ORDER BY source""".stripMargin,
+    // X34 shard assignment: independent hex-digit decode (strpos vs the
+    // Spark side's conv base-16) + string_agg re-derives the per-shard
+    // order hash from scratch
+    "q_shard_assign" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |  md5(CAST(doc_id AS VARCHAR) || ':ord') AS ord FROM documents),
+        |s AS (SELECT *, CAST((strpos('0123456789abcdef', substring(ord, 1, 1)) - 1) % 8
+        |  AS BIGINT) AS shard FROM d)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ord, doc_id)) AS order_md5
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    // X33 hard negatives: exact cosine (sequential double fold, micro-int
+    // scores) so the ranked negative set is hash-checkable
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.q_id, e.vec_id, e.label,
+         |  ${e6(cosSql("e.embedding", "q.qv"))} AS score_e6
+         |  FROM embeddings e, q WHERE e.label <> q.q_label),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |  (PARTITION BY q_id ORDER BY score_e6 DESC, vec_id ASC) AS BIGINT) AS "rank"
+         |  FROM s)
+         |SELECT q_id, vec_id, label, score_e6, "rank" FROM r WHERE "rank" <= 8
+         |ORDER BY q_id, "rank"""".stripMargin,
+    // X32 label centroids: micro-int element collapse before the per-dim
+    // integer sums (order-free), then the same sequential cosine fold
+    "q_label_centroids" ->
+      s"""WITH v AS (SELECT vec_id, label,
+         |  list_transform(embedding, x ->
+         |    CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |ex AS (SELECT label, u.dim AS dim, u.val AS val FROM
+         |  (SELECT label, unnest(list_transform(range(len(v)),
+         |    i -> {dim: i, val: v[i+1]})) AS u FROM v)),
+         |cd AS (SELECT label, dim, CAST(sum(val) AS BIGINT) AS sv
+         |  FROM ex GROUP BY label, dim),
+         |c AS (SELECT label, list(sv ORDER BY dim) AS cent FROM cd GROUP BY label),
+         |sc AS (SELECT v.label, ${e6(cosSql("v.v", "c.cent"))} AS cos_e6
+         |  FROM v JOIN c USING (label))
+         |SELECT label, count(*) AS n_vecs,
+         |CAST(round(CAST(sum(cos_e6) AS DOUBLE) / count(*), 0) AS BIGINT) AS avg_cos_e6,
+         |min(cos_e6) AS min_cos_e6, max(cos_e6) AS max_cos_e6
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.SampleOps
+
+/** Sampling/sharding operator invariants plus the registration-completeness
+  * guard: every `def qX(spark, sfDir)` in the ops package must be wired
+  * into `SparkEntry.queries` (or explicitly allowlisted as spec-only), so
+  * implemented-but-unverified operators can't silently accumulate again.
+  */
+class SampleOpsSpec extends SparkTestBase {
+
+  test("sourceCap: salted two-level selection equals the single-window formulation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = SampleOps.sourceCap(docs, cap = 15)
+
+    // reference formulation: ONE window per source (the shape that dies on
+    // a mega-source at scale, but is trivially correct at spec scale)
+    val ord = md5(concat(col("doc_id").cast("string"), lit(":cap")))
+    val w = Window.partitionBy("source").orderBy(col("ord"), col("doc_id"))
+    val want = docs
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"), ord.as("ord"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 15)
+
+    assert(got.count() == want.count())
+    assert(got.select("doc_id", "source", "n_chars", "ord", "rn")
+      .exceptAll(want.select("doc_id", "source", "n_chars", "ord", "rn"))
+      .isEmpty)
+  }
+
+  test("sourceCap: keeps at most cap docs per source and is deterministic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = SampleOps.sourceCap(docs, cap = 7)
+    assert(a.groupBy("source").count().filter(col("count") > 7).isEmpty)
+    val b = SampleOps.sourceCap(docs, cap = 7)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // different salt fan-outs select the same set (pure function of data)
+    val c = SampleOps.sourceCap(docs, cap = 7, salts = 3)
+    assert(a.drop("rn").exceptAll(c.drop("rn")).isEmpty)
+  }
+
+  test("qMixtureWeights: probabilities sum to ~1e6 and epochs invert token share") {
+    val r = SampleOps.qMixtureWeights(spark, sf).collect()
+    assert(r.nonEmpty)
+    val pSum = r.map(_.getAs[Long]("p_e6")).sum
+    assert(math.abs(pSum - 1000000L) <= r.length, s"p_e6 sum $pSum")
+    r.foreach { row =>
+      val exp = row.getAs[Long]("expected_tokens").toDouble
+      val n = row.getAs[Long]("n_tokens").toDouble
+      val ep = row.getAs[Long]("epochs_e6").toDouble
+      // epochs_e6 derives from the unrounded ratio; expected_tokens is
+      // rounded to the nearest token, so allow that half-token in e6 units
+      assert(math.abs(ep - exp / n * 1e6) <= 0.5 / n * 1e6 + 1.0,
+        s"epochs mismatch for $row")
+    }
+  }
+
+  test("qShardAssign: shards partition the corpus; order hash is reproducible") {
+    val r = SampleOps.qShardAssign(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r.agg(sum("n_docs")).head.getLong(0) == docs)
+    assert(r.select("shard").distinct().count() == r.count())
+    val again = SampleOps.qShardAssign(spark, sf)
+    assert(r.exceptAll(again).isEmpty)
+  }
+
+  test("every ops qX entrypoint is registered in SparkEntry.queries") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val opsObjects: Seq[AnyRef] = Seq(
+      graft.ops.Relational, graft.ops.EventOps, graft.ops.IngestOps,
+      graft.ops.TextOps, graft.ops.VectorOps, graft.ops.DedupOps,
+      graft.ops.CorpusOps, graft.ops.MergeOps, graft.ops.SearchOps,
+      graft.ops.SkewOps, graft.ops.SampleOps, graft.ops.PqOps,
+      graft.ops.MultimodalOps, graft.ops.ProfileOps,
+      graft.ops.TemporalJoinOps)
+    // spec-only entrypoints (none today — additions need a reason here)
+    val specOnly = Set.empty[String]
+    val norm = (s: String) => s.replace("_", "").toLowerCase
+    val registered = SparkEntry.queries.keySet.map(norm)
+    val qMethods = opsObjects.flatMap(o => o.getClass.getDeclaredMethods.toSeq
+      .filter { m =>
+        m.getName.matches("q[A-Z][A-Za-z0-9]*") &&
+        m.getParameterTypes.toSeq == Seq(classOf[SparkSession], classOf[String]) &&
+        classOf[DataFrame].isAssignableFrom(m.getReturnType)
+      }.map(_.getName)).distinct
+    assert(qMethods.size >= 100, s"reflection found only ${qMethods.size} q-methods")
+    val unwired = qMethods.filterNot(m => registered.contains(norm(m)) || specOnly.contains(m))
+    assert(unwired.isEmpty, s"unwired ops entrypoints: ${unwired.mkString(", ")}")
+  }
+}
