@@ -23,7 +23,7 @@ object QueryPipeline {
       decomposer: QueryDecomposer = ConjunctionDecomposer,
       identifier: TableIdentifier = NameMatchIdentifier,
       router: IntentRouter = KeywordRouter,
-      sqlGen: SqlGenerator = NoOpSqlGenerator)
+      sqlGen: SqlGenerator = graft.planner.TemplateSqlGenerator)
 
   case class SubResult(subQuery: String, intent: Intent, tables: Seq[String],
       result: DataFrame, error: Option[String], rowCount: Long)

@@ -1,0 +1,166 @@
+package graft.planner
+
+import graft.planner.PlannerHooks.SqlGenerator
+
+/** V9 default: a deterministic text-to-SQL generator covering the SQL
+  * surface the reference's prompt guarantees the LLM will produce
+  * (`langgraph_pipeline.py:461-492`: SELECT with WHERE / GROUP BY /
+  * ORDER BY / aggregate functions over the cataloged tables) — so
+  * `QueryPipeline.run` closes the NL→SQL→result loop hermetically, with
+  * zero network. An LLM-backed generator swaps in behind the same
+  * `SqlGenerator` seam for open-vocabulary questions.
+  *
+  * Grammar (all matching on lowercased word tokens):
+  *   - aggregate: "how many"/"count" → COUNT(*); "total"/"sum" → SUM;
+  *     "average"/"avg"/"mean" → AVG; "max(imum)"/"highest" → MAX;
+  *     "min(imum)"/"lowest" → MIN. No aggregate verb → plain row SELECT.
+  *   - measure: the first cataloged column of the chosen table whose
+  *     underscore-split parts all appear in the question.
+  *   - table: the catalog entry with the most name/column mentions
+  *     (ties → catalog order), like the reference's table-identification
+  *     node feeding its path map.
+  *   - grouping: "per/by/each <column>".
+  *   - filter: "<column> is/equals <value>" (string equality, quoted) or
+  *     "<column> over/above/under/below/at least/at most <number>".
+  *   - top-k: "top <n>" → ORDER BY measure DESC LIMIT n.
+  *
+  * The catalog arrives as the `describe` text QueryPipeline already renders
+  * (one line per table: `name (N rows): col type, col type`), so the
+  * generator needs no side-channel state and the hook stays a pure
+  * (question, catalogText) => Option[SQL] function.
+  */
+object TemplateSqlGenerator extends SqlGenerator {
+
+  private case class Col(name: String, dataType: String) {
+    def parts: Seq[String] = name.toLowerCase.split("_").filter(_.nonEmpty).toSeq
+    def numeric: Boolean = {
+      val t = dataType.toLowerCase
+      t.contains("int") || t.contains("double") || t.contains("float") ||
+        t.contains("decimal") || t.contains("long")
+    }
+  }
+  private case class Tab(name: String, cols: Seq[Col])
+
+  private val lineRe = """^(\S+) \(\d+ rows\): (.*)$""".r
+
+  private def parseCatalog(catalogText: String): Seq[Tab] =
+    catalogText.split("\n").toSeq.collect { case lineRe(name, cols) =>
+      Tab(name, cols.split(", ").toSeq.flatMap { c =>
+        c.trim.split("\\s+", 2) match {
+          case Array(n, t) => Some(Col(n, t))
+          case _ => None
+        }
+      })
+    }
+
+  private def tokens(q: String): Seq[String] =
+    q.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+
+  private def mentioned(toks: Seq[String], c: Col): Boolean =
+    c.parts.forall(toks.contains) || toks.contains(c.name.toLowerCase)
+
+  def generate(question: String, catalogText: String): Option[String] = {
+    val catalog = parseCatalog(catalogText)
+    if (catalog.isEmpty) return None
+    val toks = tokens(question)
+    val q = toks.mkString(" ")
+
+    // table choice: most name/column mentions, catalog order on ties
+    val scored = catalog.map { t =>
+      val nameHit =
+        if (toks.contains(t.name.toLowerCase) ||
+          toks.contains(t.name.toLowerCase.stripSuffix("s"))) 2 else 0
+      (t, nameHit + t.cols.count(mentioned(toks, _)))
+    }
+    val best = scored.maxBy(_._2)
+    if (best._2 == 0) return None
+    val tab = best._1
+
+    val agg: Option[(String, Boolean)] = // (fn, needsMeasure)
+      if (q.contains("how many") || toks.contains("count")) Some(("COUNT", false))
+      else if (toks.contains("total") || toks.contains("sum")) Some(("SUM", true))
+      else if (toks.contains("average") || toks.contains("avg") ||
+        toks.contains("mean")) Some(("AVG", true))
+      else if (toks.contains("max") || toks.contains("maximum") ||
+        toks.contains("highest")) Some(("MAX", true))
+      else if (toks.contains("min") || toks.contains("minimum") ||
+        toks.contains("lowest")) Some(("MIN", true))
+      else None
+
+    // grouping: "per|by|each <column words>"
+    val groupCol = toks.zipWithIndex.collectFirst(Function.unlift {
+      case (w, i) if Set("per", "by", "each").contains(w) =>
+        tab.cols.find(c => c.parts.nonEmpty &&
+          toks.drop(i + 1).take(c.parts.size + 1).containsSlice(c.parts))
+      case _ => None
+    })
+
+    val measure = agg match {
+      case Some((_, true)) =>
+        tab.cols.find(c => c.numeric && !groupCol.contains(c) && mentioned(toks, c))
+          .orElse(tab.cols.find(c => c.numeric && !groupCol.contains(c)))
+      case _ => None
+    }
+
+    // filter: "<col> is|equals <word>" or "<col> over|above|... <number>"
+    val cmpOps = Map("over" -> ">", "above" -> ">", "under" -> "<",
+      "below" -> "<", "least" -> ">=", "most" -> "<=")
+    val filter = toks.zipWithIndex.collectFirst(Function.unlift {
+      case (w, i) =>
+        tab.cols.find(c => toks.slice(i, i + c.parts.size) == c.parts).flatMap { c =>
+          val rest = toks.drop(i + c.parts.size)
+          rest match {
+            case op +: v +: _ if cmpOps.contains(op) && v.matches("\\d+(\\.\\d+)?") =>
+              Some(s"${c.name} ${cmpOps(op)} $v")
+            case "at" +: op +: v +: _
+              if cmpOps.contains(op) && v.matches("\\d+(\\.\\d+)?") =>
+              Some(s"${c.name} ${cmpOps(op)} $v")
+            case rel +: v +: _ if Set("is", "equals").contains(rel) =>
+              if (v.matches("\\d+(\\.\\d+)?")) Some(s"${c.name} = $v")
+              else if (c.numeric) None
+              else Some(s"${c.name} = '${v.replace("'", "''")}'")
+            case _ => None
+          }
+        }
+    })
+
+    val topK = "\\btop (\\d+)\\b".r.findFirstMatchIn(q).map(_.group(1).toInt)
+
+    val (selectAgg, aggAlias) = agg match {
+      case Some(("COUNT", _)) => (Some("count(*) AS n"), Some("n"))
+      case Some((fn, _)) =>
+        measure.map(m =>
+          (s"$fn(${m.name}) AS ${fn.toLowerCase}_${m.name}",
+            s"${fn.toLowerCase}_${m.name}")) match {
+          case Some((s, a)) => (Some(s), Some(a))
+          case None => (None, None)
+        }
+      case None => (None, None)
+    }
+
+    val sql = (selectAgg, groupCol) match {
+      case (Some(a), Some(g)) =>
+        val order = topK.map(k => s" ORDER BY ${aggAlias.get} DESC, ${g.name} ASC LIMIT $k")
+          .getOrElse(s" ORDER BY ${g.name} ASC")
+        Some(s"SELECT ${g.name}, $a FROM ${tab.name}" +
+          filter.map(f => s" WHERE $f").getOrElse("") +
+          s" GROUP BY ${g.name}$order")
+      case (Some(a), None) =>
+        Some(s"SELECT $a FROM ${tab.name}" +
+          filter.map(f => s" WHERE $f").getOrElse(""))
+      case (None, _) =>
+        val order = measureOrderCol(tab, toks)
+        val lim = topK.getOrElse(20)
+        Some(s"SELECT * FROM ${tab.name}" +
+          filter.map(f => s" WHERE $f").getOrElse("") +
+          order.map(c => s" ORDER BY ${c.name} DESC").getOrElse("") +
+          s" LIMIT $lim")
+    }
+    sql
+  }
+
+  /** Row-select questions still get a deterministic order when they name a
+    * numeric column ("top 5 loans by amount" without an aggregate verb). */
+  private def measureOrderCol(tab: Tab, toks: Seq[String]): Option[Col] =
+    tab.cols.find(c => c.numeric && mentioned(toks, c))
+}

@@ -48,6 +48,49 @@ class QueryPipelineSpec extends SparkTestBase {
     assert(ans.summary.contains("5 rows") && ans.summary.contains("10 rows"))
   }
 
+  test("default template generator answers loan-demo NL questions end to end") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "qp_loan").toString
+    val res = IngestionPipeline.run(spark, Seq("/root/reference/loan.xlsx"), out)
+    val catalog = Seq(
+      CatalogOps.profileTable(spark, s"$out/parquet_files", res.files.head.table))
+    val df = spark.read.parquet(res.files.head.parquetPath)
+
+    // decompose splits the two intents; both route to SQL and execute with
+    // the DEFAULT hooks — no canned generator, no LLM
+    val ans = QueryPipeline.run(spark,
+      "total loan amount requested per loan type; " +
+        "how many loans with credit score over 700", catalog)
+    assert(ans.subResults.size == 2)
+    assert(ans.subResults.forall(_.error.isEmpty), ans.summary)
+
+    val grouped = ans.subResults.head.result
+    assert(grouped.columns.toSeq == Seq("loan_type", "sum_loan_amount_requested"))
+    val wantGroups = df.groupBy("loan_type")
+      .agg(sum("loan_amount_requested").as("sum_loan_amount_requested"))
+    assert(grouped.count() == wantGroups.count())
+    val got = grouped.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    wantGroups.collect().foreach(r =>
+      assert(math.abs(got(r.getString(0)) - r.getDouble(1)) < 1e-6))
+
+    val counted = ans.subResults(1).result
+    assert(counted.columns.toSeq == Seq("n"))
+    assert(counted.head.getLong(0) ==
+      df.filter(col("credit_score") > 700).count())
+
+    // aggregate + filter + grouping in one question
+    val ans2 = QueryPipeline.run(spark,
+      "average interest rate per loan status where loan type is personal",
+      catalog)
+    val r2 = ans2.subResults.head
+    assert(r2.error.isEmpty, ans2.summary)
+    assert(r2.result.columns.toSeq == Seq("loan_status", "avg_interest_rate"))
+    val want2 = df.filter(col("loan_type") === "personal")
+      .groupBy("loan_status").agg(avg("interest_rate"))
+    assert(r2.result.count() == want2.count())
+  }
+
   test("loadContext follows the reference union-vs-join decision") {
     val catalog = Seq("customer", "supplier").map(CatalogOps.profileTable(spark, sf, _))
     // >1 table, no join key -> union by name with provenance
