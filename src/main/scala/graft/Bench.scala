@@ -24,7 +24,9 @@ object Bench {
     "q_tfidf_keywords", "q_pack_sequences", "q_ivf_trained_topk",
     "q_rm3_expansion", "q_rm3_rescore",
     "q_semantic_dedup", "q_dup_ngram_spans", "q_funnel_steps",
-    "q_pq_topk", "q_ivfpq_topk", "q_curation_funnel", "q_scd2_history")
+    "q_pq_topk", "q_ivfpq_topk", "q_curation_funnel", "q_scd2_history",
+    "q_source_cap", "q_mixture_weights", "q_shard_assign",
+    "q_hard_negatives", "q_label_centroids")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a
@@ -135,6 +137,15 @@ object Bench {
       s""""runs":${results.map(r => "\"" + r._1 + "\":" + r._5)
         .mkString("{", ",", "}")},""" +
       s""""runs_per_query":$runsPerQuery,"mult":$mult,"sf":"$sfDir"}"""
+    // durable copy of the full per-query stats: the one-line stdout JSON
+    // has outgrown tail-capture windows twice (r7, r8), losing per-query
+    // medians for round-over-round comparison — the on-disk artifact
+    // survives regardless of how much of stdout the harness keeps
+    val sfName = new java.io.File(sfBase).getName +
+      (if (mult > 1) s"_x$mult" else "")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"BENCH_DRIVER_$sfName.json"),
+      json.getBytes("UTF-8")): Unit
     // stop FIRST: executor/shutdown log lines must never trail the JSON
     // lines, they have to be the last things on stdout
     spark.stop()

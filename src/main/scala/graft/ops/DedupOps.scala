@@ -179,6 +179,25 @@ object DedupOps {
     * labels are silently WRONG clusters, and a component with diameter
     * beyond the bound (a chain, not a near-dup clique forest) needs the
     * caller to raise the bound knowingly. */
+  /** One min-label propagation round as a plain, un-checkpointed plan —
+    * for plan review only (`Scratch plans`). The committed fixpoint hides
+    * its shuffle shape behind `Scan ExistingRDD` checkpoint scans; this is
+    * the same round body (keyed join on src, min-agg keyed on dst, left
+    * join back to labels) with live lineage, so PLANS.md can show the
+    * per-round exchange structure that actually repeats at scale. */
+  def propagationRoundForPlan(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val nbrMin = sym.join(labels, sym("src") === labels("node"))
+      .groupBy(col("dst").as("node2")).agg(min(col("label")).as("nbr_label"))
+    labels.withColumnRenamed("label", "old")
+      .join(nbrMin, col("node") === col("node2"), "left")
+      .select(col("node"),
+        least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"))
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
     // materialize the symmetrized edge list ONCE — the upstream edge query
