@@ -131,7 +131,8 @@ object SparkEntry {
     "q_mixture_weights"       -> (SampleOps.qMixtureWeights _),
     "q_shard_assign"          -> (SampleOps.qShardAssign _),
     "q_hard_negatives"        -> (VectorOps.qHardNegatives _),
-    "q_label_centroids"       -> (VectorOps.qLabelCentroids _)
+    "q_label_centroids"       -> (VectorOps.qLabelCentroids _),
+    "q_perplexity_filter"     -> (SearchOps.qPerplexityFilter _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -1133,6 +1134,45 @@ object SparkEntry {
          |SELECT label, count(*) AS n_vecs,
          |CAST(round(CAST(sum(cos_e6) AS DOUBLE) / count(*), 0) AS BIGINT) AS avg_cos_e6,
          |min(cos_e6) AS min_cos_e6, max(cos_e6) AS max_cos_e6
-         |FROM sc GROUP BY label ORDER BY label""".stripMargin
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+    // X35 CCNet-style perplexity thirds: same LM CTEs as q_bigram_lm, then
+    // integer rank-thirds (rn*3 <= n) over identical window semantics —
+    // interpolated quantiles at fractional (n-1)·⅓ positions are
+    // engine-unstable by an ulp and flip boundary docs
+    "q_perplexity_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        |tp AS (SELECT doc_id, unnest(toks) AS w,
+        |  generate_subscripts(toks, 1) AS pos FROM d),
+        |bg AS (SELECT doc_id, w AS w1,
+        |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tp),
+        |bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |uni AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |c1 AS (SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY w),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM uni),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg2 GROUP BY w1, w2),
+        |lp AS (SELECT bg2.doc_id,
+        |  CAST(round(ln((cb.cb + 1.0) / (c1.c1 + vocab.v)) * 1000000, 0) AS BIGINT) AS lp_e6
+        |  FROM bg2 JOIN cb USING (w1, w2) JOIN c1 USING (w1), vocab),
+        |ds AS (SELECT doc_id,
+        |  CAST(round(CAST(CAST(sum(lp_e6) AS BIGINT) AS DOUBLE) / count(*), 0) AS BIGINT)
+        |    AS score_e6 FROM lp GROUP BY doc_id),
+        |sc AS (SELECT ds.doc_id, ds.score_e6, doc.source
+        |  FROM ds JOIN documents doc USING (doc_id)),
+        |rk AS (SELECT source, score_e6,
+        |  row_number() OVER (PARTITION BY source ORDER BY score_e6 DESC, doc_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM sc),
+        |b AS (SELECT source,
+        |  CASE WHEN rn * 3 <= n THEN 'head'
+        |       WHEN rn * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket, score_e6
+        |  FROM rk)
+        |SELECT source, bucket, count(*) AS n_docs,
+        |min(score_e6) AS min_score_e6, max(score_e6) AS max_score_e6,
+        |CAST(round(CAST(CAST(sum(score_e6) AS BIGINT) AS DOUBLE) / count(*), 0) AS BIGINT)
+        |  AS avg_score_e6
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
   )
 }

@@ -584,8 +584,19 @@ object SearchOps {
     * (linear in corpus tokens); scoring re-joins each doc's bigrams on the
     * same keys; per-bigram log-probs collapse to micro-ints before the
     * per-doc integer sum, so results are reduction-order independent. */
-  def qBigramLm(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents")
+  def qBigramLm(s: SparkSession, sf: String): DataFrame =
+    bigramDocLp(t(s, sf, "documents"))
+      .withColumn("avg_lp_e6",
+        col("sum_lp_e6").cast("double") / col("n_bigrams"))
+      .orderBy("doc_id")
+
+  /** Per-doc add-one-smoothed bigram log-prob totals under the corpus's own
+    * LM — the scoring core shared by [[qBigramLm]] (report face) and
+    * [[qPerplexityFilter]] (curation face). Docs with < 2 tokens have no
+    * bigrams and drop out. Returns (doc_id, n_bigrams, sum_lp_e6); the sum
+    * is over micro-int log-probs, so it is an order-free integer sum. */
+  private def bigramDocLp(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
     val bigrams = docs.select(
@@ -595,7 +606,7 @@ object SearchOps {
         slice(col("toks"), lit(2), size(col("toks")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val unigrams = t(s, sf, "documents")
+    val unigrams = docsIn
       .select(explode(toks(col("text"))).as("w"))
     val c1 = unigrams.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
     val vocab = unigrams.agg(countDistinct("w").as("v"))
@@ -608,8 +619,48 @@ object SearchOps {
       .select(col("doc_id"), e6(lp).as("lp_e6"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_e6")).as("sum_lp_e6"))
-      .withColumn("avg_lp_e6",
-        col("sum_lp_e6").cast("double") / col("n_bigrams"))
-      .orderBy("doc_id")
+  }
+
+  /** X35: CCNet-style perplexity bucketing (Wenzek et al. 2020) — score
+    * every document under the corpus's own bigram LM and split each source
+    * into head/middle/tail thirds by per-source LM-score percentiles
+    * (head = most fluent, the slice CCNet keeps). CCNet makes this call
+    * with a KenLM 5-gram model; re-expressed over the engine's
+    * hash-verified bigram LM, the whole filter — scores, ranks, bucket
+    * decisions — is oracle-checkable. The per-doc score collapses to a
+    * micro-int (one double division of two exact ints, then round), and
+    * the thirds are INTEGER rank arithmetic (`rn*3 <= n`), not
+    * interpolated percentiles: an interpolated threshold at fractional
+    * position (n-1)·⅓ lands an ulp away from a real data point and the
+    * two engines flip boundary docs (observed at sf0.01, n=25/source).
+    *
+    * Scale shape: LM counts are keyed shuffles (w1 / (w1,w2)); ranking is
+    * a per-source window (range-partitioned sort — the same shape as every
+    * ranked report here); a pathological mega-source would swap in the
+    * aggregated score-histogram + cumulative-count formulation on the same
+    * integers. */
+  def qPerplexityFilter(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, sf, "documents")
+    val scored = bigramDocLp(docs)
+      .withColumn("score_e6",
+        round(col("sum_lp_e6").cast("double") / col("n_bigrams"), 0).cast("long"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val byScore = Window.partitionBy("source")
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+    scored
+      .withColumn("rn", row_number().over(byScore).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_e6")).as("min_score_e6"),
+        max(col("score_e6")).as("max_score_e6"),
+        round(sum(col("score_e6")).cast("double") / count(lit(1)), 0)
+          .cast("long").as("avg_score_e6"))
+      .orderBy("source", "bucket")
   }
 }

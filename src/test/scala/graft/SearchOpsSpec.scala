@@ -312,4 +312,33 @@ class SearchOpsSpec extends SparkTestBase {
     assert(after.nonEmpty,
       "index must re-key on the regenerated corpus, not serve the stale artifact")
   }
+
+  test("perplexity filter: thirds partition each source, head is most fluent") {
+    import org.apache.spark.sql.functions._
+    val r = SearchOps.qPerplexityFilter(spark, sf)
+    val perSource = r.groupBy("source").agg(
+      sum("n_docs").as("n"), count(lit(1)).as("n_buckets")).collect()
+    // every multi-token doc lands in exactly one bucket
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+      .filter(size(split(trim(lower(col("text"))), "\\s+")) >= 2)
+    val want = docs.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    perSource.foreach { row =>
+      assert(row.getLong(1) == want(row.getString(0)),
+        s"bucket counts must partition source ${row.getString(0)}")
+    }
+    // within a source, bucket score ranges are ordered head >= middle >= tail
+    val bySrc = r.collect().groupBy(_.getString(0))
+    bySrc.foreach { case (src, rows) =>
+      val m = rows.map(x => x.getString(1) -> x).toMap
+      for (hi <- m.get("head"); mid <- m.get("middle"))
+        assert(hi.getAs[Long]("min_score_e6") >= mid.getAs[Long]("max_score_e6"),
+          s"head/middle overlap in $src")
+      for (mid <- m.get("middle"); lo <- m.get("tail"))
+        assert(mid.getAs[Long]("min_score_e6") >= lo.getAs[Long]("max_score_e6"),
+          s"middle/tail overlap in $src")
+    }
+    // deterministic across runs
+    assert(r.exceptAll(SearchOps.qPerplexityFilter(spark, sf)).isEmpty)
+  }
 }
