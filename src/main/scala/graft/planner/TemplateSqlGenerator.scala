@@ -20,8 +20,10 @@ import graft.planner.PlannerHooks.SqlGenerator
   *     (ties → catalog order), like the reference's table-identification
   *     node feeding its path map.
   *   - grouping: "per/by/each <column>".
-  *   - filter: "<column> is/equals <value>" (string equality, quoted) or
-  *     "<column> over/above/under/below/at least/at most <number>".
+  *   - filters: "<column> is/equals <value>" (string equality, quoted),
+  *     "<column> over/above/under/below/at least/at most <number>", or
+  *     "<column> between <a> and <b>"; multiple mentions AND-combine
+  *     (first predicate wins per column, question order preserved).
   *   - top-k: "top <n>" → ORDER BY measure DESC LIMIT n.
   *
   * The catalog arrives as the `describe` text QueryPipeline already renders
@@ -102,27 +104,37 @@ object TemplateSqlGenerator extends SqlGenerator {
       case _ => None
     }
 
-    // filter: "<col> is|equals <word>" or "<col> over|above|... <number>"
+    // filters: "<col> is|equals <word>", "<col> over|above|... <number>",
+    // "<col> between <a> and <b>" — every mention contributes, combined
+    // with AND (first predicate wins per column, question order preserved)
     val cmpOps = Map("over" -> ">", "above" -> ">", "under" -> "<",
       "below" -> "<", "least" -> ">=", "most" -> "<=")
-    val filter = toks.zipWithIndex.collectFirst(Function.unlift {
-      case (w, i) =>
-        tab.cols.find(c => toks.slice(i, i + c.parts.size) == c.parts).flatMap { c =>
-          val rest = toks.drop(i + c.parts.size)
-          rest match {
-            case op +: v +: _ if cmpOps.contains(op) && v.matches("\\d+(\\.\\d+)?") =>
-              Some(s"${c.name} ${cmpOps(op)} $v")
-            case "at" +: op +: v +: _
-              if cmpOps.contains(op) && v.matches("\\d+(\\.\\d+)?") =>
-              Some(s"${c.name} ${cmpOps(op)} $v")
-            case rel +: v +: _ if Set("is", "equals").contains(rel) =>
-              if (v.matches("\\d+(\\.\\d+)?")) Some(s"${c.name} = $v")
-              else if (c.numeric) None
-              else Some(s"${c.name} = '${v.replace("'", "''")}'")
-            case _ => None
-          }
+    val num = "\\d+(\\.\\d+)?"
+    val allFilters = toks.zipWithIndex.flatMap { case (_, i) =>
+      tab.cols.find(c => toks.slice(i, i + c.parts.size) == c.parts).flatMap { c =>
+        val rest = toks.drop(i + c.parts.size)
+        val pred = rest match {
+          case "between" +: a +: "and" +: b +: _
+            if a.matches(num) && b.matches(num) =>
+            Some(s"${c.name} BETWEEN $a AND $b")
+          case op +: v +: _ if cmpOps.contains(op) && v.matches(num) =>
+            Some(s"${c.name} ${cmpOps(op)} $v")
+          case "at" +: op +: v +: _ if cmpOps.contains(op) && v.matches(num) =>
+            Some(s"${c.name} ${cmpOps(op)} $v")
+          case rel +: v +: _ if Set("is", "equals").contains(rel) =>
+            if (v.matches(num)) Some(s"${c.name} = $v")
+            else if (c.numeric) None
+            else Some(s"${c.name} = '${v.replace("'", "''")}'")
+          case _ => None
         }
-    })
+        pred.map(p => (c.name, p))
+      }
+    }
+    val filter = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      allFilters.foreach { case (cn, p) => if (!seen.contains(cn)) seen(cn) = p }
+      if (seen.isEmpty) None else Some(seen.values.mkString(" AND "))
+    }
 
     val topK = "\\btop (\\d+)\\b".r.findFirstMatchIn(q).map(_.group(1).toInt)
 

@@ -89,6 +89,22 @@ class QueryPipelineSpec extends SparkTestBase {
     val want2 = df.filter(col("loan_type") === "personal")
       .groupBy("loan_status").agg(avg("interest_rate"))
     assert(r2.result.count() == want2.count())
+
+    // AND-combined filters and BETWEEN ranges
+    val ans3 = QueryPipeline.run(spark,
+      "how many loans with credit score over 700 and applicant income under 50000",
+      catalog)
+    val r3 = ans3.subResults.head
+    assert(r3.error.isEmpty, ans3.summary)
+    assert(r3.result.head.getLong(0) ==
+      df.filter(col("credit_score") > 700 && col("applicant_income") < 50000).count())
+
+    val ans4 = QueryPipeline.run(spark,
+      "count loans with credit score between 600 and 650", catalog)
+    val r4 = ans4.subResults.head
+    assert(r4.error.isEmpty, ans4.summary)
+    assert(r4.result.head.getLong(0) ==
+      df.filter(col("credit_score").between(600, 650)).count())
   }
 
   test("loadContext follows the reference union-vs-join decision") {
