@@ -175,10 +175,23 @@ object DedupOps {
     * round materializes (only the final labels stay persisted, backing the
     * returned frame). The driver holds one Boolean per round, never data.
     *
+    * High-diameter guard: near-dup graphs are usually clique forests
+    * (diameter ~2), but chain-shaped components exist — consecutive pairs
+    * clear the similarity bar while distant ones don't — and linear
+    * propagation needs diameter-many rounds there (observed: the 16×
+    * cyclic-shift bench replicas chain into a component of diameter > 20).
+    * From round `jumpAfter` on, each round adds a pointer jump (label :=
+    * label of label — one extra keyed self-join), the standard
+    * Shiloach-Vishkin halving, so distance-to-minimum shrinks
+    * geometrically and any diameter D converges in ~jumpAfter + log2(D)
+    * rounds. The jump is label-monotone (labels only decrease, and a
+    * node's label is always a node of its own component), so the fixpoint
+    * is unchanged — the clique-forest common case converges before
+    * `jumpAfter` and pays nothing.
+    *
     * Throws if the fixpoint is not reached within `maxIter`: truncated
-    * labels are silently WRONG clusters, and a component with diameter
-    * beyond the bound (a chain, not a near-dup clique forest) needs the
-    * caller to raise the bound knowingly. */
+    * labels are silently WRONG clusters. With jumping active the default
+    * bound covers diameter 2^30 by round 38. */
   /** One min-label propagation round as a plain, un-checkpointed plan —
     * for plan review only (`Scratch plans`). The committed fixpoint hides
     * its shuffle shape behind `Scan ExistingRDD` checkpoint scans; this is
@@ -198,7 +211,8 @@ object DedupOps {
         least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"))
   }
 
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 40,
+      jumpAfter: Int = 8): DataFrame = {
     import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
     // materialize the symmetrized edge list ONCE — the upstream edge query
     // may be expensive (e.g. the n-gram pair join), and every round reuses it
@@ -223,12 +237,24 @@ object DedupOps {
         // materializes (and persists) the round — one job per round, not a
         // materialize job plus a scan job. A full count, not isEmpty, so no
         // partition is skipped and the checkpoint is complete.
-        val next = labels.withColumnRenamed("label", "old")
+        val propagated = labels.withColumnRenamed("label", "old")
           .join(nbrMin, col("node") === col("node2"), "left")
           .select(col("node"),
             least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
             col("old"))
-          .localCheckpoint(eager = false)
+        // pointer jump (rounds >= jumpAfter): resolve each node's label
+        // through its label's own just-propagated label — one keyed
+        // self-join per round that halves distance-to-minimum, turning
+        // diameter-D convergence into ~log2(D) extra rounds
+        val next = (if (i < jumpAfter) propagated
+          else {
+            val byNode = propagated
+              .select(col("node").as("jn"), col("label").as("jl"))
+            propagated.join(byNode, col("label") === col("jn"), "left")
+              .select(col("node"),
+                least(col("label"), coalesce(col("jl"), col("label"))).as("label"),
+                col("old"))
+          }).localCheckpoint(eager = false)
         try converged = next.filter(col("label") =!= col("old")).count() == 0
         catch { // count is what materializes next — free its partial blocks
           case t: Throwable => unpersistCheckpoint(next); throw t

@@ -87,6 +87,18 @@ class MergeOpsSpec extends SparkTestBase {
     assert(Seq(20L, 21L).forall(labels(_) == 20L))
   }
 
+  test("connectedComponents converges on a long chain via pointer jumping") {
+    // diameter 119 — linear propagation alone would need 119 rounds, far
+    // past maxIter=40; pointer jumping from round 8 must close it in
+    // ~8 + log2(119) rounds (regression for the 16x-replica bench chain)
+    val n = 120
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val labels = graft.ops.DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert((1 to n).forall(i => labels(i.toLong) == 1L))
+  }
+
   test("connectedComponents throws instead of returning truncated labels") {
     // chain 1-2-3-4-5 needs 4 propagation rounds + 1 confirming round;
     // maxIter=3 must fail loudly, not hand back wrong clusters
