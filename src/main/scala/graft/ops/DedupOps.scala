@@ -245,21 +245,30 @@ object DedupOps {
         // pointer jump (rounds >= jumpAfter): resolve each node's label
         // through its label's own just-propagated label — one keyed
         // self-join per round that halves distance-to-minimum, turning
-        // diameter-D convergence into ~log2(D) extra rounds
+        // diameter-D convergence into ~log2(D) extra rounds. The
+        // propagation result is lazily checkpointed first so BOTH sides of
+        // the self-join read the same persisted blocks instead of
+        // recomputing the round's subtree twice.
+        var jumpBase: DataFrame = null
         val next = (if (i < jumpAfter) propagated
           else {
-            val byNode = propagated
+            jumpBase = propagated.localCheckpoint(eager = false)
+            val byNode = jumpBase
               .select(col("node").as("jn"), col("label").as("jl"))
-            propagated.join(byNode, col("label") === col("jn"), "left")
+            jumpBase.join(byNode, col("label") === col("jn"), "left")
               .select(col("node"),
                 least(col("label"), coalesce(col("jl"), col("label"))).as("label"),
                 col("old"))
           }).localCheckpoint(eager = false)
         try converged = next.filter(col("label") =!= col("old")).count() == 0
         catch { // count is what materializes next — free its partial blocks
-          case t: Throwable => unpersistCheckpoint(next); throw t
+          case t: Throwable =>
+            unpersistCheckpoint(next)
+            if (jumpBase != null) unpersistCheckpoint(jumpBase)
+            throw t
         }
         unpersistCheckpoint(labels) // superseded round's blocks are freed now
+        if (jumpBase != null) unpersistCheckpoint(jumpBase) // next is materialized
         labels = next.select("node", "label")
         i += 1
       }
