@@ -132,7 +132,12 @@ object SparkEntry {
     "q_shard_assign"          -> (SampleOps.qShardAssign _),
     "q_hard_negatives"        -> (VectorOps.qHardNegatives _),
     "q_label_centroids"       -> (VectorOps.qLabelCentroids _),
-    "q_perplexity_filter"     -> (SearchOps.qPerplexityFilter _)
+    "q_perplexity_filter"     -> (SearchOps.qPerplexityFilter _),
+    "q_mixture_draw"          -> (SampleOps.qMixtureDraw _),
+    // frequency sketches + data-skipping scans (SURVEY §2g X36-X37)
+    "q_heavy_hitters"         -> (SketchOps.qHeavyHitters _),
+    "q_heavy_hitters_mg"      -> (SketchOps.qHeavyHittersMg _),
+    "q_pruned_scan"           -> (StatsOps.qPrunedScan _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -1173,6 +1178,57 @@ object SparkEntry {
         |min(score_e6) AS min_score_e6, max(score_e6) AS max_score_e6,
         |CAST(round(CAST(CAST(sum(score_e6) AS BIGINT) AS DOUBLE) / count(*), 0) AS BIGINT)
         |  AS avg_score_e6
-        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    // X31b mixture draw: the keep rule is a pure-integer cross-multiply
+    // (HUGEINT here, DECIMAL(38,0) on the Spark side) so no engine ever
+    // divides — boundary docs can't flip on an ulp
+    "q_mixture_draw" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |  md5(CAST(doc_id AS VARCHAR) || ':draw') AS h FROM documents),
+        |per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000) AS BIGINT) AS w_e6
+        |  FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(w_e6) AS BIGINT) AS wsum_e6 FROM per),
+        |u AS (SELECT d.*,
+        |  CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) AS BIGINT) * 268435456
+        |  + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16777216
+        |  + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) AS u32 FROM d),
+        |k AS (SELECT u.source, u.n_tok, per.n_tokens,
+        |  CASE WHEN CAST(u.u32 AS HUGEINT) * CAST(t.wsum_e6 AS HUGEINT)
+        |      * CAST(per.n_tokens AS HUGEINT)
+        |    < CAST(5000 AS HUGEINT) * CAST(per.w_e6 AS HUGEINT)
+        |      * CAST(4294967296 AS HUGEINT) THEN 1 ELSE 0 END AS kept
+        |  FROM u JOIN per USING (source) CROSS JOIN t)
+        |SELECT source, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+        |max(n_tokens) AS n_tokens,
+        |CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    // X36 heavy hitters: one SQL, two Spark formulations (exact shuffle
+    // vs Misra-Gries candidates + recount) — the sketch must be invisible
+    "q_heavy_hitters" -> heavyHittersSql,
+    "q_heavy_hitters_mg" -> heavyHittersSql,
+    // X37 pruned scan: the oracle reads the ORIGINAL unpartitioned table —
+    // file-level pruning must be invisible in the result
+    "q_pruned_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
+
+  private def heavyHittersSql: String =
+    """WITH f AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |t AS (SELECT count(*) AS n_total FROM f),
+      |g AS (SELECT token, count(*) AS n FROM f GROUP BY token)
+      |SELECT token, n, (SELECT n_total // 2000 + 1 FROM t) AS thresh
+      |FROM g WHERE n >= (SELECT n_total // 2000 + 1 FROM t)
+      |ORDER BY n DESC, token ASC""".stripMargin
 }

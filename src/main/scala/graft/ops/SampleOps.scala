@@ -112,6 +112,54 @@ object SampleOps {
       .orderBy("source")
   }
 
+  /** X31b: materialize the temperature mixture as an actual corpus draw.
+    * [[qMixtureWeights]] computes the sampling schedule; this executes it
+    * as a single-epoch downsample: each doc keeps with probability
+    * min(1, budget·p_s / n_tokens_s) — the source's token-budget share
+    * divided by its token count (sources the schedule would up-sample
+    * keep everything; up-sampling is a reader-side repeat, not a filter).
+    *
+    * The draw must be a pure function of the data for the oracle to
+    * replay it, and the keep decision must be EXACT — a float rate
+    * compared against a float uniform differs by an ulp between engines
+    * and flips boundary docs. So neither side ever divides: doc keeps iff
+    *   u32 · wsum_e6 · n_tokens_s  <  budget · w_e6_s · 2^32
+    * over exact wide integers (Spark DECIMAL(38,0), DuckDB HUGEINT),
+    * where u32 is the first 8 md5 hex chars of the doc's ':draw'-salted
+    * order key — a deterministic 32-bit uniform both engines derive
+    * identically. Cost: two linear scans (one agg for the per-source
+    * schedule — a broadcast — one projection+agg for the draw report). */
+  def qMixtureDraw(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // deliberately smaller than the corpus at every SF so each source is
+    // actually downsampled (the X31 report's 10M budget exceeds the small
+    // fixtures' token counts and would keep everything)
+    val budget = 5000L
+    val docs = t(s, sf, "documents").select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val per = docs.groupBy("source")
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w_e6",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000000).cast("long"))
+    val tot = per.agg(sum(col("w_e6")).as("wsum_e6"))
+    val sched = per.crossJoin(broadcast(tot))
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val u32 = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":draw"))), 1, 8), 16, 10).cast("long")
+    docs.withColumn("u32", u32)
+      .join(broadcast(sched), Seq("source"))
+      .withColumn("kept",
+        when(d38(col("u32")) * d38(col("wsum_e6")) * d38(col("n_tokens")) <
+             d38(lit(budget)) * d38(col("w_e6")) * d38(lit(4294967296L)), 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("kept") === 1L, col("n_tok")).otherwise(0L)).as("tokens_kept"))
+      .orderBy("source")
+  }
+
   /** X34: deterministic shard assignment — the final "global shuffle +
     * shard for N data-parallel readers" step of training-data prep.
     * Each doc hashes to a shard (first hex digit of its order key mod 8)

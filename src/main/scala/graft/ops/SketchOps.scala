@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Frequency-sketch operators: corpus-wide heavy hitters (frequent tokens)
+  * in two formulations with identical results.
+  *
+  * The exact formulation shuffles the full token-frequency table — key
+  * cardinality is the vocabulary, which at 100 TB of web text is billions
+  * of distinct tokens, most of them singletons that exist only to be
+  * discarded by the threshold. The Misra–Gries formulation never
+  * materializes that long tail: each input partition keeps at most `k`
+  * counters (a per-partition Misra–Gries summary), the union of surviving
+  * candidates is provably a superset of every token with global frequency
+  * > N/k (pigeonhole over partitions: a token below the local bar in EVERY
+  * partition is below N/k globally), and a second pass recounts ONLY the
+  * candidates exactly. For a threshold ≥ N/k + 1 the two-pass result is
+  * therefore exact — a sketch that degrades to an exact algorithm, which
+  * is what makes it oracle-checkable (the reference's profiling surface is
+  * exact-only; this is the scale path for the same report).
+  *
+  * Threshold convention: a token is a heavy hitter if its count is
+  * > 0.05% of all tokens (`n >= n_total div 2000 + 1`), computed inside
+  * the plan from a 1-row broadcast total so both engines derive the same
+  * integer bar from the same data.
+  */
+object SketchOps {
+
+  private val ThresholdDiv = 2000L // heavy = count > n_total / 2000
+
+  private def tokens(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+
+  /** Exact heavy hitters: full explode → groupBy(token) → threshold. The
+    * frequency agg is map-side combinable, but the shuffle still carries
+    * one key per distinct token — the formulation to beat at scale. */
+  def heavyHittersExact(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(docs, textCol)
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("thresh", expr(s"n_total div $ThresholdDiv") + lit(1L))
+      .filter(col("n") >= col("thresh"))
+      .select(col("token"), col("n"), col("thresh"))
+  }
+
+  /** Per-partition Misra–Gries candidate generation: at most `k` counters
+    * per partition, emitted as candidate tokens. Decrement-all is O(k) per
+    * trigger but each trigger retires k+1 token credits, so the total cost
+    * is amortized O(1) per input token. */
+  private[graft] def mgCandidates(toks: Dataset[String], k: Int): Dataset[String] = {
+    import toks.sparkSession.implicits._
+    toks.mapPartitions { it =>
+      val counters = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None =>
+            // decrement-all; drop counters that reach zero
+            val dead = new scala.collection.mutable.ArrayBuffer[String]()
+            counters.foreach { case (tok, c) =>
+              if (c == 1L) dead += tok else counters.update(tok, c - 1)
+            }
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }
+  }
+
+  /** Two-pass exact heavy hitters via Misra–Gries candidates + exact
+    * recount. `k` must satisfy N/k < threshold for exactness; with the
+    * 1/2000 threshold, k = 4096 leaves a 2× guarantee margin. The recount
+    * pass is a broadcast semi-join (candidate set ≤ partitions·k rows) so
+    * the only full-cardinality token shuffle of the exact formulation
+    * disappears — the shuffled key space shrinks from |vocabulary| to
+    * |candidates|. */
+  def heavyHittersMG(docs: DataFrame, textCol: String, k: Int = 4096): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = tokens(docs, textCol)
+    val cand = mgCandidates(toks.select("token").as[String], k)
+      .toDF("token").distinct()
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cand), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("thresh", expr(s"n_total div $ThresholdDiv") + lit(1L))
+      .filter(col("n") >= col("thresh"))
+      .select(col("token"), col("n"), col("thresh"))
+  }
+
+  def qHeavyHitters(s: SparkSession, sf: String): DataFrame =
+    heavyHittersExact(t(s, sf, "documents"), "text")
+      .orderBy(col("n").desc, col("token").asc)
+
+  def qHeavyHittersMg(s: SparkSession, sf: String): DataFrame =
+    heavyHittersMG(t(s, sf, "documents"), "text")
+      .orderBy(col("n").desc, col("token").asc)
+}

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** File-level data-skipping: a min/max stats index over a parquet dataset
+  * plus a scan that consults it before touching data — the manifest-pruning
+  * pattern (Delta/Iceberg file statistics) expressed library-side.
+  *
+  * Spark already prunes ROW GROUPS inside each file it opens via parquet
+  * footer predicates, but it still lists, opens, and schedules a task per
+  * file. At 100 TB a table is hundreds of thousands of files; a date-range
+  * query that touches 2% of them should not schedule the other 98%. The
+  * stats index is built from parquet FOOTERS only — O(files) metadata
+  * reads, no data pages — distributed over the executors (one task per
+  * file batch), and the pruned scan collects only the surviving file LIST
+  * to the driver (metadata-scale, the same class as a Delta log read —
+  * never data).
+  *
+  * Pruning is conservative: a file with missing/unusable stats for the
+  * pruned column (e.g. legacy INT96 timestamps) is always kept, so the
+  * result is identical to the unpruned scan by construction. Layout
+  * determines effectiveness, not correctness — pair with
+  * [[LayoutOps.writeZOrdered]] or a range-partitioned write so file
+  * min/max ranges are narrow.
+  */
+object StatsOps {
+
+  /** Per-file footer stats for one numeric/timestamp column: row count,
+    * min, max, null count — min/max in the column's physical order
+    * (timestamps surface as epoch-micros, the INT64 TIMESTAMP_MICROS
+    * physical value). Files whose footers carry no usable stats for the
+    * column get null min/max (and are never pruned). Footers are read in
+    * parallel on the executors; nothing but (file, 4 numbers) ever moves.
+    */
+  def footerStats(spark: SparkSession, dir: String, column: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    val files = fs.listStatus(path).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 32).max(1))
+      .mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration()
+        it.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), c)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = r.getFooter.getBlocks
+            var rows = 0L; var nulls = 0L
+            var mn: Option[Double] = None; var mx: Option[Double] = None
+            var statsOk = true
+            blocks.forEach { b =>
+              rows += b.getRowCount
+              b.getColumns.forEach { cc =>
+                if (cc.getPath.toDotString == column) {
+                  val st = cc.getStatistics
+                  if (st == null || st.isEmpty || !st.hasNonNullValue) statsOk = false
+                  else {
+                    nulls += st.getNumNulls
+                    (st.genericGetMin, st.genericGetMax) match {
+                      case (lo: Number, hi: Number) =>
+                        val (l, h) = (lo.doubleValue, hi.doubleValue)
+                        mn = Some(mn.fold(l)(math.min(_, l)))
+                        mx = Some(mx.fold(h)(math.max(_, h)))
+                      case _ => statsOk = false // non-numeric (binary) column
+                    }
+                  }
+                }
+              }
+            }
+            (f, rows,
+              if (statsOk) mn else None,
+              if (statsOk) mx else None,
+              if (statsOk) Some(nulls) else None)
+          } finally r.close()
+        }
+      }
+      .toDF("file", "row_count", "col_min", "col_max", "null_count")
+  }
+
+  /** Scan `dir` reading only files whose [min,max] range for `column` can
+    * intersect [lo, hi] (missing stats ⇒ kept). The file list is the only
+    * thing collected — bounded by file count, not data. Callers still
+    * apply the row-level predicate; pruning only removes whole files the
+    * predicate provably eliminates. */
+  def prunedScan(spark: SparkSession, dir: String, column: String,
+      lo: Double, hi: Double): (DataFrame, Int, Int) = {
+    val stats = footerStats(spark, dir, column)
+    val keep = stats
+      .filter(col("col_min").isNull || col("col_max").isNull ||
+        !(col("col_max") < lit(lo) || col("col_min") > lit(hi)))
+      .select("file").collect().map(_.getString(0))
+    val total = stats.count().toInt
+    val df =
+      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(keep: _*)
+    (df, keep.length, total)
+  }
+
+  /** Micros since epoch for a UTC date — the INT64 TIMESTAMP_MICROS
+    * physical value footer stats carry. */
+  private def utcMicros(date: String): Double =
+    java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli * 1000.0
+
+  /** Oracle wiring: write lineitem range-partitioned on l_shipdate (8
+    * files, each covering a narrow date band), build the footer index,
+    * prune to a one-quarter window, and aggregate the survivors. The
+    * oracle runs the same filter+agg over the ORIGINAL table — pruning
+    * must be invisible in the result. StatsOpsSpec additionally asserts
+    * the prune actually dropped most files (the perf claim). */
+  def qPrunedScan(s: SparkSession, sf: String): DataFrame = {
+    Option(new java.io.File("target/tmp_stats_scan").listFiles()).foreach(_.foreach { f =>
+      val ownerDead = f.getName.split("_").lastOption.flatMap(_.toLongOption)
+        .exists(p => !java.lang.ProcessHandle.of(p).isPresent)
+      if (ownerDead) VectorOps.deleteRecursively(f)
+    })
+    val work = s"target/tmp_stats_scan/sf${sf.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+      s"_${java.lang.ProcessHandle.current.pid}"
+    // INT96 footers carry no usable stats; write micros explicitly
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    t(s, sf, "lineitem")
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").option("compression", "zstd").parquet(work)
+    val (loD, hiD) = ("1995-03-01", "1995-06-30")
+    val (df, _, _) = prunedScan(s, work, "l_shipdate",
+      utcMicros(loD), utcMicros(hiD) + 86399999999.0)
+    df.filter(col("l_shipdate") >= lit(loD).cast("timestamp") &&
+        col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+}

@@ -179,4 +179,34 @@ object EventStream {
       textCol: String): DataFrame =
     incoming.join(corpusFingerprints,
       md5(incoming(textCol)) === corpusFingerprints("__fp"), "left_anti")
+
+  /** Stream-stream interval join: each click joins the same user's views
+    * from the preceding `windowSec` seconds (click-attribution). Both
+    * sides carry event-time watermarks and the join condition bounds the
+    * time skew, so Spark's symmetric hash join can expire buffered state
+    * once the watermark passes a row's latest possible match — state is
+    * bounded by (watermark delay + window) × arrival rate, never by
+    * stream length. On a batch frame the same plan is an ordinary range
+    * join (the batch face `TemporalJoinOps` covers with an oracle); this
+    * is its incremental twin, emitted in Append mode as matches prove.
+    */
+  def clickAttribution(events: DataFrame, windowSec: Long = 3600,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val views0 = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val clicks0 = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val (views, clicks) =
+      if (events.isStreaming)
+        (views0.withWatermark("v_ts", watermarkDelay),
+         clicks0.withWatermark("c_ts", watermarkDelay))
+      else (views0, clicks0)
+    clicks.join(views,
+      expr(s"""v_user = c_user AND v_ts <= c_ts
+              |AND v_ts >= c_ts - INTERVAL $windowSec SECONDS""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts").as("click_ts"), col("v_ts").as("view_ts"))
+  }
 }

@@ -67,6 +67,22 @@ class SampleOpsSpec extends SparkTestBase {
     assert(r.exceptAll(again).isEmpty)
   }
 
+  test("qMixtureDraw: kept is a subset bounded by the schedule and deterministic") {
+    val r = SampleOps.qMixtureDraw(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val kept = row.getAs[Long]("n_kept"); val n = row.getAs[Long]("n_docs")
+      assert(kept >= 0 && kept <= n, s"kept out of range: $row")
+      assert(row.getAs[Long]("tokens_kept") <= row.getAs[Long]("n_tokens"))
+    }
+    // at least one source must actually be downsampled for the draw to
+    // mean anything (the corpus is bigger than the 10M-token budget share
+    // for its largest sources at every SF)
+    assert(r.exists(row => row.getAs[Long]("n_kept") < row.getAs[Long]("n_docs")))
+    val again = SampleOps.qMixtureDraw(spark, sf).collect()
+    assert(r.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("every ops qX entrypoint is registered in SparkEntry.queries") {
     import org.apache.spark.sql.{DataFrame, SparkSession}
     val opsObjects: Seq[AnyRef] = Seq(
@@ -75,7 +91,7 @@ class SampleOpsSpec extends SparkTestBase {
       graft.ops.CorpusOps, graft.ops.MergeOps, graft.ops.SearchOps,
       graft.ops.SkewOps, graft.ops.SampleOps, graft.ops.PqOps,
       graft.ops.MultimodalOps, graft.ops.ProfileOps,
-      graft.ops.TemporalJoinOps)
+      graft.ops.TemporalJoinOps, graft.ops.SketchOps, graft.ops.StatsOps)
     // spec-only entrypoints (none today — additions need a reason here)
     val specOnly = Set.empty[String]
     val norm = (s: String) => s.replace("_", "").toLowerCase

@@ -286,4 +286,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch,
       s"stream/batch diverged: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
   }
+
+  test("stream-stream interval join equals the batch range join on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchEvents = graft.ops.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type")
+    // feed in event-time order so the watermark only ever trails reality
+    // and no row is late — parity with batch must then be exact
+    val rows = batchEvents.orderBy("ts", "event_id")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect().toSeq
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    stream.addData(rows.take(rows.size / 2))
+    stream.addData(rows.drop(rows.size / 2))
+    val streamingDf = stream.toDF.toDF("user_id", "event_id", "ts", "event_type")
+    val q = EventStream.clickAttribution(streamingDf)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attr")
+      .select("user_id", "click_id", "view_id").as[(Long, Long, Long)]
+      .collect().toSet
+    val want = EventStream.clickAttribution(batchEvents)
+      .select("user_id", "click_id", "view_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(want.nonEmpty, "no click-view pairs at spec scale — widen the window")
+    assert(got == want,
+      s"stream/batch diverged: only-stream=${(got -- want).take(5)}, only-batch=${(want -- got).take(5)}")
+  }
 }
