@@ -27,7 +27,8 @@ object Bench {
     "q_pq_topk", "q_ivfpq_topk", "q_curation_funnel", "q_scd2_history",
     "q_source_cap", "q_mixture_weights", "q_shard_assign",
     "q_hard_negatives", "q_label_centroids", "q_perplexity_filter",
-    "q_mixture_draw", "q_heavy_hitters", "q_heavy_hitters_mg", "q_pruned_scan")
+    "q_mixture_draw", "q_heavy_hitters", "q_heavy_hitters_mg", "q_pruned_scan",
+    "q_salted_join")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

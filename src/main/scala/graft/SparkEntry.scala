@@ -137,7 +137,8 @@ object SparkEntry {
     // frequency sketches + data-skipping scans (SURVEY §2g X36-X37)
     "q_heavy_hitters"         -> (SketchOps.qHeavyHitters _),
     "q_heavy_hitters_mg"      -> (SketchOps.qHeavyHittersMg _),
-    "q_pruned_scan"           -> (StatsOps.qPrunedScan _)
+    "q_pruned_scan"           -> (StatsOps.qPrunedScan _),
+    "q_salted_join"           -> (SkewOps.qSaltedJoin _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -1220,7 +1221,14 @@ object SparkEntry {
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-07-01'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // X40 salted join: the salt must be invisible — same oracle shape as a
+    // plain equi-join + rollup
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 
   private def heavyHittersSql: String =

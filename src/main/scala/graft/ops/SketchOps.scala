@@ -38,8 +38,12 @@ object SketchOps {
     * one key per distinct token — the formulation to beat at scale. */
   def heavyHittersExact(docs: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(docs, textCol)
-    val tot = toks.agg(count(lit(1)).as("n_total"))
-    toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    // total from the aggregated counts, not a second corpus pass — the
+    // identical shuffle subtree dedupes via ReusedExchange, so the corpus
+    // is scanned and exploded exactly once
+    val tot = freq.agg(sum(col("n")).as("n_total"))
+    freq
       .crossJoin(broadcast(tot))
       .withColumn("thresh", expr(s"n_total div $ThresholdDiv") + lit(1L))
       .filter(col("n") >= col("thresh"))
@@ -83,7 +87,11 @@ object SketchOps {
     val toks = tokens(docs, textCol)
     val cand = mgCandidates(toks.select("token").as[String], k)
       .toDF("token").distinct()
-    val tot = toks.agg(count(lit(1)).as("n_total"))
+    // token total without exploding: size(split(...)) per doc — one scan,
+    // no Generate, numerically identical to counting exploded rows
+    val tot = docs.agg(
+      sum(size(split(trim(lower(col(textCol))), "\\s+")).cast("long"))
+        .as("n_total"))
     toks.join(broadcast(cand), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(tot))

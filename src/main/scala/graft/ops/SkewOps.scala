@@ -36,4 +36,40 @@ object SkewOps {
     saltedCountSum(Tables.t(s, sf, "lineitem"),
       Seq("l_returnflag", "l_linestatus"), "l_extendedprice", salts = 16)
       .orderBy("l_returnflag", "l_linestatus")
+
+  /** Salted large-to-large equi-join for a pathological key histogram: the
+    * probe side salts each row into one of `salts` sub-keys (deterministic
+    * hash of a row-unique column, so the plan replays identically), the
+    * build side replicates each row to ALL `salts` sub-keys, and the join
+    * runs on (key, salt) — a hot key's probe rows spread over `salts`
+    * reducers instead of serializing one. Replication multiplies the
+    * build side by `salts`, so this is for build sides too big to
+    * broadcast but far smaller than the probe side (the dimension-ish
+    * middle ground). AQE's skew-join split covers the same ground
+    * reactively when partition stats reveal the skew; the salted plan is
+    * the proactive form that never materializes the skewed partition at
+    * all. Result rows are identical to the plain join by construction —
+    * each (probe row, build row) pair meets in exactly one salt bucket. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltOn: String, salts: Int = 8): DataFrame = {
+    val probeS = probe.withColumn("__salt",
+      pmod(xxhash64(col(saltOn)), lit(salts.toLong)))
+    val buildS = build.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    probeS.join(buildS, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Oracle-checked wiring: revenue per customer market segment through the
+    * salted join must equal the plain equi-join the oracle runs. */
+  def qSaltedJoin(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val orders = Tables.t(s, sf, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val customer = Tables.t(s, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    saltedJoin(orders, customer, "c_custkey", saltOn = "o_totalprice")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -53,6 +53,20 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("salted join equals the plain equi-join on a skewed frame") {
+    import spark.implicits._
+    // one hot key carrying most probe rows, many cold keys
+    val probe = ((1 to 5000).map(i => ("hot", i.toDouble)) ++
+      (1 to 200).map(i => (s"k${i % 40}", i.toDouble))).toDF("k", "v")
+    val build = (Seq("hot") ++ (0 until 40).map(i => s"k$i"))
+      .map(k => (k, s"dim_$k")).toDF("k", "attr")
+    val got = SkewOps.saltedJoin(probe, build, "k", saltOn = "v", salts = 8)
+    val want = probe.join(build, "k")
+    assert(got.count() == want.count())
+    assert(got.select("k", "v", "attr").exceptAll(want.select("k", "v", "attr")).isEmpty)
+    assert(want.select("k", "v", "attr").exceptAll(got.select("k", "v", "attr")).isEmpty)
+  }
+
   test("IVF top-k finds the true best hit and achieves high top-10 recall") {
     val e = Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
     val brute = VectorOps.qCosineTopk(spark, "/root/testdata/sf0.01")
