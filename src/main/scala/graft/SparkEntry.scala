@@ -138,7 +138,15 @@ object SparkEntry {
     "q_heavy_hitters"         -> (SketchOps.qHeavyHitters _),
     "q_heavy_hitters_mg"      -> (SketchOps.qHeavyHittersMg _),
     "q_pruned_scan"           -> (StatsOps.qPrunedScan _),
-    "q_salted_join"           -> (SkewOps.qSaltedJoin _)
+    "q_salted_join"           -> (SkewOps.qSaltedJoin _),
+    // grouped-subtotal + outer-join completions, window/event family (r9)
+    "q_cube"                  -> (Relational.qCube _),
+    "q_full_outer"            -> (Relational.qFullOuter _),
+    "q_window_lag_lead"       -> (EventOps.qWindowLagLead _),
+    "q_rolling_window"        -> (EventOps.qRollingWindow _),
+    "q_hopping_window"        -> (EventOps.qHoppingWindow _),
+    "q_topk_per_type"         -> (EventOps.qTopkPerType _),
+    "q_incr_agg_merge"        -> (MergeOps.qIncrAggMerge _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -373,6 +381,24 @@ object SparkEntry {
         |CAST(grouping(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_full_outer" ->
+      """WITH a AS (SELECT o_custkey, count(*) AS n_1995 FROM orders
+        |  WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+        |b AS (SELECT o_custkey, count(*) AS n_1996 FROM orders
+        |  WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+        |COALESCE(a.n_1995, 0) AS n_1995, COALESCE(b.n_1996, 0) AS n_1996,
+        |CAST(CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
+        |  THEN 1 ELSE 0 END AS BIGINT) AS in_both
+        |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -467,6 +493,50 @@ object SparkEntry {
         |CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
         |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
+    // lag/lead move raw doubles (no reduction); the one delta is a single
+    // IEEE subtraction — bit-identical across engines
+    "q_window_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |lag(value) OVER w AS prev_value, lead(value) OVER w AS next_value,
+        |value - lag(value) OVER w AS delta_prev
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // trailing 1h frame on exact integer micros; RANGE peers (tied tus)
+    // are included by both engines; epoch_ns//1000 floors ns → µs exactly
+    // the way the Spark reader does, layout-robustly
+    "q_rolling_window" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        |count(*) OVER w AS n_1h,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // hopping 10-min/5-min: an event at µs e belongs to exactly the two
+    // slide-aligned starts floor(e/slide)*slide - {0,1}*slide (size=2*slide),
+    // reproduced with pure integer µs arithmetic
+    "q_hopping_window" ->
+      """WITH w AS (SELECT ((epoch_ns(ts) // 1000) // 300000000 - k.i) * 300000000 AS ws_us,
+        |  event_type, value FROM events CROSS JOIN (VALUES (0), (1)) k(i))
+        |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // the bounded-heap aggregator's contract IS the window formulation
+    "q_topk_per_type" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rnk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY event_type, rnk""".stripMargin,
+    // merged mergeable partials must equal the from-scratch aggregate
+    "q_incr_agg_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+        |CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // funnel: timestamps compared as exact integer micros on both sides —
     // Spark's events reader truncates ns → µs, so the oracle floors the
     // native ns value identically before any min/chaining comparison

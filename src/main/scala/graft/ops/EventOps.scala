@@ -61,6 +61,84 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** R17c: lag/lead navigation — previous/next value per user in event
+    * order, plus the step delta. The values are MOVED, not combined (a
+    * single IEEE double subtraction for the delta), so raw doubles
+    * hash-match the oracle bit-for-bit with no decimal detour. Windows are
+    * user-partitioned: every partition evaluates independently, no global
+    * sort. */
+  def qWindowLagLead(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, sf, "events").filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** R17d: time-range rolling aggregate — trailing 1-hour event count and
+    * decimal-exact sum per user (`RANGE BETWEEN` on integer micros, so
+    * frame membership is exact integer comparison in both engines and tied
+    * timestamps are peers in both). Partitioned by user: each user's
+    * timeline sorts and frames locally; nothing global. The streaming
+    * sibling is the watermarked sliding window in
+    * `graft.streaming.EventStream`. */
+  def qRollingWindow(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus")
+      .rangeBetween(-3600000000L, 0L)
+    t(s, sf, "events").filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .select(col("user_id"), col("event_id"), col("tus"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double").as("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** E1b: hopping (sliding) window — 10-minute windows every 5 minutes via
+    * Spark's `window(ts, size, slide)`. Each event lands in exactly
+    * size/slide = 2 windows; Catalyst expands the row 2× then hash-
+    * aggregates on (window, type) — one scan, one bounded-key shuffle.
+    * Window starts are epoch-aligned multiples of the slide, which the
+    * oracle reproduces with pure integer µs arithmetic. */
+  def qHoppingWindow(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** R12b: per-group top-k WITHOUT a window sort — top-3 events per type by
+    * (value DESC, event_id ASC) through the bounded-heap `TopKByScore`
+    * Aggregator: partial buffers of ≤ k rows, O(n log k) per task, and the
+    * shuffle carries k rows per (type × map task) instead of every event —
+    * the shape that survives a 100 TB scan where
+    * `row_number().over(Window)` would sort whole partitions. The tiny
+    * type dimension gets dense integer labels (broadcast both ways); the
+    * oracle is the window formulation, which TopKSpec proves identical. */
+  def qTopkPerType(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, sf, "events")
+    val dim = e.select("event_type").distinct()
+      .withColumn("label",
+        row_number().over(Window.orderBy("event_type")).cast("int"))
+    val scored = e.join(broadcast(dim), Seq("event_type"))
+      .select(col("label"), col("event_id").as("id"), col("value").as("score"))
+      .as[graft.functions.LabeledScore]
+    scored.groupByKey(_.label)
+      .agg(new graft.functions.TopKByScore(3).toColumn.name("hits"))
+      .toDF("label", "hits")
+      .join(broadcast(dim), "label")
+      .select(col("event_type"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+        col("hit.id").as("event_id"), col("hit.score").as("value"))
+      .orderBy("event_type", "rnk")
+  }
+
   /** E3: ordered funnel — view → click → purchase per user, each stage
     * timestamped by the EARLIEST qualifying event STRICTLY AFTER the prior
     * stage (min-ts chaining, the standard product-analytics funnel).

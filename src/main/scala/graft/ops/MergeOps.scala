@@ -140,4 +140,32 @@ object MergeOps {
         (col("n_incoming") - coalesce(col("n_admitted"), lit(0L))).as("n_dropped"))
       .orderBy("source")
   }
+
+  /** X40: incremental aggregate maintenance — keep a per-key state table of
+    * MERGEABLE partials (count / decimal sum / min / max) and fold a delta
+    * batch in by algebraic merge (sum the counts and sums, min the mins,
+    * max the maxes) instead of re-scanning history. Here the "state" is the
+    * aggregate of the first 80% of events and the "delta" the remaining
+    * 20%; the merged result must equal a from-scratch aggregate over
+    * everything — which is exactly what the oracle computes. Decimal sums
+    * make the merge order-independent, so state ⊕ delta is bit-identical
+    * to full recompute. At 100 TB this is the difference between touching
+    * the day's partition and touching the corpus. */
+  def qIncrAggMerge(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = t(s, sf, "events").select(col("event_id"), col("event_type"),
+      col("value").cast(DecimalType(18, 6)).as("v"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val state = partial(e.filter(col("event_id") % 10 < 8))
+    val delta = partial(e.filter(col("event_id") % 10 >= 8))
+    state.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"),
+        sum(col("sv")).cast("double").as("sum_value"),
+        min(col("mn")).cast("double").as("min_value"),
+        max(col("mx")).cast("double").as("max_value"))
+      .orderBy("event_type")
+  }
 }

@@ -256,6 +256,40 @@ object Relational {
         grouping(col("l_linestatus")).cast("long").as("g_status"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** R10f: CUBE — all 2^n grouping combinations (the remaining member of
+    * the grouped-subtotal family next to ROLLUP / GROUPING SETS). Catalyst
+    * lowers it to one Expand(4 projections) + hash aggregate over a single
+    * scan, so the input is read once no matter how many subtotal levels
+    * the cube adds — the property that matters at 100 TB. */
+  def qCube(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** R7b: FULL OUTER join — year-over-year customer activity where either
+    * side may be absent. Joining on the using-column list makes Spark
+    * coalesce the key (one `o_custkey` out, never a null/null pair), and
+    * both inputs are pre-aggregated per key BEFORE the join, so the full
+    * outer join is a key-to-key merge of two already-small frames rather
+    * than an event-level shuffle — at scale the partial aggregates are the
+    * only thing that moves. */
+  def qFullOuter(s: SparkSession, sf: String): DataFrame = {
+    val o = t(s, sf, "orders")
+    def yr(y: Int, out: String) =
+      o.filter(year(col("o_orderdate")) === y)
+        .groupBy("o_custkey").agg(count(lit(1)).as(out))
+    yr(1995, "n_1995").join(yr(1996, "n_1996"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey").as("custkey"),
+        coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+        coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+        (col("n_1995").isNotNull && col("n_1996").isNotNull)
+          .cast("long").as("in_both"))
+      .orderBy("custkey")
+  }
+
   /** R10d: GROUPING SETS — the general grouped-subtotal form. The set
     * selection here ((l_returnflag), (l_linestatus)) — two independent
     * one-column aggregates, WITHOUT the pair — is expressible by neither

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops._
+
+/** Round-9 window/event/outer-join family: CUBE, FULL OUTER, lag/lead,
+  * time-range rolling frame, hopping window, bounded-heap per-group top-k,
+  * and incremental aggregate merge. Each test is a structural property or an
+  * in-Spark parity check; the DuckDB oracle provides the cross-engine hash
+  * gate.
+  */
+class WindowOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cube emits all four grouping levels and the grand total matches count(*)") {
+    val c = Relational.qCube(spark, sf).cache()
+    val levels = c.select("g_flag", "g_status").distinct().count()
+    assert(levels == 4, s"expected 4 cube levels, got $levels")
+    val grand = c.filter(col("g_flag") === 1 && col("g_status") === 1)
+    assert(grand.count() == 1)
+    val total = Tables.t(spark, sf, "lineitem").count()
+    assert(grand.head.getAs[Long]("n") == total)
+    // detail rows match the plain groupBy
+    val detail = c.filter(col("g_flag") === 0 && col("g_status") === 0).count()
+    val plain = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct().count()
+    assert(detail == plain)
+    c.unpersist()
+  }
+
+  test("full outer covers both years' custkeys; in_both marks the intersection") {
+    val f = Relational.qFullOuter(spark, sf).cache()
+    val o = Tables.t(spark, sf, "orders")
+    def keys(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+    val either = keys(1995).union(keys(1996)).distinct().count()
+    assert(f.count() == either)
+    val both = keys(1995).intersect(keys(1996)).count()
+    assert(f.filter(col("in_both") === 1).count() == both)
+    // coalesced zero-fill: no nulls anywhere
+    assert(f.filter(col("n_1995").isNull || col("n_1996").isNull).count() == 0)
+    f.unpersist()
+  }
+
+  test("lag/lead: nulls exactly at partition edges; delta is value - prev") {
+    val d = EventOps.qWindowLagLead(spark, sf).cache()
+    val users = d.select("user_id").distinct().count()
+    assert(d.filter(col("prev_value").isNull).count() == users)
+    assert(d.filter(col("next_value").isNull).count() == users)
+    assert(d.filter(col("delta_prev").isNotNull &&
+      col("delta_prev") =!= col("value") - col("prev_value")).count() == 0)
+    d.unpersist()
+  }
+
+  test("rolling 1h frame matches a brute-force interval self-count") {
+    val r = EventOps.qRollingWindow(spark, sf).cache()
+    // brute force: for each row, count events of the same user within
+    // (tus - 1h, tus] — RANGE frame includes peers, so <= on both ends
+    val e = Tables.events(spark, sf).filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    val brute = e.as("a").join(e.as("b"), $"a.user_id" === $"b.user_id" &&
+        $"b.tus" <= $"a.tus" && $"b.tus" >= $"a.tus" - 3600000000L)
+      .groupBy($"a.user_id".as("user_id"), $"a.event_id".as("event_id"))
+      .agg(count(lit(1)).as("n_brute"))
+    val bad = r.join(brute, Seq("user_id", "event_id"))
+      .filter(col("n_1h") =!= col("n_brute")).count()
+    assert(bad == 0)
+    r.unpersist()
+  }
+
+  test("hopping 10m/5m windows count every event exactly twice") {
+    val h = EventOps.qHoppingWindow(spark, sf)
+    val total = Tables.events(spark, sf).count()
+    val windowed = h.agg(sum("n")).head.getLong(0)
+    assert(windowed == 2 * total, s"expected ${2 * total}, got $windowed")
+  }
+
+  test("bounded-heap per-type top-k equals the window-sort formulation") {
+    val heap = EventOps.qTopkPerType(spark, sf)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val win = Tables.events(spark, sf)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("event_type", "rnk", "event_id", "value")
+      .orderBy("event_type", "rnk")
+    assert(heap.collect().toSeq == win.collect().toSeq)
+  }
+
+  test("incremental state+delta merge equals from-scratch aggregation") {
+    import org.apache.spark.sql.types.DecimalType
+    val merged = MergeOps.qIncrAggMerge(spark, sf)
+    val full = Tables.events(spark, sf)
+      .select(col("event_type"), col("value").cast(DecimalType(18, 6)).as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sum_value"),
+        min(col("v")).cast("double").as("min_value"),
+        max(col("v")).cast("double").as("max_value"))
+      .orderBy("event_type")
+    assert(merged.collect().toSeq == full.collect().toSeq)
+  }
+}
