@@ -146,7 +146,9 @@ object SparkEntry {
     "q_rolling_window"        -> (EventOps.qRollingWindow _),
     "q_hopping_window"        -> (EventOps.qHoppingWindow _),
     "q_topk_per_type"         -> (EventOps.qTopkPerType _),
-    "q_incr_agg_merge"        -> (MergeOps.qIncrAggMerge _)
+    "q_incr_agg_merge"        -> (MergeOps.qIncrAggMerge _),
+    "q_resample_ffill"        -> (EventOps.qResampleFfill _),
+    "q_table_checksum"        -> (ProfileOps.qTableChecksum _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -537,6 +539,37 @@ object SparkEntry {
         |CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
         |CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // resample: union+tag+running-last LOCF — grid rows (is_grid=1) order
+    // AFTER same-instant observations; NULL event_id only ever occurs in
+    // singleton (tus, is_grid) groups, so engine NULL-ordering differences
+    // can't reorder anything
+    "q_resample_ffill" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, value
+        |  FROM events WHERE user_id < 20),
+        |b AS (SELECT user_id, (min(tus) // 900000000) * 900000000 AS gs,
+        |  (max(tus) // 900000000) * 900000000 AS ge FROM e GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(gs, ge, 900000000)) AS tus FROM b),
+        |u AS (SELECT user_id, tus, 1 AS is_grid, CAST(NULL AS BIGINT) AS event_id,
+        |    CAST(NULL AS DOUBLE) AS value FROM g
+        |  UNION ALL SELECT user_id, tus, 0, event_id, value FROM e),
+        |f AS (SELECT user_id, tus, is_grid,
+        |  last_value(value IGNORE NULLS) OVER w AS ffill_value,
+        |  last_value(event_id IGNORE NULLS) OVER w AS ffill_event FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, is_grid, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, tus AS grid_us, ffill_event, ffill_value FROM f
+        |WHERE is_grid = 1 ORDER BY user_id, grid_us""".stripMargin,
+    // checksum: 15 hex chars of md5 parse identically via conv(…,16,10) /
+    // CAST('0x…' AS BIGINT); XOR and the modular sum are order-independent
+    "q_table_checksum" ->
+      """WITH h AS (SELECT source,
+        |  CAST(concat('0x', substring(md5(concat_ws(chr(1),
+        |    CAST(doc_id AS VARCHAR), source, text)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_rows,
+        |CAST(sum(h % 1000000007) AS BIGINT) AS checksum_sum,
+        |bit_xor(h) AS checksum_xor, max(h) AS h_max
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     // funnel: timestamps compared as exact integer micros on both sides —
     // Spark's events reader truncates ns → µs, so the oracle floors the
     // native ns value identically before any min/chaining comparison

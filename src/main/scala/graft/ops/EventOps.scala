@@ -139,6 +139,45 @@ object EventOps {
       .orderBy("event_type", "rnk")
   }
 
+  /** X41: time-series resample + forward fill (last observation carried
+    * forward) — regularize each user's irregular event stream onto a
+    * 15-minute grid, carrying the latest (value, event_id) at or before
+    * each grid instant. The grid is generated per user from integer-µs
+    * bounds (`sequence` of longs — no timestamp arithmetic to diverge),
+    * and the fill is the union+tag+running-`last` formulation shared with
+    * the as-of join (ops/TemporalJoinOps.scala): ONE user-keyed shuffle
+    * sorts grid and observation rows together, so filling is linear per
+    * partition — never a grid×events join. Grid rows order AFTER
+    * observations at the same instant (is_grid tiebreak), so an event
+    * exactly on a boundary is visible to that grid point in both engines. */
+  def qResampleFfill(s: SparkSession, sf: String): DataFrame = {
+    val step = 900000000L // 15 min in µs
+    val e = t(s, sf, "events").filter(col("user_id") < 20)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value"))
+    val grid = e.groupBy("user_id")
+      .agg(min("tus").as("mn"), max("tus").as("mx"))
+      .select(col("user_id"), explode(sequence(
+        col("mn") - pmod(col("mn"), lit(step)),
+        col("mx") - pmod(col("mx"), lit(step)),
+        lit(step))).as("tus"))
+      .select(col("user_id"), col("tus"), lit(1).as("is_grid"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"))
+    val obs = e.select(col("user_id"), col("tus"), lit(0).as("is_grid"),
+      col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("is_grid"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.unionByName(obs)
+      .withColumn("ffill_value", last(col("value"), ignoreNulls = true).over(w))
+      .withColumn("ffill_event", last(col("event_id"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("tus").as("grid_us"),
+        col("ffill_event"), col("ffill_value"))
+      .orderBy("user_id", "grid_us")
+  }
+
   /** E3: ordered funnel — view → click → purchase per user, each stage
     * timestamped by the EARLIEST qualifying event STRICTLY AFTER the prior
     * stage (min-ts chaining, the standard product-analytics funnel).

@@ -60,4 +60,28 @@ object ProfileOps {
     profile(t(s, sf, "orders"),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority"))
+
+  /** X42: content checksum — an order-independent per-source fingerprint
+    * for replication / anti-entropy audits ("did the copy land intact?").
+    * Each row hashes to a 60-bit integer (first 15 hex chars of the md5 of
+    * a \u0001-joined canonical string — md5 is engine-identical, and 15
+    * hex chars fit a signed 64-bit lane under ANSI overflow checking);
+    * per-source the rows fold with XOR and a modular sum — both
+    * commutative+associative, so partial aggregation works map-side and
+    * the merge order Spark picks cannot change the answer. One scan, one
+    * tiny keyed shuffle of (source → 4 numbers); two corpus replicas
+    * compare by exchanging a handful of rows, never data. */
+  def qTableChecksum(s: SparkSession, sf: String): DataFrame = {
+    val h = conv(substring(md5(concat_ws("\u0001",
+        col("doc_id").cast("string"), col("source"), col("text"))), 1, 15),
+      16, 10).cast("long")
+    t(s, sf, "documents")
+      .select(col("source"), h.as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h") % 1000000007L).as("checksum_sum"),
+        expr("bit_xor(h)").as("checksum_xor"),
+        max(col("h")).as("h_max"))
+      .orderBy("source")
+  }
 }

@@ -29,6 +29,20 @@ object EventStream {
         col("n"), col("sum_value"))
   }
 
+  /** Hopping (sliding) 10-minute/5-minute counts per event type — the
+    * streaming face of `EventOps.qHoppingWindow`, same plan shape on a
+    * batch frame (WindowOpsSpec/StreamingSpec assert parity). On a stream
+    * each event updates exactly size/slide = 2 window states; the
+    * watermark bounds how long a window's state stays open. Decimal-exact
+    * sums for the same reason as `hourlyCounts`. */
+  def slidingCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    in.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.ops.Tables.dsum(col("value"), 6).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   /** Streaming file-source reader for the events layout. Streaming sources
     * need an explicit schema, and the `ts` column has shipped both as int64
     * TIMESTAMP(NANOS) (rejected unless read as raw longs + nanosAsLong) and

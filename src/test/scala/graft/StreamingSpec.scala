@@ -44,6 +44,36 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming hopping-window counts equal the batch computation") {
+    import spark.implicits._
+    val batch = graft.ops.Tables.events(spark, sf)
+      .select("ts", "event_type", "value")
+    val rows = batch.collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    stream.addData(rows.take(rows.size / 3).map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getDouble(2))))
+    stream.addData(rows.drop(rows.size / 3).map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getDouble(2))))
+    val q = EventStream.slidingCounts(stream.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sliding")
+      .select(col("win_start").cast("string"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy("win_start", "event_type").collect().toSeq
+    val want = EventStream.slidingCounts(batch)
+      .select(col("win_start").cast("string"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // the batch face of slidingCounts is the oracle-verified qHoppingWindow
+    val viaOp = graft.ops.EventOps.qHoppingWindow(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    assert(want.map(_.getLong(2)).sum == viaOp)
+  }
+
   test("file-source stream over the real ns-timestamp events parquet") {
     // the file source wants a directory: stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory(

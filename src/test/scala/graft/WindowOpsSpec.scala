@@ -88,6 +88,53 @@ class WindowOpsSpec extends SparkTestBase {
     assert(heap.collect().toSeq == win.collect().toSeq)
   }
 
+  test("resample grid is dense per user; fill matches a brute-force as-of lookup") {
+    val r = EventOps.qResampleFfill(spark, sf).cache()
+    val step = 900000000L
+    // dense grid: per user, rows == (ge - gs)/step + 1
+    val counts = r.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("grid_us").as("gs"), max("grid_us").as("ge"))
+      .filter(col("n") =!= (col("ge") - col("gs")) / step + 1)
+    assert(counts.count() == 0)
+    // brute force: ffill_event must be the max event_id among events at or
+    // before the grid instant with the max tus among those
+    val e = Tables.events(spark, sf).filter(col("user_id") < 20)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value"))
+    val brute = r.select("user_id", "grid_us").as("g")
+      .join(e.as("e"), $"g.user_id" === $"e.user_id" && $"e.tus" <= $"g.grid_us")
+      .groupBy($"g.user_id".as("user_id"), $"g.grid_us".as("grid_us"))
+      .agg(max(struct(col("tus"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("grid_us"), col("m.event_id").as("want_event"))
+    val bad = r.join(brute, Seq("user_id", "grid_us"), "left")
+      .filter(coalesce(col("ffill_event"), lit(-1L)) =!=
+        coalesce(col("want_event"), lit(-1L))).count()
+    assert(bad == 0)
+    r.unpersist()
+  }
+
+  test("table checksum is partition/order independent and change-sensitive") {
+    val base = ProfileOps.qTableChecksum(spark, sf).collect().toSeq
+    // same data through a different physical layout: identical checksums
+    val docs = Tables.t(spark, sf, "documents")
+    val shuffledDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cksum").toString
+    docs.orderBy(rand(7)).repartition(7).write.mode("overwrite")
+      .parquet(s"$shuffledDir/documents.parquet")
+    val reord = ProfileOps.qTableChecksum(spark, shuffledDir).collect().toSeq
+    assert(base == reord)
+    // one flipped byte must change that source's xor
+    val mutatedDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cksum_mut").toString
+    docs.withColumn("text",
+        when(col("doc_id") === 0, concat(col("text"), lit("!")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$mutatedDir/documents.parquet")
+    val mut = ProfileOps.qTableChecksum(spark, mutatedDir).collect().toSeq
+    assert(base != mut)
+    assert(base.size == mut.size) // same sources, different fingerprints
+  }
+
   test("incremental state+delta merge equals from-scratch aggregation") {
     import org.apache.spark.sql.types.DecimalType
     val merged = MergeOps.qIncrAggMerge(spark, sf)
