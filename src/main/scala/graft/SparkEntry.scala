@@ -148,7 +148,9 @@ object SparkEntry {
     "q_topk_per_type"         -> (EventOps.qTopkPerType _),
     "q_incr_agg_merge"        -> (MergeOps.qIncrAggMerge _),
     "q_resample_ffill"        -> (EventOps.qResampleFfill _),
-    "q_table_checksum"        -> (ProfileOps.qTableChecksum _)
+    "q_table_checksum"        -> (ProfileOps.qTableChecksum _),
+    "q_percent_rank"          -> (Relational.qPercentRank _),
+    "q_session_window"        -> (EventOps.qSessionWindow _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -539,6 +541,28 @@ object SparkEntry {
         |CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
         |CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // total ordering (balance desc, custkey asc) → no peer groups → both
+    // stats are single integer divisions, engine-exact
+    "q_percent_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    // session_window merges [ts, ts+gap) intervals: an event at exactly
+    // prev+gap starts a NEW session (>= flag); window end = last ts + gap
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
+        |x AS (SELECT user_id, tus, value,
+        |  CASE WHEN lag(tus) OVER pw IS NULL
+        |    OR tus - lag(tus) OVER pw >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW pw AS (PARTITION BY user_id ORDER BY tus)),
+        |y AS (SELECT user_id, tus, value, sum(new_s) OVER (PARTITION BY user_id
+        |  ORDER BY tus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |max(tus) + 1800000000 AS session_end_us, count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
     // resample: union+tag+running-last LOCF — grid rows (is_grid=1) order
     // AFTER same-instant observations; NULL event_id only ever occurs in
     // singleton (tus, is_grid) groups, so engine NULL-ordering differences

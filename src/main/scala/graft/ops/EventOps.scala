@@ -139,6 +139,24 @@ object EventOps {
       .orderBy("event_type", "rnk")
   }
 
+  /** E2b: native gap sessionization via `session_window(ts, gap)` — the
+    * operator form of `qSessionLikeGap`'s lag/flag/sum construction, and
+    * the one that runs unchanged on a stream (session state merges under
+    * the watermark). Semantics: each event opens [ts, ts+gap); overlapping
+    * windows merge, so an event at exactly prev+gap starts a NEW session —
+    * the oracle reproduces that with a `>= gap` flag over integer micros.
+    * Session boundaries are decided inside each user's partition; the only
+    * shuffle is the (user, merged-window) agg. */
+  def qSessionWindow(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+
   /** X41: time-series resample + forward fill (last observation carried
     * forward) — regularize each user's irregular event stream onto a
     * 15-minute grid, carrying the latest (value, event_id) at or before

@@ -290,6 +290,22 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** R17e: distribution ranks — percent_rank and cume_dist per segment.
+    * The ordering is TOTAL (balance desc, custkey asc), so rank has no
+    * peer groups and both statistics reduce to single integer divisions
+    * ((rank-1)/(n-1), rank/n) — one IEEE division each, bit-identical
+    * across engines with no micro-int detour. Per-segment windows keep
+    * evaluation partition-local. */
+  def qPercentRank(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, sf, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   /** R10d: GROUPING SETS — the general grouped-subtotal form. The set
     * selection here ((l_returnflag), (l_linestatus)) — two independent
     * one-column aggregates, WITHOUT the pair — is expressible by neither

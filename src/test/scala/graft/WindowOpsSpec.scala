@@ -135,6 +135,63 @@ class WindowOpsSpec extends SparkTestBase {
     assert(base.size == mut.size) // same sources, different fingerprints
   }
 
+  test("percent_rank/cume_dist: bounds, monotonicity, and exact rank ratios") {
+    val d = Relational.qPercentRank(spark, sf).cache()
+    assert(d.filter(col("pct_rank") < 0 || col("pct_rank") > 1 ||
+      col("cume") <= 0 || col("cume") > 1).count() == 0)
+    // with a total order, pct_rank = (rn-1)/(n-1) and cume = rn/n exactly
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val check = Tables.t(spark, sf, "customer")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      .select(col("c_custkey"),
+        ((col("rn") - 1).cast("double") / (col("n") - 1).cast("double")).as("want_pr"),
+        (col("rn").cast("double") / col("n").cast("double")).as("want_cd"))
+    val bad = d.join(check, Seq("c_custkey"))
+      .filter(col("pct_rank") =!= col("want_pr") || col("cume") =!= col("want_cd"))
+    assert(bad.count() == 0)
+    d.unpersist()
+  }
+
+  test("session_window sessions match the lag/gap-flag construction; boundary event starts a new session") {
+    import spark.implicits._
+    // semantics probe: gap = 30 min; an event exactly 30 min after the
+    // previous one must open a NEW session (intervals don't overlap)
+    val probe = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:29:59"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:59:59"), 1.0), // merges (gap-1s)
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:29:59"), 1.0), // merges
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:59:59"), 1.0), // merges
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:30:00"), 1.0)  // exactly gap -> new
+    ).toDF("user_id", "ts", "value")
+    val sessions = probe
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("n")).orderBy(col("n").desc).as[Long].collect().toSeq
+    assert(sessions == Seq(5L, 1L), s"got $sessions")
+    // full-table parity: operator vs the lag/flag/cumsum formulation
+    val got = EventOps.qSessionWindow(spark, sf)
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+    val pw = Window.partitionBy("user_id").orderBy("tus")
+    val flagged = e.withColumn("new_s",
+      when(lag(col("tus"), 1).over(pw).isNull ||
+        col("tus") - lag(col("tus"), 1).over(pw) >= 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        pw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val want = flagged.groupBy("user_id", "sid")
+      .agg(min("tus").as("session_start_us"),
+        (max(col("tus")) + 1800000000L).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+      .orderBy("user_id", "session_start_us")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
   test("incremental state+delta merge equals from-scratch aggregation") {
     import org.apache.spark.sql.types.DecimalType
     val merged = MergeOps.qIncrAggMerge(spark, sf)
