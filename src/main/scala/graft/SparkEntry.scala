@@ -150,7 +150,9 @@ object SparkEntry {
     "q_resample_ffill"        -> (EventOps.qResampleFfill _),
     "q_table_checksum"        -> (ProfileOps.qTableChecksum _),
     "q_percent_rank"          -> (Relational.qPercentRank _),
-    "q_session_window"        -> (EventOps.qSessionWindow _)
+    "q_session_window"        -> (EventOps.qSessionWindow _),
+    "q_event_transitions"     -> (EventOps.qEventTransitions _),
+    "q_retention_cohorts"     -> (EventOps.qRetentionCohorts _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -563,6 +565,24 @@ object SparkEntry {
         |max(tus) + 1800000000 AS session_end_us, count(*) AS n_events,
         |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    // transition bigrams: one lag window then a bounded (from,to) agg
+    "q_event_transitions" ->
+      """WITH x AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n,
+        |count(DISTINCT user_id) AS n_users
+        |FROM x WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    // retention: integer epoch-day arithmetic on both sides (µs - µs%day)
+    "q_retention_cohorts" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |  (epoch_ns(ts) // 1000) // 86400000000 AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY user_id)
+        |SELECT f.cohort_d, e.d - f.cohort_d AS day_offset,
+        |count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_d, day_offset""".stripMargin,
     // resample: union+tag+running-last LOCF — grid rows (is_grid=1) order
     // AFTER same-instant observations; NULL event_id only ever occurs in
     // singleton (tus, is_grid) groups, so engine NULL-ordering differences

@@ -157,6 +157,43 @@ object EventOps {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start_us")
 
+  /** E4: event-transition matrix — per-user consecutive (prev_type → type)
+    * bigram counts, the edge list behind funnels/Sankey flow views. One
+    * user-partitioned lag window (partition-local), then an aggregation
+    * keyed on the BOUNDED (from, to) type pairs — map-side partials
+    * collapse each task to ≤ |types|² rows before the exchange, so the
+    * shuffle is O(types²·tasks) regardless of event volume. */
+  def qEventTransitions(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** E5: retention cohorts — users grouped by their first-activity day,
+    * counted on each subsequent day offset they return (the standard
+    * triangular retention matrix). Day arithmetic is integer µs → epoch
+    * days (engine-exact); the plan is two user-keyed aggs (first day, then
+    * distinct active days) and a final bounded (cohort × offset) agg —
+    * shuffles carry users and day pairs, never raw events. */
+  def qRetentionCohorts(s: SparkSession, sf: String): DataFrame = {
+    val day = 86400000000L
+    val e = t(s, sf, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(day)))
+          .divide(lit(day)).cast("long").as("d"))
+    val firstDay = e.groupBy("user_id").agg(min("d").as("cohort_d"))
+    e.distinct()
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_d"), (col("d") - col("cohort_d")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_d", "day_offset")
+  }
+
   /** X41: time-series resample + forward fill (last observation carried
     * forward) — regularize each user's irregular event stream onto a
     * 15-minute grid, carrying the latest (value, event_id) at or before

@@ -192,6 +192,34 @@ class WindowOpsSpec extends SparkTestBase {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("event transitions: per-user bigram counts conserve events") {
+    val tr = EventOps.qEventTransitions(spark, sf)
+    val e = Tables.events(spark, sf)
+    val totalEvents = e.count()
+    val users = e.select("user_id").distinct().count()
+    // each user with k events contributes exactly k-1 transitions
+    assert(tr.agg(sum("n")).head.getLong(0) == totalEvents - users)
+    assert(tr.filter(col("n_users") > col("n")).count() == 0)
+  }
+
+  test("retention cohorts: offset-0 row counts the full cohort") {
+    val r = EventOps.qRetentionCohorts(spark, sf).cache()
+    assert(r.filter(col("day_offset") < 0).count() == 0)
+    // every user is active on their first day, so offset-0 per cohort must
+    // equal the number of users whose first day is that cohort day
+    val day = 86400000000L
+    val e = Tables.events(spark, sf).select(col("user_id"),
+      (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(day)))
+        .divide(lit(day)).cast("long").as("d"))
+    val cohortSizes = e.groupBy("user_id").agg(min("d").as("cohort_d"))
+      .groupBy("cohort_d").agg(countDistinct("user_id").as("want"))
+    val bad = r.filter(col("day_offset") === 0)
+      .join(cohortSizes, Seq("cohort_d"), "full_outer")
+      .filter(coalesce(col("n_users"), lit(-1L)) =!= coalesce(col("want"), lit(-2L)))
+    assert(bad.count() == 0)
+    r.unpersist()
+  }
+
   test("incremental state+delta merge equals from-scratch aggregation") {
     import org.apache.spark.sql.types.DecimalType
     val merged = MergeOps.qIncrAggMerge(spark, sf)
