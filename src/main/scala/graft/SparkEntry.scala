@@ -152,7 +152,10 @@ object SparkEntry {
     "q_percent_rank"          -> (Relational.qPercentRank _),
     "q_session_window"        -> (EventOps.qSessionWindow _),
     "q_event_transitions"     -> (EventOps.qEventTransitions _),
-    "q_retention_cohorts"     -> (EventOps.qRetentionCohorts _)
+    "q_retention_cohorts"     -> (EventOps.qRetentionCohorts _),
+    "q_unpivot"               -> (Relational.qUnpivot _),
+    "q_regex_funcs"           -> (Relational.qRegexFuncs _),
+    "q_array_funcs"           -> (Relational.qArrayFuncs _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -565,6 +568,35 @@ object SparkEntry {
         |max(tus) + 1800000000 AS session_end_us, count(*) AS n_events,
         |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    // unpivot: metric names ARE the source column names in both engines;
+    // values are moved doubles
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |           l_extendedprice, l_discount, l_tax
+        |           FROM lineitem WHERE l_orderkey <= 1500)
+        |  ON l_quantity, l_extendedprice, l_discount, l_tax
+        |  INTO NAME metric VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
+    // patterns stay in the Java∩RE2 common subset; both engines return ''
+    // for a no-match extract
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+        |regexp_extract(text, '[0-9]+') AS first_num,
+        |length(regexp_replace(text, '[0-9]', '#', 'g')) AS len_masked,
+        |CAST(CASE WHEN regexp_matches(text, '[aeiou]{3}') THEN 1 ELSE 0 END AS BIGINT) AS has_tri_vowel,
+        |regexp_extract(text, '([a-z]+)ing', 1) AS ing_stem
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // higher-order list ops; scalar outputs keep the comparison exact
+    "q_array_funcs" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |array_to_string(list_sort(toks[1:5]), ',') AS head_sorted,
+        |CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+        |CAST(list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b) AS BIGINT) AS sum_len
+        |FROM d ORDER BY doc_id""".stripMargin,
     // transition bigrams: one lag window then a bounded (from,to) agg
     "q_event_transitions" ->
       """WITH x AS (SELECT user_id, event_type,

@@ -290,6 +290,59 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** R15b: UNPIVOT/melt — the inverse of the pivot: wide measure columns
+    * to long (metric, value) rows. Catalyst lowers `unpivot` to one Expand
+    * over a single scan (k output rows per input row, no join, no
+    * shuffle) — the same read-once property as the grouped-subtotal
+    * family. Values are MOVED doubles, so parity is exact. */
+  def qUnpivot(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem").filter(col("l_orderkey") <= 1500)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+      // value joins the sort key to make the output order total (identical
+      // full-duplicate rows are interchangeable either way)
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+
+  /** C6: regex scalar suite — extract / global replace / match / capture
+    * group over document text. Patterns stay in the Java∩RE2 common subset
+    * (character classes, bounded quantifiers, one capture group) so Spark's
+    * java.util.regex and DuckDB's RE2 agree byte-for-byte; both engines
+    * return "" for a no-match extract. Pure projection — codegen'd, no
+    * shuffle beyond the output sort. */
+  def qRegexFuncs(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "documents").select(col("doc_id"),
+      regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+      length(regexp_replace(col("text"), "[0-9]", "#")).cast("long")
+        .as("len_masked"),
+      col("text").rlike("[aeiou]{3}").cast("long").as("has_tri_vowel"),
+      regexp_extract(col("text"), "([a-z]+)ing", 1).as("ing_stem"))
+      .orderBy("doc_id")
+
+  /** C7: higher-order array suite — size / distinct / slice+sort /
+    * lambda filter / transform+aggregate over the tokenized text, the
+    * codegen HOF toolkit (`functions.filter/transform/aggregate`) that
+    * replaces per-row UDFs. Outputs are scalars (counts, a joined string,
+    * an integer fold) so cross-engine comparison is exact; tokenization
+    * matches the BM25 family's split for established parity. */
+  def qArrayFuncs(s: SparkSession, sf: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    t(s, sf, "documents").select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        concat_ws(",", sort_array(slice(col("toks"), 1, 5))).as("head_sorted"),
+        size(filter(col("toks"), x => length(x) > 4)).cast("long").as("n_long"),
+        aggregate(transform(col("toks"), x => length(x).cast("long")),
+          lit(0L), (a, b) => a + b).as("sum_len"))
+      .orderBy("doc_id")
+  }
+
   /** R17e: distribution ranks — percent_rank and cume_dist per segment.
     * The ordering is TOTAL (balance desc, custkey asc), so rank has no
     * peer groups and both statistics reduce to single integer divisions

@@ -220,6 +220,46 @@ class WindowOpsSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("unpivot emits 4 metric rows per input row and round-trips the values") {
+    val up = Relational.qUnpivot(spark, sf).cache()
+    val base = Tables.t(spark, sf, "lineitem").filter(col("l_orderkey") <= 1500)
+    assert(up.count() == 4 * base.count())
+    // melt must preserve the exact (key, value) multiset — (l_orderkey,
+    // l_linenumber) is NOT unique, so compare with multiset except, not a
+    // key join
+    val qty = up.filter(col("metric") === "l_quantity")
+      .select(col("l_orderkey"), col("l_linenumber"), col("value"))
+    val want = base.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("value"))
+    assert(qty.exceptAll(want).count() == 0)
+    assert(want.exceptAll(qty).count() == 0)
+    up.unpersist()
+  }
+
+  test("regex suite: masked length preserves non-digit count; extracts are prefixes of text") {
+    val r = Relational.qRegexFuncs(spark, sf)
+    val joined = r.join(
+      Tables.t(spark, sf, "documents").select("doc_id", "text"), Seq("doc_id"))
+    // global digit masking never changes the string length
+    assert(joined.filter(col("len_masked") =!= length(col("text"))).count() == 0)
+    // any extracted number must literally occur in the text
+    assert(joined.filter(col("first_num") =!= "" &&
+      !col("text").contains(col("first_num"))).count() == 0)
+  }
+
+  test("array HOF suite: distinct <= size, filter <= size, fold equals token lengths") {
+    val a = Relational.qArrayFuncs(spark, sf)
+    assert(a.filter(col("n_distinct") > col("n_toks") ||
+      col("n_long") > col("n_toks")).count() == 0)
+    // fold check against an independent formulation: sum of token lengths
+    // == total non-space chars of the normalized text
+    val docs = Tables.t(spark, sf, "documents").select(col("doc_id"),
+      length(regexp_replace(trim(lower(col("text"))), "\\s+", ""))
+        .cast("long").as("want"))
+    assert(a.join(docs, Seq("doc_id"))
+      .filter(col("sum_len") =!= col("want")).count() == 0)
+  }
+
   test("incremental state+delta merge equals from-scratch aggregation") {
     import org.apache.spark.sql.types.DecimalType
     val merged = MergeOps.qIncrAggMerge(spark, sf)
