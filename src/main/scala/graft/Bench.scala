@@ -30,7 +30,10 @@ object Bench {
     "q_mixture_draw", "q_heavy_hitters", "q_heavy_hitters_mg", "q_pruned_scan",
     "q_salted_join",
     "q_cube", "q_full_outer", "q_rolling_window", "q_hopping_window",
-    "q_topk_per_type", "q_incr_agg_merge")
+    "q_topk_per_type", "q_incr_agg_merge",
+    "q_resample_ffill", "q_table_checksum", "q_percent_rank",
+    "q_session_window", "q_event_transitions", "q_retention_cohorts",
+    "q_unpivot", "q_regex_funcs", "q_array_funcs")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a
