@@ -64,11 +64,18 @@ object Bench {
     val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "1").toInt
     val sfDir = if (mult > 1) BenchScale.ensureScaled(spark, sfBase, mult)
       else sfBase
+    // micro-bench filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times only the
+    // named queries (for before/after optimization measurements); the
+    // durable artifact write is suppressed so a partial run can never
+    // masquerade as round evidence
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val run = only.map(o => headline.filter(o)).getOrElse(headline)
     // JVM/codegen warmup: run every headline query once at the smallest SF so
     // the timed runs measure execution, not plan compilation (the generated
     // code is shape-keyed, so the codegen cache carries over across SF dirs).
     val warmSf = "/root/testdata/sf0.001"
-    headline.foreach { name =>
+    run.foreach { name =>
       try force(SparkEntry.queries(name)(spark, warmSf))
       catch { case _: Throwable => () }
     }
@@ -112,7 +119,7 @@ object Bench {
     catch { case _: Throwable => () }
     // untimed warmup pass at the TARGET sf: first-touch page cache, JIT at
     // the real data shapes — doubles as the round-robin's pass 0
-    headline.foreach { name =>
+    run.foreach { name =>
       try force(fns(name)(spark, sfDir)) catch { case _: Throwable => () }
     }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -121,16 +128,16 @@ object Bench {
       System.gc()
       names.foreach(name => timedOne(name).foreach(t => samples(name) :+= t))
     }
-    passes(headline, runsPerQuery)
+    passes(run, runsPerQuery)
     // adaptive re-sampling: queries whose spread exceeds 30% of their
     // median are noise-dominated — give them (and only them) a second
     // interleaved block of passes before trusting the stats
-    val noisy = headline.filter { name =>
+    val noisy = run.filter { name =>
       val s = samples(name).sorted
       s.nonEmpty && s.last - s.head > math.max(0.2, 0.3 * s(s.size / 2))
     }
     passes(noisy, runsPerQuery)
-    val results = headline.map { name =>
+    val results = run.map { name =>
       val sorted = samples(name).sorted
       if (sorted.isEmpty) (name, -1.0, -1.0, -1.0, 0)
       else (name, sorted(sorted.size / 2), sorted.head,
@@ -150,9 +157,10 @@ object Bench {
     // survives regardless of how much of stdout the harness keeps
     val sfName = new java.io.File(sfBase).getName +
       (if (mult > 1) s"_x$mult" else "")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"BENCH_DRIVER_$sfName.json"),
-      json.getBytes("UTF-8")): Unit
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_DRIVER_$sfName.json"),
+        json.getBytes("UTF-8")): Unit
     // stop FIRST: executor/shutdown log lines must never trail the JSON
     // lines, they have to be the last things on stdout
     spark.stop()
@@ -162,7 +170,7 @@ object Bench {
     // a short trailing summary line always survives a tail capture
     val nOk = results.count(_._2 >= 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${headline.size},"n_ok":$nOk,""" +
+      s""""n_queries":${run.size},"n_ok":$nOk,""" +
       s""""runs_per_query":$runsPerQuery,"mult":$mult,"sf":"$sfDir"}""")
   }
 }
