@@ -560,9 +560,13 @@ object SearchOps {
   def rm3Rescore(s: SparkSession, sf: String, terms: Seq[String],
       fbDocs: Int, topN: Int, k: Int): DataFrame = {
     import s.implicits._
+    // the topN-row expansion table feeds BOTH wmax and the weighted-term
+    // union; materialize it once or the whole feedback pipeline (a BM25
+    // pass + a corpus explode) re-runs per consumer
     val exp = rm3Weights(s, sf, terms, fbDocs)
       .orderBy(col("w_e6").desc, col("term").asc)
       .limit(topN)
+      .localCheckpoint()
     val wmax = exp.agg(max(col("w_e6")).as("wmax"))
     val orig = terms.toDF("term")
       .crossJoin(broadcast(wmax))
@@ -609,7 +613,10 @@ object SearchOps {
     val unigrams = docsIn
       .select(explode(toks(col("text"))).as("w"))
     val c1 = unigrams.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = unigrams.agg(countDistinct("w").as("v"))
+    // |V| is exactly c1's row count — deriving it from the already-grouped
+    // table instead of a second countDistinct over the raw token stream
+    // drops a full corpus tokenize pass
+    val vocab = c1.agg(count(lit(1)).as("v"))
     val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val lp = log((col("cb") + 1.0) / (col("c1") + col("v")))
     bigrams
