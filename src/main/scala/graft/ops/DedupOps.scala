@@ -126,8 +126,13 @@ object DedupOps {
     * (source, key) buckets a lexicographic order produces shrink
     * (DedupOpsSpec measures the drop). Join-key cardinality grows with the
     * corpus, never per-source quadratically. */
-  def qNgramJaccardPairs(s: SparkSession, sf: String): DataFrame = {
-    val threshold = 0.4
+  /** The exact-path candidate pairs BEFORE materialization — split out so
+    * PlanSpec can audit the generation plan (bucket-local aggregation +
+    * in-bucket pair explode, no quadratic join operator), which the
+    * checkpoint in [[qNgramJaccardPairs]] would otherwise hide behind a
+    * `Scan ExistingRDD`. */
+  def ngramCandidatePairs(s: SparkSession, sf: String,
+      threshold: Double): DataFrame = {
     val docs = t(s, sf, "documents")
     val plain = withShingles(docs)
     // candidate pairs are generated bucket-locally (groupBy (source, key) +
@@ -144,7 +149,7 @@ object DedupOps {
     // that exact rational because 0.4·max in binary floating point can
     // round past a boundary-valid pair. Lossless like the prefix filter
     // (the oracle's all-pairs hash match proves both).
-    val cands = pre.groupBy("source", "key")
+    pre.groupBy("source", "key")
       .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(col("source"), posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
@@ -154,10 +159,15 @@ object DedupOps {
       .filter(least(col("na"), col("b.n")) * 5 >= greatest(col("na"), col("b.n")) * 2)
       .select(col("source"), col("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      // materialize candidates once: they feed the pair output AND the
-      // verify-side pruning below; without the checkpoint the expensive
-      // freq-ordered prefix pipeline would re-run per consumer
-      .localCheckpoint()
+  }
+
+  def qNgramJaccardPairs(s: SparkSession, sf: String): DataFrame = {
+    val threshold = 0.4
+    val docs = t(s, sf, "documents")
+    // materialize candidates once: they feed the pair output AND the
+    // verify-side pruning below; without the checkpoint the expensive
+    // freq-ordered prefix pipeline would re-run per consumer
+    val cands = ngramCandidatePairs(s, sf, threshold).localCheckpoint()
     // verify sides use the PLAIN shingle arrays — array_intersect is
     // order-blind, so the canonical order only ever matters for prefixes.
     // Shingle only the docs that actually appear in a candidate pair

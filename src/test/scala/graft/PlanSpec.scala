@@ -144,15 +144,23 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("ngram pair generation is bucket-local: no quadratic join operator") {
-    val p = plan(DedupOps.qNgramJaccardPairs(spark, sf))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"candidate generation must never go quadratic-by-plan:\n$p")
+    // audit the PRE-checkpoint candidate plan: qNgramJaccardPairs
+    // materializes candidates (they feed two consumers), which hides the
+    // generation operators behind a Scan ExistingRDD in the final plan
+    val pc = plan(DedupOps.ngramCandidatePairs(spark, sf, 0.4))
+    assert(!pc.contains("BroadcastNestedLoopJoin") && !pc.contains("CartesianProduct"),
+      s"candidate generation must never go quadratic-by-plan:\n$pc")
     // candidates come from groupBy (source, key) + in-bucket combination
     // explode, not a prefix self-join: the plan carries the bucket
     // aggregation and the pair-expanding generator
-    assert(p.contains("collect_set") || p.contains("sort_array"),
-      s"expected bucket-local candidate aggregation:\n$p")
-    assert(p.contains("Generate"), s"expected in-bucket pair explode:\n$p")
+    assert(pc.contains("collect_set") || pc.contains("sort_array"),
+      s"expected bucket-local candidate aggregation:\n$pc")
+    assert(pc.contains("Generate"), s"expected in-bucket pair explode:\n$pc")
+    // the assembled query (checkpointed candidates + pruned verify joins)
+    // must also stay free of quadratic operators
+    val p = plan(DedupOps.qNgramJaccardPairs(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"verify join must stay hash-based:\n$p")
   }
 
   test("bm25 batch: batch terms broadcast against the corpus side; no cartesian") {
