@@ -33,7 +33,9 @@ object Bench {
     "q_topk_per_type", "q_incr_agg_merge",
     "q_resample_ffill", "q_table_checksum", "q_percent_rank",
     "q_session_window", "q_event_transitions", "q_retention_cohorts",
-    "q_unpivot", "q_regex_funcs", "q_array_funcs")
+    "q_unpivot", "q_regex_funcs", "q_array_funcs",
+    "q_mode_median", "q_ntile", "q_above_avg", "q_arg_max",
+    "q_event_runs", "q_mad_outliers", "q_hll_union")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

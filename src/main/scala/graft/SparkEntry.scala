@@ -155,7 +155,18 @@ object SparkEntry {
     "q_retention_cohorts"     -> (EventOps.qRetentionCohorts _),
     "q_unpivot"               -> (Relational.qUnpivot _),
     "q_regex_funcs"           -> (Relational.qRegexFuncs _),
-    "q_array_funcs"           -> (Relational.qArrayFuncs _)
+    "q_array_funcs"           -> (Relational.qArrayFuncs _),
+    // grouped analytics widening (round 10)
+    "q_mode_median"           -> (GroupAnalytics.qModeMedian _),
+    "q_ntile"                 -> (GroupAnalytics.qNtile _),
+    "q_string_agg"            -> (GroupAnalytics.qStringAgg _),
+    "q_conditional_agg"       -> (GroupAnalytics.qConditionalAgg _),
+    "q_above_avg"             -> (GroupAnalytics.qAboveAvg _),
+    "q_arg_max"               -> (GroupAnalytics.qArgMax _),
+    "q_event_runs"            -> (GroupAnalytics.qEventRuns _),
+    "q_mad_outliers"          -> (GroupAnalytics.qMadOutliers _),
+    "q_bitwise_agg"           -> (GroupAnalytics.qBitwiseAgg _),
+    "q_hll_union"             -> (SketchOps.qHllUnion _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -1407,7 +1418,91 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_orders,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // grouped analytics widening (round 10; q_hll_union is approximate →
+    // no oracle by design, SketchOpsSpec holds the equivalence evidence)
+    "q_mode_median" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY n DESC, l_quantity ASC) AS rn FROM c),
+        |med AS (SELECT l_returnflag,
+        |  CAST(round(quantile_cont(l_quantity, 0.5) * 1000000, 0) AS BIGINT)
+        |    AS med_qty_e6 FROM lineitem GROUP BY 1)
+        |SELECT r.l_returnflag, r.n AS mode_n, r.l_quantity AS mode_qty,
+        |med.med_qty_e6
+        |FROM r JOIN med USING (l_returnflag) WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_ntile" ->
+      """WITH b AS (SELECT o_totalprice,
+        |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+        |    AS bucket FROM orders)
+        |SELECT bucket, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_string_agg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_open,
+        |CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) > 200000
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_above_avg" ->
+      """WITH s AS (SELECT o_custkey, count(*) AS n_ord,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_sum
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_orderpriority, count(*) AS n_above,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+        |FROM orders JOIN s USING (o_custkey)
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n_ord > cust_sum
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_arg_max" ->
+      """SELECT event_type, value AS max_value, event_id AS at_event,
+        |user_id AS by_user FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q_event_runs" ->
+      """WITH f AS (SELECT user_id, event_type, ts, event_id,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS DISTINCT FROM event_type
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |r AS (SELECT user_id, event_type,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM f),
+        |runs AS (SELECT user_id, run_id, event_type, count(*) AS len
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT event_type, count(*) AS n_runs, max(len) AS max_len,
+        |CAST(sum(len) AS BIGINT) AS n_events
+        |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type,
+        |CAST(round(max(d.med) * 1000000, 0) AS BIGINT) AS med_e6,
+        |CAST(round(max(m.mad) * 1000000, 0) AS BIGINT) AS mad_e6,
+        |CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_out
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    "q_bitwise_agg" ->
+      """SELECT event_type, bit_and(event_id) AS id_and,
+        |bit_or(event_id) AS id_or, bit_xor(event_id) AS id_xor,
+        |count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   private def heavyHittersSql: String =

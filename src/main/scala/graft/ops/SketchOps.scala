@@ -107,4 +107,26 @@ object SketchOps {
   def qHeavyHittersMg(s: SparkSession, sf: String): DataFrame =
     heavyHittersMG(t(s, sf, "documents"), "text")
       .orderBy(col("n").desc, col("token").asc)
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+    * Spark as `hll_sketch_agg`/`hll_union_agg`): per-(group, shard) sketches
+    * are built independently — the shape of 1000 executors each sketching
+    * their shard of 100 TB — then register-wise-max-merged per group and
+    * estimated. The union of shard sketches carries the identical register
+    * state as one pass over the whole group (HLL merge is exact on the
+    * sketch, approximate only vs the true count), so pre-aggregated sketch
+    * columns can live in a rollup table and still answer distinct-count
+    * queries over any group combination. No oracle (approximate by design);
+    * SketchOpsSpec asserts shard-merge == single-pass estimate exactly and
+    * <5% relative error vs the exact distinct count. */
+  def qHllUnion(s: SparkSession, sf: String): DataFrame = {
+    val li = t(s, sf, "lineitem")
+      .withColumn("shard", pmod(col("l_orderkey"), lit(16)))
+    li.groupBy("l_returnflag", "shard")
+      .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+        .cast("long").as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
 }

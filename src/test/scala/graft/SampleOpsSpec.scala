@@ -91,7 +91,8 @@ class SampleOpsSpec extends SparkTestBase {
       graft.ops.CorpusOps, graft.ops.MergeOps, graft.ops.SearchOps,
       graft.ops.SkewOps, graft.ops.SampleOps, graft.ops.PqOps,
       graft.ops.MultimodalOps, graft.ops.ProfileOps,
-      graft.ops.TemporalJoinOps, graft.ops.SketchOps, graft.ops.StatsOps)
+      graft.ops.TemporalJoinOps, graft.ops.SketchOps, graft.ops.StatsOps,
+      graft.ops.GroupAnalytics)
     // spec-only entrypoints (none today — additions need a reason here)
     val specOnly = Set.empty[String]
     val norm = (s: String) => s.replace("_", "").toLowerCase

@@ -34,6 +34,27 @@ class SketchOpsSpec extends SparkTestBase {
       s"guaranteed-frequent tokens missing from candidates: ${missed.count()}")
   }
 
+  test("hll union: shard-merge equals single-pass; estimate within 5% of exact") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val merged = SketchOps.qHllUnion(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // single-pass sketch over the whole group — identical register state,
+    // so the estimate must match the shard-merged one EXACTLY
+    val single = li.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))")
+        .cast("long").as("approx_parts")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == single,
+      s"shard-merged HLL diverges from single-pass: $merged vs $single")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, est) <- merged) {
+      val err = math.abs(est.toDouble - exact(k)) / exact(k).max(1L)
+      assert(err < 0.05, s"HLL estimate for $k off by ${err * 100}%")
+    }
+  }
+
   test("q_heavy_hitters: threshold column is consistent with the counts") {
     val r = SketchOps.qHeavyHitters(spark, sf).collect()
     assert(r.nonEmpty)
