@@ -166,7 +166,12 @@ object SparkEntry {
     "q_event_runs"            -> (GroupAnalytics.qEventRuns _),
     "q_mad_outliers"          -> (GroupAnalytics.qMadOutliers _),
     "q_bitwise_agg"           -> (GroupAnalytics.qBitwiseAgg _),
-    "q_hll_union"             -> (SketchOps.qHllUnion _)
+    "q_hll_union"             -> (SketchOps.qHllUnion _),
+    "q_class_balance"         -> (SampleOps.qClassBalance _),
+    // X54 BPE tokenizer training (no oracle — iterative argmax; BpeSpec
+    // pins the merge sequence to the published algorithm's reference impl)
+    "q_bpe_merges"            -> (BpeOps.qBpeMerges _),
+    "q_bpe_vocab"             -> (BpeOps.qBpeVocab _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -1502,7 +1507,23 @@ object SparkEntry {
       """SELECT event_type, bit_and(event_id) AS id_and,
         |bit_or(event_id) AS id_or, bit_xor(event_id) AS id_xor,
         |count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // X53 class balance: the oracle re-derives the salted two-level
+    // selection with ONE plain window — the salting must be invisible
+    "q_class_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n_total FROM embeddings
+        |  GROUP BY label),
+        |cap AS (SELECT min(n_total) AS cap FROM c),
+        |r AS (SELECT label, vec_id,
+        |  row_number() OVER (PARTITION BY label
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':bal'), vec_id) AS rn
+        |  FROM embeddings),
+        |k AS (SELECT label, count(*) AS n_kept,
+        |  CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+        |  FROM r WHERE rn <= (SELECT cap FROM cap) GROUP BY label)
+        |SELECT CAST(k.label AS BIGINT) AS label, c.n_total, k.n_kept,
+        |k.kept_id_sum
+        |FROM k JOIN c USING (label) ORDER BY label""".stripMargin
   )
 
   private def heavyHittersSql: String =

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Byte-pair-encoding tokenizer TRAINING over a distributed corpus — the
+  * subword-vocabulary learning step of a training-data pipeline (Sennrich,
+  * Haddow & Birch, ACL 2016, "Neural Machine Translation of Rare Words with
+  * Subword Units"). The engine's other text operators consume a fixed
+  * BPE-ish regex (`TextOps.qTokenBpe`); this one LEARNS the merge table
+  * from the data.
+  *
+  * Scale shape: the corpus is touched ONCE — a word-frequency aggregation
+  * (shuffle on word, the same bounded key as qVocabTop). Every merge round
+  * after that runs on the VOCAB table (distinct words × symbol arrays),
+  * which is orders of magnitude smaller than the corpus and independent of
+  * corpus row count — at 100 TB the vocab is millions of rows, not
+  * billions. Per round: one pair-count aggregation over the vocab (keyed
+  * shuffle), one 1-row argmax `collect` to the driver (the algorithm's
+  * global decision — metadata-scale, like a Delta log read), and one
+  * projection applying the merge with a codegen-friendly `aggregate` HOF
+  * fold (left-to-right non-overlapping, exactly the reference algorithm's
+  * merge semantics). Lineage is truncated with `localCheckpoint` every few
+  * rounds so the iteration count can't build an unbounded plan, mirroring
+  * the connected-components loop in DedupOps.
+  *
+  * Determinism: tie-breaks on (count DESC, left ASC, right ASC) — a total
+  * order — so the learned merge sequence is a pure function of the corpus.
+  * BpeSpec proves the distributed loop reproduces a direct in-memory
+  * implementation of the published algorithm symbol-for-symbol.
+  */
+object BpeOps {
+
+  private def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** (word, freq) → initial symbol sequence: characters + an end-of-word
+    * marker, the paper's §3.1 representation. */
+  private val initSyms: Column =
+    concat(filter(split(col("word"), ""), x => x =!= ""), array(lit("</w>")))
+
+  /** Word-frequency vocab from a corpus — the single corpus-scale pass. */
+  def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Adjacent symbol-pair counts weighted by word frequency (the paper's
+    * `get_stats`: overlapping occurrences all count). */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("freq"), explode(expr(
+      "transform(slice(syms, 1, greatest(size(syms) - 1, 0)), " +
+        "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("n"))
+
+  /** Apply one merge (l, r) → lr to every word's symbol sequence:
+    * left-to-right non-overlapping fold, the reference `merge_vocab`. */
+  private def applyMerge(l: String, r: String): Column = expr(
+    s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+       |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(l)}'
+       |            AND x = '${esc(r)}'
+       |    THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(l + r)}'))
+       |    ELSE concat(acc, array(x)) END)""".stripMargin)
+
+  /** Learn `nMerges` BPE merges; returns (rank, left, right, merged, n) and
+    * the final vocab symbolization. Stops early if no pair repeats. */
+  def learnBpe(docs: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = wordVocab(docs, textCol)
+      .select(col("word"), col("freq"), initSyms.as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val best = pairCounts(vocab)
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getAs[Long]("n") < 2) done = true
+      else {
+        val (l, r, n) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"),
+          best(0).getAs[Long]("n"))
+        merges += ((rank, l, r, n))
+        vocab = vocab.withColumn("syms", applyMerge(l, r))
+        if (rank % 5 == 0) vocab = vocab.localCheckpoint()
+        rank += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** X54a: the learned merge table over the documents corpus — rank order
+    * IS the tokenizer definition. No oracle (iterative argmax is not
+    * SQL-expressible in one statement); BpeSpec pins it to the in-memory
+    * reference implementation. */
+  def qBpeMerges(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val (merges, _) = learnBpe(t(s, sf, "documents"), "text", 20)
+    merges.toDF("rank", "left", "right", "n")
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("n"))
+      .orderBy("rank")
+  }
+
+  /** X54b: the subword vocabulary the merges induce, applied back to the
+    * corpus — top-30 learned units by corpus token frequency (freq-weighted
+    * symbol counts over the final vocab symbolization; ties broken by
+    * token). The tokenizer-apply face: corpus-scale explode happens only in
+    * the one `wordVocab` pass inside learnBpe — applying the tokenizer is a
+    * vocab-scale join shape. */
+  def qBpeVocab(s: SparkSession, sf: String): DataFrame = {
+    val (_, vocab) = learnBpe(t(s, sf, "documents"), "text", 20)
+    vocab.select(col("freq"), explode(col("syms")).as("token"))
+      .groupBy("token").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(30)
+  }
+}

@@ -190,4 +190,42 @@ object SampleOps {
           ",")).as("order_md5"))
       .orderBy("shard")
   }
+
+  /** X53: class-balanced downsampling — every label contributes exactly the
+    * minority class's count, chosen by a deterministic hash order (the
+    * standard rebalancing step before contrastive / classifier training;
+    * same role as the reference's per-collection result capping in
+    * `chroma_retrieval_util.py:361-383`, applied to training labels).
+    *
+    * Scale shape: the same two-level salted selection as [[sourceCap]] —
+    * a one-window-per-label formulation would funnel a 100 TB majority
+    * class through one task; salting bounds every window partition, and
+    * both levels share the (ord, vec_id) total order so the composition
+    * equals the single-window selection exactly. The per-label floor is a
+    * 1-row broadcast. Output keeps the audit compact and content-checking:
+    * per label, the raw count, kept count (== global min), and the exact
+    * sum of kept vec_ids (order-free integer checksum of WHICH rows were
+    * kept, not just how many). */
+  def qClassBalance(s: SparkSession, sf: String): DataFrame = {
+    val e = t(s, sf, "embeddings")
+    val ord = md5(concat(col("vec_id").cast("string"), lit(":bal")))
+    val salt = substring(ord, 30, 3)
+    val base = e.select(col("vec_id"), col("label"), ord.as("ord"), salt.as("salt"))
+    val counts = e.groupBy("label").agg(count(lit(1)).as("n_total"))
+    val cap = counts.agg(min(col("n_total")).as("cap"))
+    val local = Window.partitionBy("label", "salt").orderBy(col("ord"), col("vec_id"))
+    val global = Window.partitionBy("label").orderBy(col("ord"), col("vec_id"))
+    base
+      .crossJoin(broadcast(cap))
+      .withColumn("rn_local", row_number().over(local))
+      .filter(col("rn_local") <= col("cap"))
+      .withColumn("rn", row_number().over(global))
+      .filter(col("rn") <= col("cap"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum"))
+      .join(counts, Seq("label"))
+      .select(col("label").cast("long").as("label"), col("n_total"),
+        col("n_kept"), col("kept_id_sum"))
+      .orderBy("label")
+  }
 }

@@ -83,6 +83,32 @@ class SampleOpsSpec extends SparkTestBase {
     assert(r.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("class balance: every label keeps exactly the minority count, " +
+    "and the salted selection equals one plain window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val r = SampleOps.qClassBalance(spark, sf).collect()
+    assert(r.nonEmpty)
+    val minTotal = r.map(_.getAs[Long]("n_total")).min
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_kept") == minTotal)
+      assert(row.getAs[Long]("n_kept") <= row.getAs[Long]("n_total"))
+    }
+    // single-window reference: same order key, no salting
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ord = md5(concat(col("vec_id").cast("string"), lit(":bal")))
+    val w = Window.partitionBy("label").orderBy(ord, col("vec_id"))
+    val ref = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= minTotal)
+      .groupBy("label")
+      .agg(sum(col("vec_id")).as("kept_id_sum")).collect()
+      .map(x => x.getAs[Int]("label").toLong -> x.getAs[Long]("kept_id_sum")).toMap
+    r.foreach { row =>
+      assert(row.getAs[Long]("kept_id_sum") == ref(row.getAs[Long]("label")),
+        s"salted selection diverges for label ${row.getAs[Long]("label")}")
+    }
+  }
+
   test("every ops qX entrypoint is registered in SparkEntry.queries") {
     import org.apache.spark.sql.{DataFrame, SparkSession}
     val opsObjects: Seq[AnyRef] = Seq(
@@ -92,7 +118,7 @@ class SampleOpsSpec extends SparkTestBase {
       graft.ops.SkewOps, graft.ops.SampleOps, graft.ops.PqOps,
       graft.ops.MultimodalOps, graft.ops.ProfileOps,
       graft.ops.TemporalJoinOps, graft.ops.SketchOps, graft.ops.StatsOps,
-      graft.ops.GroupAnalytics)
+      graft.ops.GroupAnalytics, graft.ops.BpeOps)
     // spec-only entrypoints (none today — additions need a reason here)
     val specOnly = Set.empty[String]
     val norm = (s: String) => s.replace("_", "").toLowerCase
