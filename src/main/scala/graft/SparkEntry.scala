@@ -159,6 +159,7 @@ object SparkEntry {
     // grouped analytics widening (round 10)
     "q_mode_median"           -> (GroupAnalytics.qModeMedian _),
     "q_ntile"                 -> (GroupAnalytics.qNtile _),
+    "q_ntile_scalable"        -> (GroupAnalytics.qNtileScalable _),
     "q_string_agg"            -> (GroupAnalytics.qStringAgg _),
     "q_conditional_agg"       -> (GroupAnalytics.qConditionalAgg _),
     "q_above_avg"             -> (GroupAnalytics.qAboveAvg _),
@@ -1438,14 +1439,10 @@ object SparkEntry {
         |med.med_qty_e6
         |FROM r JOIN med USING (l_returnflag) WHERE rn = 1
         |ORDER BY l_returnflag""".stripMargin,
-    "q_ntile" ->
-      """WITH b AS (SELECT o_totalprice,
-        |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
-        |    AS bucket FROM orders)
-        |SELECT bucket, count(*) AS n,
-        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // one SQL, two Spark formulations (global window vs range-partitioned
+    // rank composition) — the scalable path must be invisible
+    "q_ntile" -> ntileSql,
+    "q_ntile_scalable" -> ntileSql,
     "q_string_agg" ->
       """SELECT r_name, count(*) AS n_nations,
         |string_agg(n_name, ',' ORDER BY n_name) AS nations
@@ -1525,6 +1522,15 @@ object SparkEntry {
         |k.kept_id_sum
         |FROM k JOIN c USING (label) ORDER BY label""".stripMargin
   )
+
+  private def ntileSql: String =
+    """WITH b AS (SELECT o_totalprice,
+      |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+      |    AS bucket FROM orders)
+      |SELECT bucket, count(*) AS n,
+      |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   private def heavyHittersSql: String =
     """WITH f AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -64,6 +64,57 @@ object GroupAnalytics {
       .orderBy("bucket")
   }
 
+  /** Exact global rank over a strict total order WITHOUT a single-partition
+    * window — the 100 TB path for ntile/rank/row_number with no PARTITION
+    * BY. Shape: range-partition on the sort key (Spark's sampled range
+    * exchange — the same machinery a global `orderBy` uses), pin the
+    * partitioning with an eager `localCheckpoint` so the offset pass and
+    * the rank pass cannot be re-planned differently by AQE, count rows per
+    * partition (a numPartitions-row collect — metadata-scale, like a Delta
+    * log read), and add each partition's cumulative offset to its local
+    * `row_number`. Every window is bounded by one range partition; nothing
+    * global ever lands on one task. `sortCols` must be a strict total
+    * order (include a unique tiebreak), otherwise boundary rows could
+    * rank nondeterministically. */
+  def globalRanks(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+      parts: Int = 32): (DataFrame, Long) = {
+    val ranged = df.repartitionByRange(parts, sortCols: _*).localCheckpoint()
+    val withPid = ranged.withColumn("pid", spark_partition_id())
+    val sizes = withPid.groupBy("pid").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getAs[Int]("pid") -> r.getAs[Long]("cnt")).toMap
+    val nParts = sizes.keys.maxOption.map(_ + 1).getOrElse(1)
+    val offsets = (0 until nParts).scanLeft(0L)((acc, p) =>
+      acc + sizes.getOrElse(p, 0L))
+    val offCol = element_at(
+      array(offsets.take(nParts).map(lit(_)): _*), col("pid") + 1)
+    val w = Window.partitionBy("pid").orderBy(sortCols: _*)
+    (withPid.withColumn("grank", offCol + row_number().over(w))
+      .drop("pid"), offsets(nParts))
+  }
+
+  /** NTILE from [[globalRanks]] — the scalable formulation of [[qNtile]],
+    * same output, same oracle (the bucketing must be invisible to the
+    * result, like the heavy-hitter and salted-join twins). SQL-standard
+    * ntile arithmetic on the exact rank: with n = q·k + r, the first r
+    * buckets take q+1 rows — pure integer division, no float boundary. */
+  def qNtileScalable(s: SparkSession, sf: String): DataFrame = {
+    val (ranked, n) = globalRanks(t(s, sf, "orders"),
+      Seq(col("o_totalprice"), col("o_orderkey")))
+    val k = 4L
+    val q = n / k; val r = n % k
+    // integer ceil-divisions via `div` (exact at any scale — no doubles)
+    val b = when(col("grank") <= lit(r * (q + 1)),
+      expr(s"(grank + ${q}) div ${q + 1}"))
+      .otherwise(expr(s"${r} + (grank - ${r * (q + 1)} + ${math.max(q, 1L) - 1}) div ${math.max(q, 1L)}"))
+    ranked.withColumn("bucket", b.cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice"), 2).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket")
+  }
+
   /** Ordered string aggregation (LISTAGG/string_agg): nations per region,
     * sorted then joined — `collect_list` under a deterministic `array_sort`
     * so the partition-arrival order (nondeterministic under parallel merge)

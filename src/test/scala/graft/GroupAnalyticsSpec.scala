@@ -38,6 +38,25 @@ class GroupAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("ntile: scalable range-partitioned rank equals the global window, " +
+    "and globalRanks is a permutation of 1..n") {
+    val win = GroupAnalytics.qNtile(spark, sf)
+    val scl = GroupAnalytics.qNtileScalable(spark, sf)
+    assert(scl.exceptAll(win).isEmpty && win.exceptAll(scl).isEmpty)
+    val orders = Tables.t(spark, sf, "orders")
+    val (ranked, n) = GroupAnalytics.globalRanks(orders,
+      Seq(col("o_totalprice"), col("o_orderkey")), parts = 7)
+    assert(n == orders.count())
+    val ranks = ranked.select("grank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to n).toSeq, "ranks are not a permutation")
+    // rank order must agree with the sort order
+    val top3 = ranked.filter(col("grank") <= 3).orderBy("grank")
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val ref3 = orders.orderBy(col("o_totalprice"), col("o_orderkey"))
+      .select("o_totalprice").limit(3).collect().map(_.getDouble(0))
+    assert(top3.toSeq == ref3.toSeq)
+  }
+
   test("argmax: associative max(struct) agrees with the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sf)
