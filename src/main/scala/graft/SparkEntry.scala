@@ -172,7 +172,10 @@ object SparkEntry {
     // X54 BPE tokenizer training (no oracle — iterative argmax; BpeSpec
     // pins the merge sequence to the published algorithm's reference impl)
     "q_bpe_merges"            -> (BpeOps.qBpeMerges _),
-    "q_bpe_vocab"             -> (BpeOps.qBpeVocab _)
+    "q_bpe_vocab"             -> (BpeOps.qBpeVocab _),
+    // X55-X56 snapshot audit + data-quality expectations
+    "q_snapshot_diff"         -> (MergeOps.qSnapshotDiff _),
+    "q_expectations"          -> (ProfileOps.qExpectations _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -1520,7 +1523,49 @@ object SparkEntry {
         |  FROM r WHERE rn <= (SELECT cap FROM cap) GROUP BY label)
         |SELECT CAST(k.label AS BIGINT) AS label, c.n_total, k.n_kept,
         |k.kept_id_sum
-        |FROM k JOIN c USING (label) ORDER BY label""".stripMargin
+        |FROM k JOIN c USING (label) ORDER BY label""".stripMargin,
+    // X55 snapshot diff: the "new" version is derived deterministically
+    // from the same corpus, so the oracle rebuilds both sides
+    "q_snapshot_diff" ->
+      """WITH oldv AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+        |newv AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 3
+        |    THEN text || ' v2' ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text) FROM documents
+        |  WHERE doc_id % 13 = 5)
+        |SELECT CASE WHEN h_old IS NULL THEN 'added'
+        |  WHEN h_new IS NULL THEN 'removed'
+        |  WHEN h_old <> h_new THEN 'changed'
+        |  ELSE 'unchanged' END AS status, count(*) AS n
+        |FROM oldv FULL OUTER JOIN newv USING (doc_id)
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+    // X56 expectations: per-constraint violation counts
+    "q_expectations" ->
+      """WITH o AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |  count(*) - count(DISTINCT o_orderkey) AS v_uniq,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_enum
+        |  FROM orders),
+        |l AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |  CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+        |  FROM lineitem),
+        |fk AS (SELECT
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) AS nv,
+        |  (SELECT count(*) FROM lineitem) AS n)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey_not_null' AS rule, v_null AS n_violations, n AS n_checked FROM o
+        |  UNION ALL SELECT 'o_orderkey_unique', v_uniq, n FROM o
+        |  UNION ALL SELECT 'o_orderstatus_enum', v_enum, n FROM o
+        |  UNION ALL SELECT 'l_quantity_range', v_qty, n FROM l
+        |  UNION ALL SELECT 'l_discount_range', v_disc, n FROM l
+        |  UNION ALL SELECT 'l_shipdate_recent', v_date, n FROM l
+        |  UNION ALL SELECT 'lineitem_orders_fk', nv, n FROM fk)
+        |ORDER BY rule""".stripMargin
   )
 
   private def ntileSql: String =

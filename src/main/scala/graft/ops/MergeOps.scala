@@ -168,4 +168,34 @@ object MergeOps {
         max(col("mx")).cast("double").as("max_value"))
       .orderBy("event_type")
   }
+
+  /** X55: snapshot diff — classify every key across two table versions as
+    * added / removed / changed / unchanged by comparing content hashes
+    * under a full outer join on the key (the anti-entropy audit between a
+    * replica pair, or a CDC feed derived from two snapshots when the
+    * source system emits none). One keyed shuffle; content equality is a
+    * per-row md5 compare, so nothing wider than (key, hash) moves. The
+    * "new" version is derived deterministically from the same corpus —
+    * deletes (id % 11 = 0), edits (id % 7 = 3), inserts (id % 13 = 5
+    * cloned above the id space) — so the oracle reproduces both sides. */
+  def qSnapshotDiff(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents").select(col("doc_id"), col("text"))
+    val oldV = docs.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val base = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val inserts = docs.filter(col("doc_id") % 13 === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val newV = base.unionByName(inserts)
+      .select(col("doc_id"), md5(col("text")).as("h_new"))
+    oldV.join(newV, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
 }

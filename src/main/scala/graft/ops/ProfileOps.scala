@@ -84,4 +84,53 @@ object ProfileOps {
         max(col("h")).as("h_max"))
       .orderBy("source")
   }
+
+  /** X56: declarative data-quality expectations — the constraint-validation
+    * gate a pipeline runs before publishing a table (not-null, uniqueness,
+    * enum membership, numeric/date ranges, referential integrity), each
+    * reported as (constraint, n_violations, n_checked). Scale shape: every
+    * scalar constraint on a table folds into ONE conditional-aggregate
+    * pass over that table (`stack` unpivots the single agg row into
+    * per-constraint rows — no per-constraint rescan), uniqueness rides the
+    * same agg as count(*)−count(distinct), and referential integrity is
+    * one LEFT ANTI join keyed on the foreign key. A 100 TB validation run
+    * is two scans and one keyed join, independent of how many scalar
+    * constraints are declared. */
+  def qExpectations(s: SparkSession, sf: String): DataFrame = {
+    val o = t(s, sf, "orders")
+    val li = t(s, sf, "lineitem")
+    val oRows = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+          .as("v_enum"))
+      .select(expr(
+        """stack(3,
+          |'o_custkey_not_null', v_null, n,
+          |'o_orderkey_unique', v_uniq, n,
+          |'o_orderstatus_enum', v_enum, n)
+          |AS (rule, n_violations, n_checked)""".stripMargin))
+    val liRows = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("v_disc"),
+        sum(when(col("l_shipdate") < to_timestamp(lit("1996-01-01")), 1L)
+          .otherwise(0L)).as("v_date"))
+      .select(expr(
+        """stack(3,
+          |'l_quantity_range', v_qty, n,
+          |'l_discount_range', v_disc, n,
+          |'l_shipdate_recent', v_date, n)
+          |AS (rule, n_violations, n_checked)""".stripMargin))
+    val fk = li.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("nv"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("n"))))
+      .select(lit("lineitem_orders_fk").as("rule"),
+        col("nv").as("n_violations"), col("n").as("n_checked"))
+    oRows.unionByName(liRows).unionByName(fk).orderBy("rule")
+  }
 }

@@ -142,4 +142,37 @@ class MergeOpsSpec extends SparkTestBase {
     assert(rows.forall(r =>
       r.getAs[Long]("n_admitted") + r.getAs[Long]("n_dropped") == r.getAs[Long]("n_incoming")))
   }
+
+  test("qSnapshotDiff: statuses match the derivation's modular arithmetic") {
+    import org.apache.spark.sql.functions._
+    val m = MergeOps.qSnapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def cnt(cond: org.apache.spark.sql.Column): Long = docs.filter(cond).count()
+    assert(m("removed") == cnt(col("doc_id") % 11 === 0))
+    assert(m("added") == cnt(col("doc_id") % 13 === 5))
+    assert(m("changed") == cnt(col("doc_id") % 11 =!= 0 && col("doc_id") % 7 === 3))
+    assert(m.getOrElse("unchanged", 0L) ==
+      cnt(col("doc_id") % 11 =!= 0 && col("doc_id") % 7 =!= 3))
+    assert(m.values.sum == docs.count() + m("added"))
+  }
+
+  test("qExpectations: clean source data passes every gate except freshness") {
+    val rows = graft.ops.ProfileOps.qExpectations(spark, sf).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Long]("n_checked"))).toMap
+    assert(rows.keySet == Set("o_custkey_not_null", "o_orderkey_unique",
+      "o_orderstatus_enum", "l_quantity_range", "l_discount_range",
+      "l_shipdate_recent", "lineitem_orders_fk"))
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    val nLi = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows("o_custkey_not_null") == ((0L, nOrders)))
+    assert(rows("o_orderkey_unique") == ((0L, nOrders)))
+    assert(rows("lineitem_orders_fk") == ((0L, nLi)))
+    assert(rows("l_quantity_range")._1 == 0L && rows("l_discount_range")._1 == 0L)
+    // the freshness gate MUST fire on this corpus (ship dates start 1995) —
+    // proves the detection path, not just the all-clear path
+    assert(rows("l_shipdate_recent")._1 > 0L)
+    assert(rows("l_shipdate_recent")._2 == nLi)
+  }
 }
