@@ -143,6 +143,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries candidates keep every frequent token across " +
+    "arbitrary micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SketchStream
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = docs.select(explode(
+      split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .as[String].collect()
+    val k = 64
+    val stream = MemoryStream[String]
+    val q = SketchStream.mgCandidatesStream(stream.toDF.toDF("token"), k)
+      .toDF("shard", "version", "token")
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // three arbitrary chunks — the guarantee must not depend on the split
+      val chunks = toks.grouped(math.max(1, toks.length / 3 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val rows = spark.table("mg_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    val latestVersion = rows.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    val candidates = rows
+      .filter { case (s, v, _) => v == latestVersion(s) }.map(_._3).toSet
+    assert(candidates.nonEmpty && candidates.size <= 8 * k)
+    // every token with global frequency > N/k must be a candidate
+    val n = toks.length
+    val mustSurvive = toks.groupBy(identity).view.mapValues(_.length)
+      .filter(_._2 > n / k).keys.toSet
+    assert(mustSurvive.nonEmpty, "no token above N/k — pick a smaller k")
+    val missed = mustSurvive -- candidates
+    assert(missed.isEmpty, s"frequent tokens lost by the stream state: $missed")
+    // and the exact heavy hitters (the 1/2000-threshold report) recount
+    // entirely from within the candidate set
+    val exact = graft.ops.SketchOps.qHeavyHitters(spark, sf)
+      .select("token").as[String].collect().toSet
+    assert((exact -- candidates).isEmpty,
+      s"exact heavy hitters missing from streamed candidates: ${exact -- candidates}")
+  }
+
   test("stream-static anti-join admits only unseen documents per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
