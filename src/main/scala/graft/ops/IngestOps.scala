@@ -98,10 +98,13 @@ object IngestOps {
     * (`ingestion_pipeline_langgraph.py:291-329`), zstd parquet, aggregate. */
   def qIngestJsonRoundtrip(s: SparkSession, sf: String): DataFrame = {
     val work = "target/tmp_ingest_json"
-    t(s, sf, "orders")
+    val out = t(s, sf, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      .write.mode(SaveMode.Overwrite).json(s"$work/orders_json")
-    val back = CleanColumns(s.read.json(s"$work/orders_json"))
+    out.write.mode(SaveMode.Overwrite).json(s"$work/orders_json")
+    // explicit schema: inference would see an EMPTY schema when the table
+    // has no rows (a JSON dir with no data files) and fail the parquet
+    // write; on non-empty data it matches what inference produces
+    val back = CleanColumns(s.read.schema(out.schema).json(s"$work/orders_json"))
     writeParquetZstd(back, s"$work/orders_pq")
     s.read.parquet(s"$work/orders_pq").agg(
       count(lit(1)).as("n_rows"),
@@ -175,8 +178,11 @@ object IngestOps {
     // "sf" prefix: a _-leading dir name is hidden to Spark's path filter
     val work = s"target/tmp_part_docs/sf${sf.replaceAll("[^A-Za-z0-9._-]", "_")}" +
       s"_${java.lang.ProcessHandle.current.pid}"
-    writePartitioned(t(s, sf, "documents"), work, Seq("lang"), maxRecordsPerFile = 100000)
-    s.read.parquet(work)
+    val docs = t(s, sf, "documents")
+    writePartitioned(docs, work, Seq("lang"), maxRecordsPerFile = 100000)
+    // explicit schema (incl. the partition column): an empty table writes
+    // no partition dirs, so schema inference has nothing to read
+    s.read.schema(docs.schema).parquet(work)
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -100,6 +100,10 @@ object MergeOps {
       textCol: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
     val fps = corpus.select(md5(col(textCol)).as("__fp"))
+    // empty corpus: nothing can be a duplicate — admit everything. The
+    // aggregate-built bloom has a null bit buffer on zero rows and would
+    // NPE at probe time; the check is a limit-1 scan, not a count.
+    if (fps.isEmpty) return incoming
     val bloom = fps.stat.bloomFilter("__fp", expectedItems, fpp)
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))

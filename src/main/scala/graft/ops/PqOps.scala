@@ -113,7 +113,15 @@ object PqOps {
     import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
     val sv = subvectors(e).localCheckpoint() // reused by every round
     try {
-      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      val maxIdRow = e.agg(max(col("vec_id"))).head
+      if (maxIdRow.isNullAt(0)) {
+        // empty training set — empty codebooks with the right schema (the
+        // encode/probe paths then emit zero rows), same degradation rule
+        // as VectorOps.trainIvf
+        return sv.limit(0).select(col("sub"), lit(0).cast("int").as("code"),
+          col("subvec").as("centroid")).localCheckpoint()
+      }
+      val maxId = maxIdRow.getLong(0)
       val stride = math.max(1L, (maxId + 1) / KSUB)
       var books = sv
         .filter(col("vec_id") % stride === 0 && (col("vec_id") / stride) < KSUB)

@@ -333,7 +333,16 @@ object VectorOps {
   def trainIvf(e: DataFrame, nlist: Int, iters: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
     val v = e.select(col("vec_id"), col("embedding"))
-    val maxId = v.agg(max(col("vec_id"))).head.getLong(0)
+    val maxIdRow = v.agg(max(col("vec_id"))).head
+    if (maxIdRow.isNullAt(0)) {
+      // empty training set — degrade to an empty artifact (probes then
+      // return zero rows with the right schema), never a null-read throw:
+      // at 100 TB a freshly-created collection IS empty on day one
+      val empty = v.limit(0).select(lit(0).cast("int").as("label"),
+        col("embedding").as("centroid"))
+      return (empty.localCheckpoint(), assignLists(v, empty))
+    }
+    val maxId = maxIdRow.getLong(0)
     val stride = math.max(1L, (maxId + 1) / nlist)
     var centroids = v
       .filter(col("vec_id") % stride === 0 && (col("vec_id") / stride) < nlist)
