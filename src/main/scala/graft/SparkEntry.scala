@@ -173,6 +173,7 @@ object SparkEntry {
     // pins the merge sequence to the published algorithm's reference impl)
     "q_bpe_merges"            -> (BpeOps.qBpeMerges _),
     "q_bpe_vocab"             -> (BpeOps.qBpeVocab _),
+    "q_bpe_encode"            -> (BpeOps.qBpeEncode _),
     // X55-X56 snapshot audit + data-quality expectations
     "q_snapshot_diff"         -> (MergeOps.qSnapshotDiff _),
     "q_expectations"          -> (ProfileOps.qExpectations _)

@@ -54,14 +54,37 @@ object BpeOps {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("n"))
 
-  /** Apply one merge (l, r) → lr to every word's symbol sequence:
-    * left-to-right non-overlapping fold, the reference `merge_vocab`. */
-  private def applyMerge(l: String, r: String): Column = expr(
-    s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
-       |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(l)}'
-       |            AND x = '${esc(r)}'
-       |    THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(l + r)}'))
-       |    ELSE concat(acc, array(x)) END)""".stripMargin)
+  /** One merge (l, r) → lr over a symbol-array SQL expression:
+    * left-to-right non-overlapping fold, the reference `merge_vocab`.
+    * Takes and returns SQL text so folds compose by nesting — the encode
+    * path builds one expression replaying every learned merge in rank
+    * order. */
+  private def mergeFoldSql(arrSql: String, l: String, r: String): String =
+    s"aggregate($arrSql, cast(array() as array<string>), (acc, x) -> " +
+      s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(l)}' " +
+      s"AND x = '${esc(r)}' " +
+      s"THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(l + r)}')) " +
+      s"ELSE concat(acc, array(x)) END)"
+
+  private def applyMerge(l: String, r: String): Column =
+    expr(mergeFoldSql("syms", l, r))
+
+  /** Encode arbitrary words with a learned merge table: char-split + the
+    * merges replayed in rank order — ONE fixed-depth chain of codegen HOF
+    * folds (one per merge), no per-row interpreter and no join against the
+    * training vocab, so unseen (OOV) words tokenize exactly like the
+    * reference algorithm's apply phase. For corpus-resident words the
+    * result equals the trained symbolization (BpeSpec proves it); plan
+    * depth is the merge count, independent of data volume. */
+  def encodeWords(words: DataFrame, merges: Seq[(Int, String, String, Long)])
+      : DataFrame = {
+    val initSql =
+      "concat(filter(split(word, ''), x -> x != ''), array('</w>'))"
+    val encodedSql = merges.sortBy(_._1).foldLeft(initSql) {
+      case (acc, (_, l, r, _)) => mergeFoldSql(acc, l, r)
+    }
+    words.withColumn("pieces", expr(encodedSql))
+  }
 
   /** Learn `nMerges` BPE merges; returns (rank, left, right, merged, n) and
     * the final vocab symbolization. Stops early if no pair repeats. */
@@ -101,6 +124,27 @@ object BpeOps {
       .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("n"))
       .orderBy("rank")
+  }
+
+  /** X54c: the tokenizer-apply face — encode a mixed batch of trained and
+    * OOV words (deterministic compounds of vocabulary words, which the
+    * training corpus never saw) with the learned merge table. Output is
+    * rows-only (the merge table itself is not SQL-derivable); BpeSpec pins
+    * trained-word encodings to the trained symbolization and the rejoin
+    * invariant on the OOV side. */
+  def qBpeEncode(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+    val (merges, vocab) = learnBpe(docs, "text", 20)
+    val w = vocab.select("word").orderBy("word").limit(10)
+    val oov = w.select(col("word").as("w1"))
+      .crossJoin(w.select(col("word").as("w2")))
+      .select(concat(col("w1"), col("w2")).as("word"))
+    val sample = vocab.select("word").orderBy("word").limit(20)
+      .unionByName(oov).distinct()
+    encodeWords(sample, merges)
+      .select(col("word"), size(col("pieces")).as("n_pieces"),
+        array_join(col("pieces"), " ").as("tokens"))
+      .orderBy("word")
   }
 
   /** X54b: the subword vocabulary the merges induce, applied back to the

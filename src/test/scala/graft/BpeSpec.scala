@@ -69,6 +69,28 @@ class BpeSpec extends SparkTestBase {
     assert(broken == 0L, s"$broken words corrupted by merge application")
   }
 
+  test("encodeWords: trained words reproduce the trained symbolization; " +
+    "OOV compounds respect the content invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (merges, vocab) = BpeOps.learnBpe(docs, "text", 20)
+    // every trained word must encode to exactly its trained symbol sequence
+    val enc = BpeOps.encodeWords(vocab.select("word"), merges)
+    val diverged = enc.join(vocab.select(col("word"), col("syms")), "word")
+      .filter(col("pieces") =!= col("syms")).count()
+    assert(diverged == 0L, s"$diverged trained words encode differently")
+    // OOV: compounds of two trained words — never seen by training
+    import spark.implicits._
+    val words = vocab.select("word").as[String].collect().sorted.take(5)
+    val oov = words.flatMap(a => words.map(b => a + b)).distinct
+      .filterNot(vocab.select("word").as[String].collect().toSet)
+    assert(oov.nonEmpty)
+    val encOov = BpeOps.encodeWords(oov.toSeq.toDF("word"), merges)
+      .withColumn("rejoin", array_join(col("pieces"), ""))
+    val broken = encOov
+      .filter(col("rejoin") =!= concat(col("word"), lit("</w>"))).count()
+    assert(broken == 0L, s"$broken OOV words corrupted by encoding")
+  }
+
   test("q_bpe_merges / q_bpe_vocab: ranked table + induced vocab are sane") {
     val m = BpeOps.qBpeMerges(spark, sf).collect()
     assert(m.map(_.getAs[Long]("rank")).toSeq == (1L to m.length).toSeq)
