@@ -37,7 +37,7 @@ object Bench {
     "q_mode_median", "q_ntile", "q_above_avg", "q_arg_max",
     "q_event_runs", "q_mad_outliers", "q_hll_union",
     "q_class_balance", "q_bpe_merges", "q_ntile_scalable",
-    "q_snapshot_diff", "q_expectations")
+    "q_snapshot_diff", "q_expectations", "q_ohlc_bars")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

@@ -167,6 +167,7 @@ object SparkEntry {
     "q_event_runs"            -> (GroupAnalytics.qEventRuns _),
     "q_mad_outliers"          -> (GroupAnalytics.qMadOutliers _),
     "q_bitwise_agg"           -> (GroupAnalytics.qBitwiseAgg _),
+    "q_ohlc_bars"             -> (GroupAnalytics.qOhlcBars _),
     "q_hll_union"             -> (SketchOps.qHllUnion _),
     "q_class_balance"         -> (SampleOps.qClassBalance _),
     // X54 BPE tokenizer training (no oracle — iterative argmax; BpeSpec
@@ -1525,6 +1526,27 @@ object SparkEntry {
         |SELECT CAST(k.label AS BIGINT) AS label, c.n_total, k.n_kept,
         |k.kept_id_sum
         |FROM k JOIN c USING (label) ORDER BY label""".stripMargin,
+    // X58 OHLC bars: open/close re-derived with rank-1 windows — the
+    // associative min/max(struct) formulation must be invisible
+    "q_ohlc_bars" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type, ts,
+        |  event_id, value FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY h, event_type
+        |    ORDER BY ts, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY h, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e),
+        |agg AS (SELECT h, event_type, min(value) AS low, max(value) AS high,
+        |  count(*) AS n FROM e GROUP BY 1, 2),
+        |oc AS (SELECT h, event_type,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |  FROM r GROUP BY 1, 2)
+        |SELECT strftime(a.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |a.event_type, oc.open, a.high, a.low, oc.close, a.n
+        |FROM agg a JOIN oc USING (h, event_type)
+        |ORDER BY hour_start, event_type""".stripMargin,
     // X55 snapshot diff: the "new" version is derived deterministically
     // from the same corpus, so the oracle rebuilds both sides
     "q_snapshot_diff" ->

@@ -223,6 +223,29 @@ object GroupAnalytics {
       .orderBy("event_type")
   }
 
+  /** OHLC bars — the time-series resample shape (open / high / low / close
+    * per hour per series): open and close are ARGMIN/ARGMAX over the
+    * (ts, event_id) total order via the associative `min(struct)` /
+    * `max(struct)` trick, so the whole bar builds in ONE hash aggregation
+    * with constant per-group state — no per-window sort, no window
+    * function, partial-aggregable on every partition. The same plan shape
+    * runs under Structured Streaming (`window()` + watermark) unchanged. */
+  def qOhlcBars(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n"))
+      .orderBy("hour_start", "event_type")
+
   /** Bitwise aggregates (BIT_AND / BIT_OR / BIT_XOR) — associative integer
     * reductions (one shuffle, constant state), the SQL surface's remaining
     * aggregate family. XOR over unique ids doubles as a cheap order-free

@@ -83,6 +83,18 @@ class GroupAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("ohlc bars: low <= open/close <= high and counts conserve events") {
+    val r = GroupAnalytics.qOhlcBars(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (o, h, l, c) = (row.getAs[Double]("open"), row.getAs[Double]("high"),
+        row.getAs[Double]("low"), row.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h,
+        s"bar violates low<=open/close<=high: $row")
+    }
+    assert(r.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+  }
+
   test("mad outliers: outlier count is bounded and mad is non-negative") {
     val r = GroupAnalytics.qMadOutliers(spark, sf).collect()
     assert(r.nonEmpty)
