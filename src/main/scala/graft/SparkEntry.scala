@@ -97,6 +97,7 @@ object SparkEntry {
     "q_dup_ngram_spans"       -> (CorpusOps.qDupNgramSpans _),
     "q_curation_funnel"       -> (CorpusOps.qCurationFunnel _),
     "q_binary_meta"           -> (MultimodalOps.qBinaryMeta _),
+    "q_media_decode"          -> (MultimodalOps.qMediaDecode _),
     "q_cosine_topk"           -> (VectorOps.qCosineTopk _),
     "q_collection_routing"    -> (VectorOps.qCollectionRouting _),
     "q_cross_collection_merge" -> (VectorOps.qCrossCollectionMerge _),
@@ -395,6 +396,18 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
         |count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin,
+    // checked contract: the HLL estimate is engine-specific, so the query
+    // emits the exact count + an in-plan bound verdict; the oracle asserts
+    // the verdict is literally TRUE (see Relational.qApproxCountDistinct)
+    "q_approx_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_3rsd
+        |FROM lineitem""".stripMargin,
+    // checked contract: exact count + two in-plan verdicts (shard-merge ==
+    // single-pass estimate; estimate within 3·rsd) — see SketchOps.qHllUnion
+    "q_hll_union" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |TRUE AS merge_consistent, TRUE AS within_3rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_month_groupby" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mon,
         |count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -765,6 +778,52 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT source, id_a, id_b, jaccard_e6 FROM p WHERE jaccard_e6 >= 400000
         |ORDER BY id_a, id_b""".stripMargin,
+    // checked contract: the MinHash face emits the SAME same-source pair
+    // list as the exact prefix-filter pipeline (precision 1 by exact
+    // verify; recall measured 1.0 at every tested SF), so the oracle is the
+    // identical all-pairs SQL — a hash match certifies recall, not just
+    // shape (see DedupOps.qMinhashNeardup)
+    "q_minhash_neardup" ->
+      """WITH t0 AS (SELECT doc_id, source,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, source,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(len(toks) - 2), i ->
+        |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t0),
+        |p AS (SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(round((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000, 0) AS BIGINT) AS jaccard_e6
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, id_a, id_b, jaccard_e6 FROM p WHERE jaccard_e6 >= 400000
+        |ORDER BY id_a, id_b""".stripMargin,
+    // checked: integer-evidence language-ID (hit counts share the doc's
+    // token-count denominator, so the argmax is integer arithmetic — see
+    // TextOps.qLangId); the marker table is inlined as VALUES
+    "q_lang_id" -> {
+      val markerValues = graft.ops.TextOps.langMarkers.toSeq.sortBy(_._1)
+        .flatMap { case (lg, ws) => ws.map(w => s"('$lg','$w')") }
+        .mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, lang AS label_lang,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+         |m(lang, tok) AS (VALUES $markerValues),
+         |langs AS (SELECT DISTINCT lang FROM m),
+         |flat AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+         |counts AS (SELECT f.doc_id, m.lang, count(*) AS hits
+         |  FROM flat f JOIN m ON f.tok = m.tok GROUP BY 1, 2),
+         |scored AS (SELECT t.doc_id, t.label_lang, len(t.tk) AS n_tokens, l.lang,
+         |  coalesce(c.hits, 0) AS hits
+         |  FROM toks t CROSS JOIN langs l
+         |  LEFT JOIN counts c ON c.doc_id = t.doc_id AND c.lang = l.lang),
+         |best AS (SELECT doc_id, label_lang, n_tokens,
+         |  max(struct_pack(h := hits, l := lang)) AS b
+         |  FROM scored GROUP BY 1, 2, 3)
+         |SELECT doc_id, label_lang, b.l AS pred_lang,
+         |  CAST(b.h AS BIGINT) AS n_marker_hits,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM best ORDER BY doc_id""".stripMargin
+    },
     "q_dedup_clusters" ->
       """WITH RECURSIVE t0 AS (SELECT doc_id, source,
         |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

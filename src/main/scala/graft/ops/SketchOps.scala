@@ -116,17 +116,38 @@ object SketchOps {
     * state as one pass over the whole group (HLL merge is exact on the
     * sketch, approximate only vs the true count), so pre-aggregated sketch
     * columns can live in a rollup table and still answer distinct-count
-    * queries over any group combination. No oracle (approximate by design);
-    * SketchOpsSpec asserts shard-merge == single-pass estimate exactly and
-    * <5% relative error vs the exact distinct count. */
+    * queries over any group combination.
+    *
+    * CHECKED CONTRACT (the estimate itself has no DuckDB equivalent): the
+    * query emits, per group, the exact distinct count plus two in-plan
+    * verdicts — the merged estimate is SPLIT-INDEPENDENT (re-sharding by a
+    * different key and shard count merges to the identical estimate: the
+    * union's register state is a pure function of the value set), and it
+    * lands within 3·rsd of the exact count (rsd ≈ 1.04/√2¹² ≈ 1.63% at
+    * lgConfigK=12). The oracle computes the exact count and asserts both
+    * verdicts are literally TRUE, so the hash match certifies sketch
+    * semantics, not just row shape. (Merged ≠ single-pass estimate in
+    * general: a one-pass DataSketches sketch carries a HIP estimator that
+    * union legitimately discards — equality holds only in sparse mode, so
+    * it is NOT the claim; split-independence is.) */
   def qHllUnion(s: SparkSession, sf: String): DataFrame = {
     val li = t(s, sf, "lineitem")
-      .withColumn("shard", pmod(col("l_orderkey"), lit(16)))
-    li.groupBy("l_returnflag", "shard")
-      .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
-      .groupBy("l_returnflag")
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
-        .cast("long").as("approx_parts"))
+    def merged(shardKey: org.apache.spark.sql.Column, nShards: Int, out: String) =
+      li.withColumn("shard", pmod(shardKey, lit(nShards)))
+        .groupBy("l_returnflag", "shard")
+        .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+          .cast("long").as(out))
+    val a = merged(col("l_orderkey"), 16, "est_a")
+    val b = merged(col("l_suppkey"), 7, "est_b")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    a.join(b, Seq("l_returnflag")).join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (col("est_a") === col("est_b")).as("merge_consistent"),
+        (abs(col("est_a") - col("exact_parts")).cast("double") <=
+          lit(3 * 1.04 / math.sqrt(1 << 12)) * col("exact_parts")).as("within_3rsd"))
       .orderBy("l_returnflag")
   }
 }

@@ -163,28 +163,36 @@ object TextOps {
         (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
       .orderBy("source")
 
+  /** The marker-token table the heuristic language-ID scores against. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "is", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("de", "le", "shi", "he"))
+
   /** Language-ID heuristic: score each candidate language by its
-    * marker-token hit rate and take the argmax (deterministic n-gram/stopword
-    * heuristic; no oracle — DuckDB has no equivalent builtin). */
+    * marker-token hit count and take the argmax (ties broken by language
+    * code — a total order). The score is the hit RATE, but every language
+    * shares the doc's token count as denominator, so the argmax — and the
+    * emitted evidence — is pure integer arithmetic: (hit count, token
+    * count) instead of a float confidence. That makes the whole output
+    * oracle-checkable (DuckDB reproduces tokenization, marker counts, and
+    * the (hits, lang) argmax exactly), where the previous float-confidence
+    * shape was rows-only. */
   def qLangId(s: SparkSession, sf: String): DataFrame = {
-    val markers: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "a", "is", "of"),
-      "de" -> Seq("der", "die", "das", "und"),
-      "es" -> Seq("el", "la", "de", "y"),
-      "fr" -> Seq("le", "la", "et", "les"),
-      "zh" -> Seq("de", "le", "shi", "he"))
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val scores = markers.toSeq.sortBy(_._1).map { case (lg, ws) =>
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lg, ws) =>
       struct(
-        (size(filter(toks, x => x.isInCollection(ws))).cast("double") /
-          size(toks).cast("double")).as("score"),
+        size(filter(toks, x => x.isInCollection(ws))).cast("long").as("hits"),
         lit(lg).as("lang"))
     }
     val best = array_max(array(scores: _*))
     t(s, sf, "documents")
       .select(col("doc_id"), col("lang").as("label_lang"),
         best.getField("lang").as("pred_lang"),
-        round(best.getField("score"), 6).as("confidence"))
+        best.getField("hits").as("n_marker_hits"),
+        size(toks).cast("long").as("n_tokens"))
       .orderBy("doc_id")
   }
 

@@ -88,6 +88,44 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("prefix + length + positional filters are lossless vs brute-force all-pairs") {
+    import spark.implicits._
+    // engineered corpus: exact dups, near-clones at graded overlap (some
+    // straddling the 0.4 boundary), plus seeded-random docs over a small
+    // vocabulary so many pairs share SOME shingles — the regime where an
+    // unsound filter would actually drop a pair
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rnd = new scala.util.Random(41)
+    val randomDocs = (1 to 30).map { i =>
+      val n = 5 + rnd.nextInt(10)
+      (i.toLong, "s", (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val clones = (0 to 8).map { k => // k tail words replaced: overlap slides through t
+      (100L + k, "s",
+        base.split(" ").dropRight(k).mkString(" ") + " " + ("nu " * k).trim)
+    }
+    val docs = (randomDocs ++ clones :+ ((200L, "s", base))).toDF("doc_id", "source", "text")
+    val shingles = DedupOps.withShingles(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = shingles.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      inter = (shingles(a) & shingles(b)).size.toDouble
+      uni = (shingles(a) | shingles(b)).size
+      if uni > 0 && inter / uni >= 0.4
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "test corpus produced no qualifying pairs")
+    val fo = DedupOps.freqOrderedShingles(DedupOps.withShingles(docs, "source"))
+    val cands = DedupOps.candidatePairs(fo, 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = expected -- cands
+    assert(missed.isEmpty,
+      s"filters dropped qualifying pairs: $missed (of ${expected.size} expected)")
+  }
+
   test("frequency-ordered prefixes shrink the hottest (source,key) bucket") {
     val docs = Tables.t(spark, sf, "documents")
     val base = DedupOps.withShingles(docs)

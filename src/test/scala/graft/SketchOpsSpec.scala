@@ -34,25 +34,35 @@ class SketchOpsSpec extends SparkTestBase {
       s"guaranteed-frequent tokens missing from candidates: ${missed.count()}")
   }
 
-  test("hll union: shard-merge equals single-pass; estimate within 5% of exact") {
+  test("hll union contract: verdicts TRUE, exact counts right, split-independent merge") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
-    val merged = SketchOps.qHllUnion(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // single-pass sketch over the whole group — identical register state,
-    // so the estimate must match the shard-merged one EXACTLY
-    val single = li.groupBy("l_returnflag")
-      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))")
-        .cast("long").as("approx_parts")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(merged == single,
-      s"shard-merged HLL diverges from single-pass: $merged vs $single")
+    val out = SketchOps.qHllUnion(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(2), s"merge_consistent false for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"within_3rsd false for ${r.getString(0)}")
+    }
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    for ((k, est) <- merged) {
-      val err = math.abs(est.toDouble - exact(k)) / exact(k).max(1L)
-      assert(err < 0.05, s"HLL estimate for $k off by ${err * 100}%")
-    }
+    assert(out.map(r => r.getString(0) -> r.getLong(1)).toMap == exact)
+    // split-independence beyond the query's own two shardings: a THIRD
+    // sharding (random-ish key, 31 shards) must merge to the same estimate
+    // — the union's register state is a pure function of the value set.
+    // (Deliberately NOT compared to the single-pass sketch: one-pass
+    // DataSketches HLL carries a HIP estimator that union discards, so
+    // single-pass equality only holds in sparse mode.)
+    def mergedEst(key: org.apache.spark.sql.Column, n: Int) =
+      li.withColumn("shard", pmod(key, lit(n)))
+        .groupBy("l_returnflag", "shard")
+        .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+          .cast("long").as("est")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mergedEst(col("l_partkey") + col("l_linenumber"), 31) ==
+      mergedEst(col("l_orderkey"), 16),
+      "HLL merge is not split-independent")
   }
 
   test("q_heavy_hitters: threshold column is consistent with the counts") {
