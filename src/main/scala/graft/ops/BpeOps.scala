@@ -87,12 +87,18 @@ object BpeOps {
   }
 
   /** Learn `nMerges` BPE merges; returns (rank, left, right, merged, n) and
-    * the final vocab symbolization. Stops early if no pair repeats. */
+    * the final vocab symbolization. Stops early if no pair repeats.
+    * Superseded checkpoints are unpersisted as soon as their successor
+    * materializes (the connected-components loop's discipline); the FINAL
+    * vocab's backing blocks are owned by the caller — free them with
+    * `GraftCheckpointUtils.unpersistCheckpoint(vocab)` when done. */
   def learnBpe(docs: DataFrame, textCol: String, nMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var vocab = wordVocab(docs, textCol)
+    import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
+    var lastCkpt = wordVocab(docs, textCol)
       .select(col("word"), col("freq"), initSyms.as("syms"))
       .localCheckpoint()
+    var vocab = lastCkpt
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var done = false
@@ -106,25 +112,70 @@ object BpeOps {
           best(0).getAs[Long]("n"))
         merges += ((rank, l, r, n))
         vocab = vocab.withColumn("syms", applyMerge(l, r))
-        if (rank % 5 == 0) vocab = vocab.localCheckpoint()
+        if (rank % 5 == 0) {
+          val prev = lastCkpt
+          vocab = vocab.localCheckpoint() // eager: blocks ready before prev is freed
+          lastCkpt = vocab
+          unpersistCheckpoint(prev)
+        }
         rank += 1
       }
     }
     (merges.toSeq, vocab)
   }
 
+  /** Write-once trained-tokenizer artifact: the learned merge table,
+    * persisted per (corpus fingerprint, nMerges) under the same
+    * ArtifactStore lifecycle as the IVF/lexical indexes. Training runs at
+    * most once per corpus; all three query faces (and any caller) share the
+    * result instead of each re-running the 20-round driver-blocking loop —
+    * which is also how a production pipeline treats a tokenizer: a trained
+    * artifact consumed by later stages, not something re-derived per query. */
+  def ensureBpe(s: SparkSession, sf: String, nMerges: Int = 20): String = {
+    val base = new java.io.File("target/bpe_tokenizer")
+    val src = new java.io.File(s"$sf/documents.parquet")
+    val fpTag = ArtifactStore.fingerprint(src, s"bpe-v1-$nMerges")
+    val dir = new java.io.File(base,
+      "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fpTag)
+    def committed = new java.io.File(dir, "_SUCCESS").exists()
+    if (!committed) {
+      val tmp = new java.io.File(base,
+        s"${dir.getName}.tmp.${java.util.UUID.randomUUID}")
+      val (merges, vocab) = learnBpe(t(s, sf, "documents"), "text", nMerges)
+      import s.implicits._
+      merges.toDF("rank", "left", "right", "n")
+        .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+          col("n"))
+        .repartition(1)
+        .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+      // training state is no longer needed once the merge table is durable
+      org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(vocab)
+      ArtifactStore.install(base, dir, tmp, () => committed)
+      if (!committed) sys.error(s"BPE artifact at $dir could not be installed")
+    }
+    dir.toString
+  }
+
+  /** The learned merge table from the persisted artifact — a merge-table
+    * -sized driver collect (20 rows; metadata-scale, like a Delta log
+    * read), because the merges parameterize the encode expression chain. */
+  def loadMerges(s: SparkSession, sf: String,
+      nMerges: Int = 20): Seq[(Int, String, String, Long)] =
+    s.read.parquet(ensureBpe(s, sf, nMerges))
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank").toInt, r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("n"))).toSeq
+
   /** X54a: the learned merge table over the documents corpus — rank order
-    * IS the tokenizer definition. No oracle (iterative argmax is not
-    * SQL-expressible in one statement); BpeSpec pins it to the in-memory
-    * reference implementation. */
-  def qBpeMerges(s: SparkSession, sf: String): DataFrame = {
-    import s.implicits._
-    val (merges, _) = learnBpe(t(s, sf, "documents"), "text", 20)
-    merges.toDF("rank", "left", "right", "n")
-      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+    * IS the tokenizer definition, served from the persisted artifact
+    * (trained at most once per corpus via [[ensureBpe]]). No oracle
+    * (iterative argmax is not SQL-expressible in one statement); BpeSpec
+    * pins the training loop to the in-memory reference implementation. */
+  def qBpeMerges(s: SparkSession, sf: String): DataFrame =
+    s.read.parquet(ensureBpe(s, sf, 20))
+      .select(col("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("n"))
       .orderBy("rank")
-  }
 
   /** X54c: the tokenizer-apply face — encode a mixed batch of trained and
     * OOV words (deterministic compounds of vocabulary words, which the
@@ -134,12 +185,13 @@ object BpeOps {
     * invariant on the OOV side. */
   def qBpeEncode(s: SparkSession, sf: String): DataFrame = {
     val docs = t(s, sf, "documents")
-    val (merges, vocab) = learnBpe(docs, "text", 20)
-    val w = vocab.select("word").orderBy("word").limit(10)
+    val merges = loadMerges(s, sf, 20)
+    val words = wordVocab(docs, "text")
+    val w = words.select("word").orderBy("word").limit(10)
     val oov = w.select(col("word").as("w1"))
       .crossJoin(w.select(col("word").as("w2")))
       .select(concat(col("w1"), col("w2")).as("word"))
-    val sample = vocab.select("word").orderBy("word").limit(20)
+    val sample = words.select("word").orderBy("word").limit(20)
       .unionByName(oov).distinct()
     encodeWords(sample, merges)
       .select(col("word"), size(col("pieces")).as("n_pieces"),
@@ -149,13 +201,17 @@ object BpeOps {
 
   /** X54b: the subword vocabulary the merges induce, applied back to the
     * corpus — top-30 learned units by corpus token frequency (freq-weighted
-    * symbol counts over the final vocab symbolization; ties broken by
-    * token). The tokenizer-apply face: corpus-scale explode happens only in
-    * the one `wordVocab` pass inside learnBpe — applying the tokenizer is a
-    * vocab-scale join shape. */
+    * symbol counts; ties broken by token). The tokenizer-apply face: ONE
+    * corpus-scale `wordVocab` pass, then the learned merges replayed over
+    * the vocab-scale word table as the fixed-depth `encodeWords` fold chain
+    * (identical symbolization to the training loop's final state — BpeSpec
+    * proves trained-word encode ≡ trained syms), so no training rounds and
+    * no training-state checkpoint are re-run per query. */
   def qBpeVocab(s: SparkSession, sf: String): DataFrame = {
-    val (_, vocab) = learnBpe(t(s, sf, "documents"), "text", 20)
-    vocab.select(col("freq"), explode(col("syms")).as("token"))
+    val merges = loadMerges(s, sf, 20)
+    val vocab = wordVocab(t(s, sf, "documents"), "text")
+    encodeWords(vocab, merges)
+      .select(col("freq"), explode(col("pieces")).as("token"))
       .groupBy("token").agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(30)

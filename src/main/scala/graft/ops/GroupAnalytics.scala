@@ -106,13 +106,19 @@ object GroupAnalytics {
     val b = when(col("grank") <= lit(r * (q + 1)),
       expr(s"(grank + ${q}) div ${q + 1}"))
       .otherwise(expr(s"${r} + (grank - ${r * (q + 1)} + ${math.max(q, 1L) - 1}) div ${math.max(q, 1L)}"))
-    ranked.withColumn("bucket", b.cast("long"))
+    // hand off through a TINY eager checkpoint so the range-partitioned
+    // checkpoint globalRanks pinned (full-table-sized) can be freed here
+    // instead of accumulating per call (the dedup-cluster pattern)
+    val out = ranked.withColumn("bucket", b.cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         dsum(col("o_totalprice"), 2).as("sum_price"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
       .orderBy("bucket")
+      .localCheckpoint()
+    org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(ranked)
+    out
   }
 
   /** Ordered string aggregation (LISTAGG/string_agg): nations per region,
@@ -228,22 +234,12 @@ object GroupAnalytics {
     * (ts, event_id) total order via the associative `min(struct)` /
     * `max(struct)` trick, so the whole bar builds in ONE hash aggregation
     * with constant per-group state — no per-window sort, no window
-    * function, partial-aggregable on every partition. The same plan shape
-    * runs under Structured Streaming (`window()` + watermark) unchanged. */
+    * function, partial-aggregable on every partition. The aggregation body
+    * lives in `EventStream.ohlcBars` and runs under Structured Streaming
+    * unchanged (StreamingSpec proves batch ≡ stream bit-for-bit); this
+    * face adds only the batch-side total order. */
   def qOhlcBars(s: SparkSession, sf: String): DataFrame =
-    t(s, sf, "events")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(
-        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
-        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
-        min(col("value")).as("low"),
-        max(col("value")).as("high"),
-        count(lit(1)).as("n"))
-      .select(
-        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-        col("event_type"),
-        col("o.value").as("open"), col("high"), col("low"),
-        col("c.value").as("close"), col("n"))
+    graft.streaming.EventStream.ohlcBars(t(s, sf, "events"))
       .orderBy("hour_start", "event_type")
 
   /** Bitwise aggregates (BIT_AND / BIT_OR / BIT_XOR) — associative integer

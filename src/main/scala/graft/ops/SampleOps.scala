@@ -199,10 +199,15 @@ object SampleOps {
     *
     * Scale shape: the same two-level salted selection as [[sourceCap]] —
     * a one-window-per-label formulation would funnel a 100 TB majority
-    * class through one task; salting bounds every window partition, and
-    * both levels share the (ord, vec_id) total order so the composition
-    * equals the single-window selection exactly. The per-label floor is a
-    * 1-row broadcast. Output keeps the audit compact and content-checking:
+    * class through one task. Salting bounds the FIRST level's window
+    * partitions; the second level is a plain per-label window over the
+    * first level's survivors, so one task can still see up to salts×cap
+    * rows per label (the [[sourceCap]] limitation, shared by design) —
+    * bounded by the cap, not by the raw class size, which is the part that
+    * matters when one class holds most of the corpus. Both levels share
+    * the (ord, vec_id) total order so the composition equals the
+    * single-window selection exactly. The per-label floor is a 1-row
+    * broadcast. Output keeps the audit compact and content-checking:
     * per label, the raw count, kept count (== global min), and the exact
     * sum of kept vec_ids (order-free integer checksum of WHICH rows were
     * kept, not just how many). */

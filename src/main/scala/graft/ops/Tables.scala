@@ -12,6 +12,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Tables {
 
+  /** Read one logical table. Scans returned here (like any other scan of
+    * the same directory) participate in plan-level file skipping once a
+    * footer-stats index is registered for that directory via
+    * [[graft.plans.StatsPruneRule.registerIndex]] — the optimizer rule
+    * rewrites filtered scans to list only files whose min/max range can
+    * match, fail-open, with no per-call opt-in here. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")

@@ -223,9 +223,17 @@ object TextOps {
       explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
     val docLen = docToks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     // tokens unknown to a language contribute that language's smoothed
-    // unseen log-prob: score = Σ hit logp + (len − hits) · unseen_logp
+    // unseen log-prob: score = Σ hit logp + (len − hits) · unseen_logp.
+    // The scoring join carries NO broadcast hint on purpose: the profile
+    // table is (lang × token)-sized — tiny for a curated vocabulary,
+    // unbounded for open web vocab — so the broadcast-vs-shuffle choice is
+    // left to Spark's size threshold (AQE measures the built profile's
+    // actual bytes at runtime and broadcasts only under the bound; above
+    // it the join stays token-keyed). A forced hint here would OOM the
+    // driver at an unbounded vocab; OpsSpec proves both physical
+    // strategies produce identical output.
     val scored = docToks
-      .join(broadcast(profiles), Seq("tok"))
+      .join(profiles, Seq("tok"))
       .groupBy("doc_id", "lang")
       .agg(sum(col("logp")).as("hit_score"), count(lit(1)).as("n_hit"),
         first(col("unseen_logp")).as("unseen"))

@@ -24,6 +24,20 @@ import graft.planner.PlannerHooks.SqlGenerator
   *     "<column> over/above/under/below/at least/at most <number>", or
   *     "<column> between <a> and <b>"; multiple mentions AND-combine
   *     (first predicate wins per column, question order preserved).
+  *   - date ranges (the reference SQL-gen prompt guarantees date-range
+  *     WHERE clauses, `langgraph_pipeline.py:482-485`): ISO dates are
+  *     lifted to marker tokens before tokenization, then
+  *     "<column> between <date> and <date>" and "<column>
+  *     after/since/from/before/until/through <date>" build range
+  *     predicates — DATE literals for date/timestamp columns, quoted
+  *     strings for the reference's date-as-string columns (lexicographic
+  *     comparison is exact for ISO yyyy-mm-dd).
+  *   - NULL handling (same prompt contract): "<column> is [not]
+  *     null/missing/empty/blank" → IS [NOT] NULL.
+  *   - explicit sort: "sorted/ordered/order [by] <column>
+  *     [ascending|descending]" → ORDER BY when the column appears in the
+  *     output (group key, measure, or row-select column), overriding the
+  *     default order.
   *   - top-k: "top <n>" → ORDER BY measure DESC LIMIT n.
   *
   * The catalog arrives as the `describe` text QueryPipeline already renders
@@ -64,7 +78,19 @@ object TemplateSqlGenerator extends SqlGenerator {
   def generate(question: String, catalogText: String): Option[String] = {
     val catalog = parseCatalog(catalogText)
     if (catalog.isEmpty) return None
-    val toks = tokens(question)
+    // ISO dates would shatter under the \W+ tokenizer ("2024-01-15" →
+    // three number tokens), so lift them into marker tokens first and
+    // resolve markers back to their literals at predicate-build time
+    val dateRe = "\\d{4}-\\d{2}-\\d{2}".r
+    val dates = dateRe.findAllIn(question).toVector
+    val qMarked = dates.zipWithIndex.foldLeft(question) {
+      case (acc, (d, i)) => acc.replaceFirst(d, s" graftdate$i ")
+    }
+    val toks = tokens(qMarked)
+    def dateOf(tok: String): Option[String] =
+      if (tok.startsWith("graftdate"))
+        tok.stripPrefix("graftdate").toIntOption.flatMap(dates.lift)
+      else None
     val q = toks.mkString(" ")
 
     // table choice: most name/column mentions, catalog order on ties
@@ -89,13 +115,32 @@ object TemplateSqlGenerator extends SqlGenerator {
         toks.contains("lowest")) Some(("MIN", true))
       else None
 
-    // grouping: "per|by|each <column words>"
+    // grouping: "per|by|each <column words>" — but "by" that belongs to a
+    // sort phrase ("sorted/ordered/order by …") is NOT a grouping
     val groupCol = toks.zipWithIndex.collectFirst(Function.unlift {
-      case (w, i) if Set("per", "by", "each").contains(w) =>
+      case (w, i) if Set("per", "by", "each").contains(w) &&
+        !(w == "by" && i > 0 &&
+          Set("sorted", "ordered", "order").contains(toks(i - 1))) =>
         tab.cols.find(c => c.parts.nonEmpty &&
           toks.drop(i + 1).take(c.parts.size + 1).containsSlice(c.parts))
       case _ => None
     })
+
+    // explicit sort: "sorted|ordered|order [by] <column> [asc|desc...]"
+    val sortSpec: Option[(Col, String)] =
+      toks.zipWithIndex.collectFirst(Function.unlift {
+        case (w, i) if Set("sorted", "ordered", "order").contains(w) =>
+          val j = if (toks.lift(i + 1).contains("by")) i + 2 else i + 1
+          tab.cols.find(c => c.parts.nonEmpty &&
+            toks.drop(j).take(c.parts.size) == c.parts).map { c =>
+            val dir = toks.drop(j + c.parts.size).headOption match {
+              case Some("descending") | Some("desc") => "DESC"
+              case _ => "ASC"
+            }
+            (c, dir)
+          }
+        case _ => None
+      })
 
     val measure = agg match {
       case Some((_, true)) =>
@@ -109,20 +154,41 @@ object TemplateSqlGenerator extends SqlGenerator {
     // with AND (first predicate wins per column, question order preserved)
     val cmpOps = Map("over" -> ">", "above" -> ">", "under" -> "<",
       "below" -> "<", "least" -> ">=", "most" -> "<=")
+    val dateCmp = Map("after" -> ">", "since" -> ">=", "from" -> ">=",
+      "before" -> "<", "until" -> "<=", "through" -> "<=")
     val num = "\\d+(\\.\\d+)?"
     val allFilters = toks.zipWithIndex.flatMap { case (_, i) =>
       tab.cols.find(c => toks.slice(i, i + c.parts.size) == c.parts).flatMap { c =>
         val rest = toks.drop(i + c.parts.size)
+        // a date-typed column compares against DATE literals; string-typed
+        // date columns (the reference's date-as-string shape, FIXTURES §A)
+        // compare lexicographically — exact for ISO yyyy-mm-dd
+        def dlit(d: String): String = {
+          val t = c.dataType.toLowerCase
+          if (t.contains("date") || t.contains("timestamp")) s"DATE '$d'"
+          else s"'$d'"
+        }
+        val nullWords = Set("null", "missing", "empty", "blank")
         val pred = rest match {
           case "between" +: a +: "and" +: b +: _
             if a.matches(num) && b.matches(num) =>
             Some(s"${c.name} BETWEEN $a AND $b")
+          case "between" +: a +: "and" +: b +: _
+            if dateOf(a).isDefined && dateOf(b).isDefined =>
+            Some(s"${c.name} BETWEEN ${dlit(dateOf(a).get)} AND ${dlit(dateOf(b).get)}")
+          case op +: v +: _ if dateCmp.contains(op) && dateOf(v).isDefined =>
+            Some(s"${c.name} ${dateCmp(op)} ${dlit(dateOf(v).get)}")
           case op +: v +: _ if cmpOps.contains(op) && v.matches(num) =>
             Some(s"${c.name} ${cmpOps(op)} $v")
           case "at" +: op +: v +: _ if cmpOps.contains(op) && v.matches(num) =>
             Some(s"${c.name} ${cmpOps(op)} $v")
+          case "is" +: "not" +: w +: _ if nullWords.contains(w) =>
+            Some(s"${c.name} IS NOT NULL")
+          case "is" +: w +: _ if nullWords.contains(w) =>
+            Some(s"${c.name} IS NULL")
           case rel +: v +: _ if Set("is", "equals").contains(rel) =>
             if (v.matches(num)) Some(s"${c.name} = $v")
+            else if (dateOf(v).isDefined) Some(s"${c.name} = ${dlit(dateOf(v).get)}")
             else if (c.numeric) None
             else Some(s"${c.name} = '${v.replace("'", "''")}'")
           case _ => None
@@ -152,8 +218,20 @@ object TemplateSqlGenerator extends SqlGenerator {
 
     val sql = (selectAgg, groupCol) match {
       case (Some(a), Some(g)) =>
-        val order = topK.map(k => s" ORDER BY ${aggAlias.get} DESC, ${g.name} ASC LIMIT $k")
-          .getOrElse(s" ORDER BY ${g.name} ASC")
+        // an explicit sort phrase overrides the default ordering when it
+        // names a column that exists in the output (the group key or the
+        // aggregated measure); top-k keeps its LIMIT either way
+        val explicit = sortSpec.flatMap { case (c, dir) =>
+          if (groupCol.contains(c)) Some(s"${g.name} $dir")
+          else if (measure.contains(c))
+            aggAlias.map(al => s"$al $dir, ${g.name} ASC")
+          else None
+        }
+        val order = explicit
+          .map(o => s" ORDER BY $o" + topK.map(k => s" LIMIT $k").getOrElse(""))
+          .getOrElse(topK
+            .map(k => s" ORDER BY ${aggAlias.get} DESC, ${g.name} ASC LIMIT $k")
+            .getOrElse(s" ORDER BY ${g.name} ASC"))
         Some(s"SELECT ${g.name}, $a FROM ${tab.name}" +
           filter.map(f => s" WHERE $f").getOrElse("") +
           s" GROUP BY ${g.name}$order")
@@ -161,11 +239,12 @@ object TemplateSqlGenerator extends SqlGenerator {
         Some(s"SELECT $a FROM ${tab.name}" +
           filter.map(f => s" WHERE $f").getOrElse(""))
       case (None, _) =>
-        val order = measureOrderCol(tab, toks)
+        val order = sortSpec.map { case (c, dir) => s" ORDER BY ${c.name} $dir" }
+          .orElse(measureOrderCol(tab, toks).map(c => s" ORDER BY ${c.name} DESC"))
         val lim = topK.getOrElse(20)
         Some(s"SELECT * FROM ${tab.name}" +
           filter.map(f => s" WHERE $f").getOrElse("") +
-          order.map(c => s" ORDER BY ${c.name} DESC").getOrElse("") +
+          order.getOrElse("") +
           s" LIMIT $lim")
     }
     sql

@@ -43,6 +43,31 @@ object EventStream {
         col("n"), col("sum_value"))
   }
 
+  /** OHLC bars per hour per event type — the streaming face of
+    * `GroupAnalytics.qOhlcBars` (X58), literally the same aggregation body:
+    * open/close are ARGMIN/ARGMAX over the (ts, event_id) total order via
+    * associative `min(struct)`/`max(struct)`, so per-window state is
+    * constant-size and the aggregate is mergeable across micro-batches —
+    * exactly what incremental execution needs. On a stream the watermark
+    * bounds open-window state; on a batch frame the identical plan runs as
+    * one hash aggregation. All outputs are argmin/argmax/count — no float
+    * summation — so batch ≡ stream bit-for-bit (StreamingSpec asserts it). */
+  def ohlcBars(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    in.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n"))
+  }
+
   /** Streaming file-source reader for the events layout. Streaming sources
     * need an explicit schema, and the `ts` column has shipped both as int64
     * TIMESTAMP(NANOS) (rejected unless read as raw longs + nanosAsLong) and

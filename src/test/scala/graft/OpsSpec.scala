@@ -161,6 +161,40 @@ class OpsSpec extends SparkTestBase {
     assert(out1(0).getSeq[Float](3).length == MultimodalOps.featureDim)
   }
 
+  test("classifyLang: shuffle-join path (broadcast disabled) matches the broadcast path") {
+    import spark.implicits._
+    val langWords = Map(
+      "aa" -> Seq("apfel", "birne", "kirsche", "traube"),
+      "bb" -> Seq("apple", "pear", "cherry", "grape"))
+    val rnd = new scala.util.Random(17)
+    val train = (1 to 60).map { i =>
+      val lang = Seq("aa", "bb")(i % 2)
+      (i.toLong, lang, (1 to 10).map(_ => langWords(lang)(rnd.nextInt(4))).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val test = (61 to 80).map { i =>
+      val lang = Seq("aa", "bb")(i % 2)
+      (i.toLong, lang, (1 to 10).map(_ => langWords(lang)(rnd.nextInt(4))).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    // pad the profile table with junk vocabulary so it is "oversized"
+    // relative to a disabled broadcast threshold — the join must then run
+    // as a token-keyed shuffle join with identical output
+    val junk = (1 to 5000).map(i => ("zz", s"junktok$i", -20.0, -21.0))
+      .toDF("lang", "tok", "logp", "unseen_logp")
+    val profiles = TextOps.trainLangProfiles(train).unionByName(junk)
+    def run() = TextOps.classifyLang(test, profiles)
+      .orderBy("doc_id").collect().toSeq
+    val viaBroadcast = run()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = TextOps.classifyLang(test, profiles)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcast still forced with threshold disabled:\n$plan")
+      assert(run() == viaBroadcast)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("naive-Bayes lang-id is exact on separable vocabularies") {
     import spark.implicits._
     val langWords = Map(

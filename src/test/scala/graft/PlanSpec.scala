@@ -10,6 +10,43 @@ class PlanSpec extends SparkTestBase {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("registered stats index prunes files inside any filtered scan, results identical") {
+    import org.apache.spark.sql.functions._
+    // stage a range-partitioned copy (8 files, narrow l_shipdate bands)
+    val work = s"target/tmp_prune_rule/sf_${java.lang.ProcessHandle.current.pid}"
+    if (!new java.io.File(s"$work/_SUCCESS").exists) {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      Tables.t(spark, sf, "lineitem")
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(work)
+    }
+    def query() = spark.read.parquet(work)
+      .filter(col("l_shipdate") >= lit("1995-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("l_extendedprice")).as("s"))
+      .orderBy("l_returnflag")
+    def filesTouched(df: org.apache.spark.sql.DataFrame): Int =
+      // sparkPlan, not executedPlan: AQE wraps the tree and hides the scan
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+    val before = query()
+    val wantFiles = filesTouched(before)
+    val want = before.collect().toSeq
+    try {
+      val nIndexed = graft.plans.StatsPruneRule.registerIndex(spark, work, "l_shipdate")
+      assert(nIndexed == 8, s"expected 8 indexed files, got $nIndexed")
+      val after = query()
+      val prunedFiles = filesTouched(after)
+      assert(prunedFiles < wantFiles,
+        s"stats index did not prune: $prunedFiles of $wantFiles files")
+      assert(after.collect().toSeq == want, "pruning changed the result")
+    } finally graft.plans.StatsPruneRule.unregisterIndex(work)
+  }
+
   test("orders x customer join broadcasts the dimension side") {
     val p = plan(Relational.qJoinOrdersCustomer(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")

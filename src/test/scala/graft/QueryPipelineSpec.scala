@@ -105,6 +105,55 @@ class QueryPipelineSpec extends SparkTestBase {
     assert(r4.error.isEmpty, ans4.summary)
     assert(r4.result.head.getLong(0) ==
       df.filter(col("credit_score").between(600, 650)).count())
+
+    // date-range filter (application_date is a date-as-string column, so
+    // the generator must emit a lexicographic string range)
+    val ans5 = QueryPipeline.run(spark,
+      "how many loans with application date between 2025-01-01 and 2025-06-30",
+      catalog)
+    val r5 = ans5.subResults.head
+    assert(r5.error.isEmpty, ans5.summary)
+    assert(r5.result.head.getLong(0) ==
+      df.filter(col("application_date") >= "2025-01-01" &&
+        col("application_date") <= "2025-06-30").count())
+    assert(r5.result.head.getLong(0) > 0, "date-range case is vacuous")
+
+    // open-ended date bound
+    val ans6 = QueryPipeline.run(spark,
+      "count loans with application date since 2025-06-01", catalog)
+    val r6 = ans6.subResults.head
+    assert(r6.error.isEmpty, ans6.summary)
+    assert(r6.result.head.getLong(0) ==
+      df.filter(col("application_date") >= "2025-06-01").count())
+
+    // NULL-handling filter (collateral has empty cells in the fixture)
+    val ans7 = QueryPipeline.run(spark,
+      "how many loans where collateral is missing", catalog)
+    val r7 = ans7.subResults.head
+    assert(r7.error.isEmpty, ans7.summary)
+    assert(r7.result.head.getLong(0) ==
+      df.filter(col("collateral").isNull).count())
+    val ans7b = QueryPipeline.run(spark,
+      "count loans where collateral is not null", catalog)
+    assert(ans7b.subResults.head.result.head.getLong(0) ==
+      df.filter(col("collateral").isNotNull).count())
+
+    // explicit ORDER BY on a grouped aggregate + on a row select
+    val ans8 = QueryPipeline.run(spark,
+      "total loan amount requested per loan type sorted by loan amount requested descending",
+      catalog)
+    val r8 = ans8.subResults.head
+    assert(r8.error.isEmpty, ans8.summary)
+    val got8 = r8.result.collect().map(_.getDouble(1)).toSeq
+    assert(got8 == got8.sortBy(-_), s"grouped sort not applied: $got8")
+
+    val ans9 = QueryPipeline.run(spark,
+      "loans with credit score over 800 sorted by interest rate ascending", catalog)
+    val r9 = ans9.subResults.head
+    assert(r9.error.isEmpty, ans9.summary)
+    val rates = r9.result.collect().map(_.getAs[Double]("interest_rate")).toSeq
+    assert(rates.nonEmpty && rates == rates.sorted,
+      s"row-select sort not applied: $rates")
   }
 
   test("loadContext follows the reference union-vs-join decision") {

@@ -74,6 +74,32 @@ class StreamingSpec extends SparkTestBase {
     assert(want.map(_.getLong(2)).sum == viaOp)
   }
 
+  test("streaming OHLC bars equal the batch bars bit-for-bit on the same events") {
+    import spark.implicits._
+    val batch = graft.ops.Tables.events(spark, sf)
+      .select("event_id", "ts", "event_type", "value")
+    val rows = batch.collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    // split mid-hour so open/close state must merge across micro-batches
+    stream.addData(rows.take(rows.size / 2).map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3))))
+    stream.addData(rows.drop(rows.size / 2).map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3))))
+    val q = EventStream.ohlcBars(
+        stream.toDF.toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode(OutputMode.Complete()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    // every output is an argmin/argmax/count under a total order — no float
+    // summation — so the comparison is exact, not tolerance-based
+    val got = spark.table("ohlc")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val want = graft.ops.GroupAnalytics.qOhlcBars(spark, sf).collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("file-source stream over the real ns-timestamp events parquet") {
     // the file source wants a directory: stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory(
