@@ -93,6 +93,7 @@ object SparkEntry {
     "q_quality_filter"        -> (CorpusOps.qQualityFilter _),
     "q_minhash_neardup"       -> (DedupOps.qMinhashNeardup _),
     "q_dedup_clusters"        -> (DedupOps.qDedupClusters _),
+    "q_dedup_clusters_incremental" -> (DedupOps.qDedupClustersIncremental _),
     "q_semantic_dedup"        -> (DedupOps.qSemanticDedup _),
     "q_dup_ngram_spans"       -> (CorpusOps.qDupNgramSpans _),
     "q_curation_funnel"       -> (CorpusOps.qCurationFunnel _),
@@ -170,6 +171,7 @@ object SparkEntry {
     "q_bitwise_agg"           -> (GroupAnalytics.qBitwiseAgg _),
     "q_ohlc_bars"             -> (GroupAnalytics.qOhlcBars _),
     "q_hll_union"             -> (SketchOps.qHllUnion _),
+    "q_approx_percentiles"    -> (SketchOps.qApproxPercentiles _),
     "q_class_balance"         -> (SampleOps.qClassBalance _),
     // X54 BPE tokenizer training (no oracle — iterative argmax; BpeSpec
     // pins the merge sequence to the published algorithm's reference impl)
@@ -408,6 +410,10 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |TRUE AS merge_consistent, TRUE AS within_3rsd
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // X60 checked contract: exact count + TRUE rank-error verdicts
+    "q_approx_percentiles" ->
+      """SELECT count(*) AS n, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+        |FROM lineitem""".stripMargin,
     "q_month_groupby" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mon,
         |count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -825,6 +831,28 @@ object SparkEntry {
          |FROM best ORDER BY doc_id""".stripMargin
     },
     "q_dedup_clusters" ->
+      """WITH RECURSIVE t0 AS (SELECT doc_id, source,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |dd AS (SELECT doc_id, source,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(len(toks) - 2), i ->
+        |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t0),
+        |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(round((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000, 0) AS BIGINT) AS jaccard_e6
+        |  FROM dd a JOIN dd b ON a.source = b.source AND a.doc_id < b.doc_id),
+        |e AS (SELECT id_a AS es, id_b AS ed FROM pp WHERE jaccard_e6 >= 400000
+        |  UNION ALL SELECT id_b, id_a FROM pp WHERE jaccard_e6 >= 400000),
+        |r(rs, rd) AS (SELECT es, ed FROM e
+        |  UNION SELECT r.rs, e.ed FROM r JOIN e ON r.rd = e.es),
+        |lab AS (SELECT rs AS node, least(rs, min(rd)) AS label FROM r GROUP BY rs)
+        |SELECT label AS cluster_rep, count(*) AS n_members, max(node) AS max_member
+        |FROM lab GROUP BY label HAVING count(*) >= 2 ORDER BY cluster_rep""".stripMargin,
+    // X61: the incremental twin shares the from-scratch closure oracle —
+    // label maintenance must be invisible in the cluster report
+    "q_dedup_clusters_incremental" ->
       """WITH RECURSIVE t0 AS (SELECT doc_id, source,
         |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |dd AS (SELECT doc_id, source,

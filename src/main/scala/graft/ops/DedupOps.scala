@@ -402,6 +402,81 @@ object DedupOps {
     }
   }
 
+  /** X61: INCREMENTAL connected-components maintenance — fold a batch of
+    * new edges into existing labels WITHOUT recomputing the full graph.
+    * The previous label map is already a contraction (each old component
+    * is one quotient node, its label = its minimum member), so only the
+    * delta participates: new edges are mapped through the old labels
+    * (unknown endpoints map to themselves), self-loops drop, and the
+    * fixpoint runs on that contracted delta graph alone. Re-expansion is
+    * one keyed join of the old labels through the delta components, plus
+    * direct labels for brand-new nodes (every new node appears in the
+    * delta graph by construction). Cost tracks DELTA size + the labels
+    * join — never the full edge history — which is what a continuously
+    * maintained dedup-cluster table needs as documents arrive.
+    *
+    * Exactness: old labels are component minima, so the contracted delta's
+    * minima are the merged components' true global minima — the result
+    * equals `connectedComponents` over the union of all edges, which is
+    * how `qDedupClustersIncremental` gets the SAME recursive-CTE oracle as
+    * the from-scratch query (MergeOpsSpec asserts equality on adversarial
+    * merge shapes too). */
+  def incrementalComponents(prevLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
+    val l = prevLabels.select(col("node"), col("label"))
+    val contracted = newEdges.select(col("src"), col("dst"))
+      .join(l.select(col("node").as("src"), col("label").as("ls")), Seq("src"), "left")
+      .join(l.select(col("node").as("dst"), col("label").as("ld")), Seq("dst"), "left")
+      .select(coalesce(col("ls"), col("src")).as("src"),
+        coalesce(col("ld"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val delta = connectedComponents(contracted) // delta-sized fixpoint
+    val relabeled = l
+      .join(delta.select(col("node").as("label"), col("label").as("nl")),
+        Seq("label"), "left")
+      .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+    // brand-new nodes (absent from prevLabels): their contracted id is
+    // themselves, so the delta fixpoint labeled them directly
+    val newNodes = newEdges.select(col("src").as("node"))
+      .union(newEdges.select(col("dst").as("node"))).distinct()
+      .join(l, Seq("node"), "left_anti")
+    val fresh = newNodes.join(delta, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    // hand the result off through a checkpoint so the delta fixpoint's
+    // internal blocks can be freed here (the qDedupClusters pattern)
+    val out = relabeled.unionByName(fresh).localCheckpoint()
+    unpersistCheckpoint(delta)
+    out
+  }
+
+  /** The incremental twin of [[qDedupClusters]]: the pair graph arrives in
+    * two batches (split by edge-id parity — an arbitrary, deterministic
+    * split), the first batch's components are "yesterday's" label table,
+    * and the second batch folds in via [[incrementalComponents]]. The
+    * cluster report — and therefore the ORACLE (the same recursive-CTE
+    * transitive closure over ALL pairs) — is identical to the from-scratch
+    * query by construction: maintenance must be invisible in the result. */
+  def qDedupClustersIncremental(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
+    val pairs = qNgramJaccardPairs(s, sf).select(
+      col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint() // both batches read it; the split must be stable
+    val e0 = pairs.filter(pmod(col("src") + col("dst"), lit(2)) === 0)
+    val e1 = pairs.filter(pmod(col("src") + col("dst"), lit(2)) === 1)
+    val labels0 = connectedComponents(e0)
+    val labels = incrementalComponents(labels0, e1)
+    unpersistCheckpoint(labels0)
+    val clusters = labels
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+      .filter(col("n_members") >= 2)
+      .orderBy("cluster_rep")
+      .localCheckpoint()
+    unpersistCheckpoint(labels)
+    unpersistCheckpoint(pairs)
+    clusters
+  }
+
   /** Dedup clusters over the exact n-gram-Jaccard pair graph: connected
     * components, reported per cluster (representative = min doc_id — the
     * one a keep-one-per-cluster pass would retain). Oracle = DuckDB

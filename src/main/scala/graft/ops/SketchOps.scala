@@ -130,6 +130,48 @@ object SketchOps {
     * general: a one-pass DataSketches sketch carries a HIP estimator that
     * union legitimately discards — equality holds only in sparse mode, so
     * it is NOT the claim; split-independence is.) */
+  /** X60: mergeable approximate percentiles (Spark's `approx_percentile`,
+    * Greenwald–Khanna-style quantile summaries) as a CHECKED CONTRACT.
+    *
+    * The summary's guarantee — each returned value's rank is within
+    * n/accuracy of the target rank — holds REGARDLESS of the
+    * nondeterministic order partial summaries merge in; the estimate
+    * itself may vary run to run, the bound may not. So the query emits
+    * nothing estimate-valued: it computes the estimates, re-derives their
+    * EXACT rank intervals in a second conditional-agg pass (count of v <
+    * est and v ≤ est — ties give an interval), and outputs the exact row
+    * count plus one verdict per percentile that the interval intersects
+    * [p·n − n/acc, p·n + n/acc]. Verdicts are integer arithmetic ×100
+    * (accuracy = 100), so no float boundary can flip them. The oracle
+    * computes the count and asserts every verdict literally TRUE — a hash
+    * match certifies the sketch's rank-error guarantee on this data.
+    *
+    * Scale shape: one aggregation to build the summary (mergeable partials
+    * — the 1000-executor shape), one broadcast of the 1-row estimate
+    * frame, one conditional-agg scan for the exact ranks. The exact-rank
+    * pass exists for the CONTRACT; a production consumer reads just the
+    * estimates and skips it. */
+  def qApproxPercentiles(s: SparkSession, sf: String): DataFrame = {
+    val v = t(s, sf, "lineitem").select(col("l_extendedprice").as("v"))
+    val appr = v.agg(
+      expr("approx_percentile(v, array(0.25, 0.5, 0.75), 100)").as("ap"))
+    def okCols = Seq((1, 25, "q25_ok"), (2, 50, "q50_ok"), (3, 75, "q75_ok"))
+      .map { case (i, p100, name) =>
+        val rLo = sum(when(col("v") < element_at(col("ap"), i), 1L)
+          .otherwise(0L)) // ranks strictly below the estimate
+        val rHi = sum(when(col("v") <= element_at(col("ap"), i), 1L)
+          .otherwise(0L)) // max rank of the estimate (ties included)
+        val n = count(lit(1))
+        // interval [rLo+1, rHi] must intersect [p·n − n/100, p·n + n/100]:
+        // ×100 keeps it in exact integer space (accuracy = 100)
+        (((rLo + 1) * 100 <= n * (p100 + 1)) && (rHi * 100 >= n * (p100 - 1)))
+          .as(name)
+      }
+    val aggs = count(lit(1)).as("n") +: okCols
+    v.crossJoin(broadcast(appr))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def qHllUnion(s: SparkSession, sf: String): DataFrame = {
     val li = t(s, sf, "lineitem")
     def merged(shardKey: org.apache.spark.sql.Column, nShards: Int, out: String) =

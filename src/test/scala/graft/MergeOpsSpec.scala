@@ -99,6 +99,23 @@ class MergeOpsSpec extends SparkTestBase {
     assert((1 to n).forall(i => labels(i.toLong) == 1L))
   }
 
+  test("incrementalComponents equals from-scratch CC on adversarial merge shapes") {
+    // old graph: components {1,2,3} (chain), {10,11}, {20,21} (untouched)
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    val prev = graft.ops.DedupOps.connectedComponents(oldEdges)
+    // delta: merges the first two old components (3-10), attaches a brand-new
+    // node to an old component (11-30), and adds a fully new pair (40-41)
+    val delta = Seq((3L, 10L), (11L, 30L), (40L, 41L)).toDF("src", "dst")
+    val got = graft.ops.DedupOps.incrementalComponents(prev, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ops.DedupOps.connectedComponents(
+        oldEdges.unionByName(delta))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"incremental diverged: got=$got want=$want")
+    // and the merged component's label is the true global minimum
+    assert(got(30L) == 1L && got(11L) == 1L && got(20L) == 20L && got(41L) == 40L)
+  }
+
   test("connectedComponents throws instead of returning truncated labels") {
     // chain 1-2-3-4-5 needs 4 propagation rounds + 1 confirming round;
     // maxIter=3 must fail loudly, not hand back wrong clusters

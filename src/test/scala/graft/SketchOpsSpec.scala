@@ -65,6 +65,29 @@ class SketchOpsSpec extends SparkTestBase {
       "HLL merge is not split-independent")
   }
 
+  test("approx-percentile contract: verdicts TRUE; bound actually binds on the data") {
+    val out = SketchOps.qApproxPercentiles(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+      s"rank-error verdict false: $r")
+    // independent recheck: the raw estimates' exact ranks sit within n/100
+    // of the target ranks (recomputed here without the query's arithmetic)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_extendedprice").as("v"))
+    val n = li.count()
+    val ests = li.agg(expr("approx_percentile(v, array(0.25, 0.5, 0.75), 100)"))
+      .head.getSeq[Double](0)
+    Seq(0.25, 0.5, 0.75).zip(ests).foreach { case (p, est) =>
+      val rLo = li.filter(col("v") < est).count()
+      val rHi = li.filter(col("v") <= est).count()
+      val lo = p * n - n / 100.0
+      val hi = p * n + n / 100.0
+      assert(rLo + 1 <= hi + 1e-9 && rHi >= lo - 1e-9,
+        s"p=$p est=$est ranks=[${rLo + 1},$rHi] target=[$lo,$hi]")
+    }
+  }
+
   test("q_heavy_hitters: threshold column is consistent with the counts") {
     val r = SketchOps.qHeavyHitters(spark, sf).collect()
     assert(r.nonEmpty)
