@@ -97,6 +97,7 @@ object SparkEntry {
     "q_semantic_dedup"        -> (DedupOps.qSemanticDedup _),
     "q_dup_ngram_spans"       -> (CorpusOps.qDupNgramSpans _),
     "q_curation_funnel"       -> (CorpusOps.qCurationFunnel _),
+    "q_drop_reasons"          -> (CorpusOps.qDropReasons _),
     "q_binary_meta"           -> (MultimodalOps.qBinaryMeta _),
     "q_media_decode"          -> (MultimodalOps.qMediaDecode _),
     "q_cosine_topk"           -> (VectorOps.qCosineTopk _),
@@ -931,6 +932,44 @@ object SparkEntry {
         |LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
         |LEFT JOIN qual q ON c.doc_id = q.doc_id
         |GROUP BY c.source ORDER BY c.source""".stripMargin,
+    // X63: per-doc lineage shares the funnel's verified stage CTEs;
+    // only the final SELECT changes (reason CASE instead of counts)
+    "q_drop_reasons" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        |bt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |bk AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(len(toks) - 2), i ->
+        |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [array_to_string(toks, ' ')] END) AS key FROM bt),
+        |ctk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM corpus),
+        |cex AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(len(toks) - 2), i ->
+        |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [array_to_string(toks, ' ')] END) AS key FROM ctk),
+        |contaminated AS (SELECT DISTINCT cex.doc_id FROM cex JOIN bk ON cex.key = bk.key),
+        |qx AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS alnum FROM corpus),
+        |qy AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS stop_cnt,
+        |  alnum FROM qx),
+        |qz AS (SELECT doc_id,
+        |  CAST(round(stop_cnt / CAST(n_tokens AS DOUBLE) * 1000000, 0) AS BIGINT) AS stop_ratio_e6,
+        |  CAST(round(alnum / CAST(n_tokens AS DOUBLE) * 1000000, 0) AS BIGINT) AS avg_word_len_e6 FROM qy),
+        |qual AS (SELECT doc_id FROM qz WHERE
+        |  CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE) + CAST(0.05 AS DOUBLE) * (CAST(avg_word_len_e6 AS DOUBLE) / 1000000.0)
+        |    - CAST(0.8 AS DOUBLE) * (CAST(stop_ratio_e6 AS DOUBLE) / 1000000.0))) * 1000000, 0) AS BIGINT) >= 500000)
+        |SELECT c.doc_id, c.source,
+        |CASE WHEN k.doc_id IS NULL THEN 'duplicate'
+        |     WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+        |     WHEN q.doc_id IS NULL THEN 'low_quality'
+        |     ELSE 'kept' END AS reason
+        |FROM corpus c LEFT JOIN keep k ON c.doc_id = k.doc_id
+        |LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+        |LEFT JOIN qual q ON c.doc_id = q.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     "q_chunk_rows" ->
       """WITH r AS (SELECT source, doc_id,
         |  '[index ' || doc_id || '] ' || 'doc_id:' || doc_id || ' | text:' || text ||

@@ -243,6 +243,41 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** X63: per-document curation LINEAGE — the audit table beside
+    * [[qCurationFunnel]]'s aggregate report: for every raw document, the
+    * FIRST pipeline stage that rejected it (pipeline order: duplicate →
+    * contaminated → low_quality) or `kept`. A governed corpus release
+    * needs the per-record reason trail (provenance audits, debugging a
+    * filter regression, answering "why is my document gone"); the three
+    * stage shapes are the funnel's already-verified ones, composed through
+    * the same doc_id-keyed left joins, so the lineage table costs what the
+    * funnel costs — linear in corpus tokens, one output row per raw doc,
+    * and the per-doc reasons are ORACLE-HASHED, not just counted. */
+  def qDropReasons(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents").filter(col("doc_id") % 97 =!= 0)
+    val keepDedup = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val benchKeys = DedupOps.withShingles(
+        t(s, sf, "documents").filter(col("doc_id") % 97 === 0))
+      .select(explode(col("sh")).as("key")).distinct()
+    val contaminated = DedupOps.withShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("key"))
+      .join(benchKeys, Seq("key"), "left_semi")
+      .select("doc_id").distinct()
+    val quality = TextOps.qualityPerDoc(docs)
+      .filter(col("quality_e6") >= 500000).select("doc_id")
+    docs.select(col("doc_id"), col("source"))
+      .join(keepDedup.withColumn("s1", lit(1L)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("ct", lit(1L)), Seq("doc_id"), "left")
+      .join(quality.withColumn("q", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("s1").isNull, "duplicate")
+          .when(col("ct").isNotNull, "contaminated")
+          .when(col("q").isNull, "low_quality")
+          .otherwise("kept").as("reason"))
+      .orderBy("doc_id")
+  }
+
   /** X27: duplicated-shingle span profile — the exact substring-duplication
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better") at word-3-shingle granularity: for each document, the
