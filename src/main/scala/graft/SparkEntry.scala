@@ -831,6 +831,35 @@ object SparkEntry {
          |  CAST(n_tokens AS BIGINT) AS n_tokens
          |FROM best ORDER BY doc_id""".stripMargin
     },
+    // checked since r11: NB scores are e6-quantized integer sums (the
+    // q_bigram_lm micro-int pattern), so training, scoring, and the
+    // (score, lang) argmax reproduce exactly in DuckDB
+    "q_lang_id_nb" ->
+      """WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 10 < 8),
+        |test AS (SELECT doc_id, lang AS label_lang, text FROM documents WHERE doc_id % 10 >= 8),
+        |ttok AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM train),
+        |counts AS (SELECT lang, tok, count(*) AS n FROM ttok GROUP BY 1, 2),
+        |totals AS (SELECT lang, count(*) AS total FROM ttok GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT tok) AS v FROM ttok),
+        |prof AS (SELECT c.lang, c.tok,
+        |  CAST(round(ln((c.n + 1) / CAST(t.total + voc.v + 1 AS DOUBLE)) * 1000000, 0) AS BIGINT) AS logp_e6
+        |  FROM counts c JOIN totals t ON c.lang = t.lang CROSS JOIN voc),
+        |unseen AS (SELECT t.lang,
+        |  CAST(round(ln(1.0 / CAST(t.total + voc.v + 1 AS DOUBLE)) * 1000000, 0) AS BIGINT) AS unseen_e6
+        |  FROM totals t CROSS JOIN voc),
+        |dtok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM test),
+        |dlen AS (SELECT doc_id, count(*) AS len FROM dtok GROUP BY 1),
+        |hits AS (SELECT d.doc_id, p.lang, sum(p.logp_e6) AS hit_score, count(*) AS n_hit
+        |  FROM dtok d JOIN prof p ON d.tok = p.tok GROUP BY 1, 2),
+        |scored AS (SELECT h.doc_id, h.lang,
+        |  h.hit_score + (l.len - h.n_hit) * u.unseen_e6 AS score_e6
+        |  FROM hits h JOIN dlen l ON h.doc_id = l.doc_id JOIN unseen u ON h.lang = u.lang),
+        |best AS (SELECT doc_id, max(struct_pack(s := score_e6, l := lang)) AS b
+        |  FROM scored GROUP BY 1)
+        |SELECT t.doc_id, b.b.l AS pred_lang, t.label_lang,
+        |  CAST(b.b.s AS BIGINT) AS score_e6,
+        |  CAST(CASE WHEN b.b.l = t.label_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM test t JOIN best b ON t.doc_id = b.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE t0 AS (SELECT doc_id, source,
         |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

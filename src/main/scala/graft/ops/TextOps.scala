@@ -209,14 +209,23 @@ object TextOps {
       explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
     val counts = toks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
     val totals = toks.groupBy("lang").agg(count(lit(1)).as("total"))
-    // vocabulary size joins in as a 1-row frame — no eager driver action
-    val vocab = toks.agg(countDistinct(col("tok")).as("v"))
-    counts.join(totals, Seq("lang")).crossJoin(broadcast(vocab))
+    // vocabulary size joins in as a 1-row frame — no eager driver action.
+    // Log-probs are quantized to e6 micro-ints AT THE PROFILE, so every
+    // downstream score is an INTEGER sum — deterministic under Spark's
+    // nondeterministic partial-merge order (a raw double sum is not) and
+    // reproducible by the DuckDB oracle (the q_bigram_lm micro-int
+    // pattern; ln parity across engines is already proven by that query).
+    counts.join(totals, Seq("lang")).crossJoin(broadcast(vocab(toks)))
       .select(col("lang"), col("tok"),
-        log((col("n") + 1).cast("double") /
-          (col("total") + col("v") + 1).cast("double")).as("logp"),
-        log(lit(1.0) / (col("total") + col("v") + 1).cast("double")).as("unseen_logp"))
+        round(log((col("n") + 1).cast("double") /
+          (col("total") + col("v") + 1).cast("double")) * 1000000, 0)
+          .cast("long").as("logp_e6"),
+        round(log(lit(1.0) / (col("total") + col("v") + 1).cast("double")) * 1000000, 0)
+          .cast("long").as("unseen_logp_e6"))
   }
+
+  private def vocab(toks: DataFrame): DataFrame =
+    toks.agg(countDistinct(col("tok")).as("v"))
 
   def classifyLang(docs: DataFrame, profiles: DataFrame): DataFrame = {
     val docToks = docs.select(col("doc_id"),
@@ -235,27 +244,32 @@ object TextOps {
     val scored = docToks
       .join(profiles, Seq("tok"))
       .groupBy("doc_id", "lang")
-      .agg(sum(col("logp")).as("hit_score"), count(lit(1)).as("n_hit"),
-        first(col("unseen_logp")).as("unseen"))
+      .agg(sum(col("logp_e6")).as("hit_score"), count(lit(1)).as("n_hit"),
+        first(col("unseen_logp_e6")).as("unseen"))
       .join(docLen, Seq("doc_id"))
       .select(col("doc_id"), col("lang"),
-        (col("hit_score") + (col("len") - col("n_hit")) * col("unseen")).as("score"))
+        (col("hit_score") + (col("len") - col("n_hit")) * col("unseen"))
+          .as("score_e6"))
     val best = max_by(
-      struct(col("lang"), round(col("score"), 6).as("score")),
-      struct(col("score"), col("lang")))
+      struct(col("lang"), col("score_e6")),
+      struct(col("score_e6"), col("lang")))
     scored.groupBy("doc_id")
       .agg(best.as("best"))
       .select(col("doc_id"), col("best.lang").as("pred_lang"),
-        col("best.score").as("log_prob"))
+        col("best.score_e6").as("score_e6"))
   }
 
+  /** CHECKED since r11: the whole NB pipeline is integer arithmetic once
+    * profiles carry e6-quantized log-probs, so the DuckDB oracle reproduces
+    * training, scoring, and the (score, lang) argmax exactly — this moved
+    * from rows-only to hash-verified with no change to the model. */
   def qLangIdNb(s: SparkSession, sf: String): DataFrame = {
     val docs = t(s, sf, "documents")
     val train = docs.filter(col("doc_id") % 10 < 8)
     val test = docs.filter(col("doc_id") % 10 >= 8)
     classifyLang(test, trainLangProfiles(train))
       .join(docs.select(col("doc_id"), col("lang").as("label_lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("pred_lang"), col("label_lang"),
+      .select(col("doc_id"), col("pred_lang"), col("label_lang"), col("score_e6"),
         when(col("pred_lang") === col("label_lang"), 1L).otherwise(0L).as("correct"))
       .orderBy("doc_id")
   }

@@ -178,8 +178,8 @@ class OpsSpec extends SparkTestBase {
     // pad the profile table with junk vocabulary so it is "oversized"
     // relative to a disabled broadcast threshold — the join must then run
     // as a token-keyed shuffle join with identical output
-    val junk = (1 to 5000).map(i => ("zz", s"junktok$i", -20.0, -21.0))
-      .toDF("lang", "tok", "logp", "unseen_logp")
+    val junk = (1 to 5000).map(i => ("zz", s"junktok$i", -20000000L, -21000000L))
+      .toDF("lang", "tok", "logp_e6", "unseen_logp_e6")
     val profiles = TextOps.trainLangProfiles(train).unionByName(junk)
     def run() = TextOps.classifyLang(test, profiles)
       .orderBy("doc_id").collect().toSeq
