@@ -37,7 +37,11 @@ object Bench {
     "q_mode_median", "q_ntile", "q_above_avg", "q_arg_max",
     "q_event_runs", "q_mad_outliers", "q_hll_union",
     "q_class_balance", "q_bpe_merges", "q_ntile_scalable",
-    "q_snapshot_diff", "q_expectations", "q_ohlc_bars")
+    "q_snapshot_diff", "q_expectations", "q_ohlc_bars",
+    // round 11 additions
+    "q_fuzzy_join", "q_pmi_collocations", "q_window_distinct_sketch",
+    "q_dedup_clusters_incremental", "q_drop_reasons", "q_media_decode",
+    "q_approx_percentiles")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

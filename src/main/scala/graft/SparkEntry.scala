@@ -98,6 +98,8 @@ object SparkEntry {
     "q_dup_ngram_spans"       -> (CorpusOps.qDupNgramSpans _),
     "q_curation_funnel"       -> (CorpusOps.qCurationFunnel _),
     "q_drop_reasons"          -> (CorpusOps.qDropReasons _),
+    "q_pmi_collocations"      -> (CorpusOps.qPmiCollocations _),
+    "q_fuzzy_join"            -> (FuzzyOps.qFuzzyJoin _),
     "q_binary_meta"           -> (MultimodalOps.qBinaryMeta _),
     "q_media_decode"          -> (MultimodalOps.qMediaDecode _),
     "q_cosine_topk"           -> (VectorOps.qCosineTopk _),
@@ -173,6 +175,7 @@ object SparkEntry {
     "q_ohlc_bars"             -> (GroupAnalytics.qOhlcBars _),
     "q_hll_union"             -> (SketchOps.qHllUnion _),
     "q_approx_percentiles"    -> (SketchOps.qApproxPercentiles _),
+    "q_window_distinct_sketch" -> (SketchOps.qWindowDistinctSketch _),
     "q_class_balance"         -> (SampleOps.qClassBalance _),
     // X54 BPE tokenizer training (no oracle — iterative argmax; BpeSpec
     // pins the merge sequence to the published algorithm's reference impl)
@@ -415,6 +418,38 @@ object SparkEntry {
     "q_approx_percentiles" ->
       """SELECT count(*) AS n, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
         |FROM lineitem""".stripMargin,
+    // X52b checked contract: exact per-window distinct + TRUE bound verdict
+    "q_window_distinct_sketch" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_3rsd
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // X64: the oracle runs the quadratic formulation outright — the hash
+    // match proves the deletion-neighborhood blocking dropped no pair
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, a.c_name AS name_a,
+        |b.c_custkey AS id_b, b.c_name AS name_b,
+        |CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    // X65: one double ratio inside one ln, mirrored exactly (a*b*c is
+    // left-to-right in both engines)
+    "q_pmi_collocations" ->
+      """WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM tk),
+        |un AS (SELECT tok, count(*) AS n FROM uni GROUP BY tok),
+        |ut AS (SELECT sum(n) AS n_uni FROM un),
+        |bg AS (SELECT unnest(list_transform(range(len(t) - 1),
+        |  i -> struct_pack(a := t[i+1], b := t[i+2]))) AS p FROM tk WHERE len(t) >= 2),
+        |bn AS (SELECT p.a AS a, p.b AS b, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+        |bt AS (SELECT sum(n_ab) AS n_bi FROM bn)
+        |SELECT bn.a, bn.b, bn.n_ab,
+        |CAST(round(ln((CAST(bn.n_ab AS DOUBLE) * ut.n_uni * ut.n_uni) /
+        |  (CAST(bt.n_bi AS DOUBLE) * na.n * nb.n)) * 1000000, 0) AS BIGINT) AS pmi_e6
+        |FROM bn JOIN un na ON bn.a = na.tok JOIN un nb ON bn.b = nb.tok
+        |CROSS JOIN ut CROSS JOIN bt
+        |WHERE bn.n_ab >= 5
+        |ORDER BY pmi_e6 DESC, bn.a ASC, bn.b ASC LIMIT 30""".stripMargin,
     "q_month_groupby" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mon,
         |count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -243,6 +243,43 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** X65: collocation extraction — adjacent token pairs ranked by
+    * pointwise mutual information, the classic multi-word-expression
+    * detector a tokenizer-curation pass runs before merging tokens
+    * ("new york", "machine learning"). PMI = ln(p(ab) / (p(a)·p(b))) with
+    * unigram probabilities from the token stream and bigram probabilities
+    * from the adjacent-pair stream, computed as ONE double ratio inside
+    * one ln (both engines parse a*b*c left-to-right, so the expression is
+    * IEEE-identical and the e6 quantization hash-matches — the bigram-LM
+    * precedent). Counts are map-side-combinable keyed aggregations
+    * (unigram key = token, bigram key = pair); totals ride as 1-row
+    * broadcasts; the min-count floor (n_ab ≥ 5) kills the noise tail
+    * BEFORE the join, so the joined frame is collocation-sized. Top-30 by
+    * (pmi, pair) under a total order. */
+  def qPmiCollocations(s: SparkSession, sf: String): DataFrame = {
+    val toks = t(s, sf, "documents").select(
+      split(trim(lower(col("text"))), "\\s+").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val uniTot = uni.agg(sum(col("n")).as("n_uni"))
+    val bi = toks.select(explode(expr(
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
+          "(x, i) -> struct(x AS a, element_at(tk, i + 2) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val biTot = bi.agg(sum(col("n_ab")).as("n_bi"))
+    bi.filter(col("n_ab") >= 5)
+      .join(uni.select(col("t").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("n").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log((col("n_ab").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bi").cast("double") * col("n_a") * col("n_b"))) * 1000000, 0)
+          .cast("long").as("pmi_e6"))
+      .orderBy(col("pmi_e6").desc, col("a").asc, col("b").asc)
+      .limit(30)
+  }
+
   /** X63: per-document curation LINEAGE — the audit table beside
     * [[qCurationFunnel]]'s aggregate report: for every raw document, the
     * FIRST pipeline stage that rejected it (pipeline order: duplicate →

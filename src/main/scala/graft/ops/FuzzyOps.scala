@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Approximate STRING joins — the entity-resolution face a curation
+  * pipeline needs (near-identical names/titles/urls differing by a typo):
+  * edit-distance joins expressed with lossless neighborhood blocking
+  * instead of the quadratic all-pairs scan the semantics naively imply.
+  *
+  * FastSS deletion neighborhoods (Bocek et al., 2007, "Fast Similarity
+  * Search in Large Dictionaries"): every string emits itself plus its |s|
+  * single-deletion variants as join keys. Two strings within Levenshtein
+  * distance 1 MUST share a key —
+  *   - substitution at position i: deleting position i from both sides
+  *     yields the same string;
+  *   - insertion/deletion: the longer side's deletion at the edit position
+  *     IS the shorter string (which emits itself);
+  *   - equality: the identity key —
+  * so the blocking is LOSSLESS and the exact `levenshtein` verify runs on
+  * candidates only. Work is keyed on variant strings: Σ|s| keys total,
+  * bucket-local pair generation (the dedup family's shape), never
+  * row×row. The oracle runs the quadratic formulation outright, so the
+  * hash match proves no pair dropped — same epistemics as the n-gram
+  * prefix filter.
+  */
+object FuzzyOps {
+
+  /** (id, name, key) — the identity key plus every single-deletion
+    * variant, built with codegen HOFs (no UDF). */
+  def deletionKeys(df: DataFrame): DataFrame =
+    df.select(col("id"), col("name"),
+      explode(concat(array(col("name")), expr(
+        "transform(sequence(1, length(name)), " +
+          "i -> concat(substr(name, 1, i - 1), substr(name, i + 1, length(name))))")))
+        .as("key"))
+
+  /** All pairs with levenshtein(name_a, name_b) ≤ 1, id_a < id_b: lossless
+    * deletion-neighborhood blocking + bucket-local pair generation + exact
+    * verify. Distance 0 (exact duplicates) is included by the semantics. */
+  def fuzzyPairs(df: DataFrame): DataFrame = {
+    val cands = deletionKeys(df)
+      .groupBy("key")
+      .agg(sort_array(collect_set(struct(col("id"), col("name")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("b"))
+      .select(col("id_a"), col("name_a"),
+        col("b.id").as("id_b"), col("b.name").as("name_b"))
+      .distinct()
+    cands
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+
+  /** X64 face: typo-tolerant self-join over customer names. At sf scale the
+    * names are synthetic id-stamped strings, so single-digit substitutions
+    * produce a rich distance-1 pair graph — the entity-resolution shape. */
+  def qFuzzyJoin(s: SparkSession, sf: String): DataFrame =
+    fuzzyPairs(t(s, sf, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name")))
+      .orderBy("id_a", "id_b")
+}

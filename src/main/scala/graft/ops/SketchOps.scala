@@ -130,6 +130,30 @@ object SketchOps {
     * general: a one-pass DataSketches sketch carries a HIP estimator that
     * union legitimately discards — equality holds only in sparse mode, so
     * it is NOT the claim; split-independence is.) */
+  /** X52b: per-window distinct-user sketches as a CHECKED CONTRACT — the
+    * batch face of `EventStream.windowedDistinctUsers` (whose streaming
+    * run produces the identical estimates, StreamingSpec) joined with the
+    * exact per-window distinct count and a 3·rsd bound verdict per window.
+    * The oracle computes the exact counts and asserts every verdict TRUE;
+    * the stream can then serve the estimate knowing its error bar is
+    * data-certified, in the one regime (unbounded streams) where the exact
+    * count cannot be computed at all. */
+  def qWindowDistinctSketch(s: SparkSession, sf: String): DataFrame = {
+    val ev = t(s, sf, "events")
+    val approx = graft.streaming.EventStream.windowedDistinctUsers(ev)
+    val exact = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("exact_users"))
+    approx.join(exact, Seq("hour_start", "event_type"))
+      .select(col("hour_start"), col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          lit(3 * 1.04 / math.sqrt(1 << 12)) * col("exact_users"))
+          .as("within_3rsd"))
+      .orderBy("hour_start", "event_type")
+  }
+
   /** X60: mergeable approximate percentiles (Spark's `approx_percentile`,
     * Greenwald–Khanna-style quantile summaries) as a CHECKED CONTRACT.
     *

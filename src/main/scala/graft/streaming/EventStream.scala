@@ -68,6 +68,25 @@ object EventStream {
         col("c.value").as("close"), col("n"))
   }
 
+  /** Per-window approximate distinct users — X52's mergeable HLL sketch
+    * under event-time windows. Register-wise sketch merge is a pure
+    * function of the value set, so micro-batch partials folding into
+    * window state produce the IDENTICAL estimate as one batch pass
+    * (StreamingSpec asserts exact equality — no tolerance). This is the
+    * shape that answers "unique users per hour" over an unbounded stream,
+    * where an exact countDistinct cannot run at all (Structured Streaming
+    * rejects distinct aggregates); the batch face pairs it with the exact
+    * count as a checked contract (`SketchOps.qWindowDistinctSketch`). */
+  def windowedDistinctUsers(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    in.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+        .cast("long").as("approx_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("approx_users"))
+  }
+
   /** Streaming file-source reader for the events layout. Streaming sources
     * need an explicit schema, and the `ts` column has shipped both as int64
     * TIMESTAMP(NANOS) (rejected unless read as raw longs + nanosAsLong) and

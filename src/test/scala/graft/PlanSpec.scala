@@ -180,6 +180,18 @@ class PlanSpec extends SparkTestBase {
       s"per-doc joins must stay hash-based:\n$p")
   }
 
+  test("minhash near-dup plan stays bucket-local and hash-joined") {
+    val p = plan(DedupOps.qMinhashNeardup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"minhash candidate/verify path must never go quadratic-by-plan:\n$p")
+    // candidates come from the (band, bucket) aggregation + in-bucket
+    // combination explode — the signature subtree is computed once, not
+    // self-joined per side
+    assert(p.contains("sort_array") || p.contains("collect_list"),
+      s"expected bucket-local candidate aggregation:\n$p")
+    assert(p.contains("Generate"), s"expected in-bucket pair explode:\n$p")
+  }
+
   test("ngram pair generation is bucket-local: no quadratic join operator") {
     // audit the PRE-checkpoint candidate plan: qNgramJaccardPairs
     // materializes candidates (they feed two consumers), which hides the

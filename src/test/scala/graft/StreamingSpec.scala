@@ -385,6 +385,59 @@ class StreamingSpec extends SparkTestBase {
       s"stream/batch diverged: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
   }
 
+  test("streaming windowed HLL distinct-user estimates equal the batch sketch exactly") {
+    import spark.implicits._
+    val batch = graft.ops.Tables.events(spark, sf)
+      .select("ts", "event_type", "user_id")
+    val rows = batch.collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    // split mid-stream: window sketch state must merge across micro-batches
+    stream.addData(rows.take(rows.size / 2).map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getLong(2))))
+    stream.addData(rows.drop(rows.size / 2).map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getLong(2))))
+    val q = EventStream.windowedDistinctUsers(
+        stream.toDF.toDF("ts", "event_type", "user_id"))
+      .writeStream.format("memory").queryName("wdu")
+      .outputMode(OutputMode.Complete()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("wdu")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    // register-wise merge is a pure function of the value set: EXACT match
+    val want = EventStream.windowedDistinctUsers(batch)
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming cluster maintenance folds edge batches to the batch CC fixpoint") {
+    import spark.implicits._
+    val stateBase = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "dedup_stream").toString
+    // three adversarial batches: build two components, then merge them and
+    // attach fresh nodes, then bridge to a brand-new pair
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((3L, 10L), (11L, 30L)),
+      Seq((40L, 41L), (41L, 30L)))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val q = graft.streaming.DedupStream.maintainClusters(
+      stream.toDF.toDF("src", "dst"), stateBase)
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = graft.streaming.DedupStream.currentLabels(spark, stateBase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ops.DedupOps.connectedComponents(
+        batches.flatten.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"streamed labels diverge: got=$got want=$want")
+    // everything bridged into one component rooted at the global minimum
+    assert(got.values.toSet == Set(1L))
+  }
+
   test("stream-stream interval join equals the batch range join on the same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
