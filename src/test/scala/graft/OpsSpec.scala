@@ -126,6 +126,39 @@ class OpsSpec extends SparkTestBase {
       s"filters dropped qualifying pairs: $missed (of ${expected.size} expected)")
   }
 
+  test("fuzzy join: deletion-neighborhood blocking is lossless vs brute force") {
+    import spark.implicits._
+    // adversarial short strings: empty, single chars, substitutions,
+    // insertions/deletions at every position, plus seeded-random noise
+    val rnd = new scala.util.Random(71)
+    val alphabet = "abc"
+    val base = Seq("", "a", "b", "ab", "ba", "abc", "abcd", "acd", "abd",
+      "aabc", "abca", "xbc", "axc", "abx")
+    val noise = (1 to 40).map(_ =>
+      (1 to (1 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(3))).mkString)
+    val names = (base ++ noise).distinct
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      i <- names.indices; j <- names.indices if i < j
+      if lev(names(i), names(j)) <= 1
+    } yield (i.toLong, j.toLong)).toSet
+    assert(expected.nonEmpty)
+    val got = FuzzyOps.fuzzyPairs(df)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missed=${expected -- got} extra=${got -- expected}")
+  }
+
   test("frequency-ordered prefixes shrink the hottest (source,key) bucket") {
     val docs = Tables.t(spark, sf, "documents")
     val base = DedupOps.withShingles(docs)
