@@ -123,6 +123,14 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.ops.VectorOps.ensureTrainedIvf(spark, sfDir): Unit
     catch { case _: Throwable => () }
+    // q_ivf_topk_batch probes a corpus-sized-nlist trained index (nlist =
+    // sqrt N) — a different fingerprint than the default-nlist artifact
+    // above, so build it here too
+    try {
+      val nVecs = graft.ops.Tables.t(spark, sfDir, "embeddings").count()
+      graft.ops.VectorOps.ensureTrainedIvf(spark, sfDir,
+        nlist = graft.ops.VectorOps.adaptiveNlist(nVecs)): Unit
+    } catch { case _: Throwable => () }
     try graft.ops.PqOps.ensurePq(spark, sfDir): Unit
     catch { case _: Throwable => () }
     try graft.ops.BpeOps.ensureBpe(spark, sfDir): Unit

@@ -287,6 +287,25 @@ object SparkEntry {
     * = `embedding[2i+1] >= embedding[2i+2]`, 1-indexed; bands of bits/bands
     * bits), so the candidate set of `q_embed_neardup_pairs` is itself
     * oracle-verified, term for term. */
+  /** DuckDB replay of `VectorOps.lshCandidatePairs`' signature bands:
+    * identical deterministic hyperplanes (`VectorOps.planeSign`) and the
+    * identical left-to-right dot-product summation order, so every sign
+    * bit — and therefore the candidate set — reproduces bit-for-bit (the
+    * same IEEE-754 double ops in the same order on both engines; Catalyst
+    * does not re-associate floating-point adds). */
+  private def lshBandSql(bits: Int, bands: Int): Seq[String] = {
+    val per = bits / bands
+    (0 until bands).map { b =>
+      (0 until per).map { j =>
+        val bit = b * per + j
+        val dot = (0 until 64).map { d =>
+          s"CAST(embedding[${d + 1}] AS DOUBLE) * ${VectorOps.planeSign(bit, d)}"
+        }.mkString(" + ")
+        s"(CASE WHEN ($dot) >= 0 THEN ${1L << (bit % 60)} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+  }
+
   private def cmpBandSql(bits: Int, bands: Int): Seq[String] = {
     val per = bits / bands
     (0 until bands).map { b =>
@@ -423,6 +442,65 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_3rsd
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // X27 checked contract: exact distinct-token count + TRUE verdict that
+    // the distributed explode+groupBy simhash equals an independent
+    // per-row HOF formulation (the signature value itself is xxhash64-
+    // based and has no DuckDB twin)
+    "q_simhash" ->
+      """SELECT doc_id,
+        |CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+        |  AS n_distinct_tok,
+        |TRUE AS formulations_agree
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // X27b checked contract — a DETERMINISTIC recall floor: docs sharing a
+    // distinct-token set have equal signatures, hence hamming 0 and a
+    // shared band, so every such pair MUST be found; the pair list itself
+    // is exactly SQL-computable
+    "q_simhash_neardup" ->
+      """WITH tset AS (SELECT doc_id,
+        |  list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS ts
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM tset a JOIN tset b ON a.ts = b.ts AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    // X28 checked contract: the kernel at w=1 emits the distinct k-gram
+    // hash set, whose SIZE DuckDB recomputes character-for-character from
+    // the same normalization; selection-subset + nonempty are in-plan
+    // TRUE verdicts (SIGMOD'03 invariants)
+    "q_winnow_fingerprint" ->
+      """WITH nt AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents)
+        |SELECT doc_id,
+        |CAST(CASE WHEN length(norm) < 12 THEN 1
+        |  ELSE len(list_distinct([substring(norm, i, 12)
+        |    for i in range(1, length(norm) - 10)])) END AS BIGINT)
+        |  AS n_distinct_kgrams,
+        |TRUE AS subset_ok, TRUE AS nonempty
+        |FROM nt ORDER BY doc_id""".stripMargin,
+    // hyperplane-LSH near-dup: the planes are deterministic and the dot
+    // sums replay in identical IEEE order, so unlike classic seeded LSH
+    // the WHOLE pipeline (bands, bucket cap, pair join, exact cosine
+    // re-score) is oracle-reproducible
+    "q_embed_neardup_lsh" ->
+      s"""WITH s AS (SELECT vec_id,
+         |  ${lshBandSql(16, 4).zipWithIndex
+             .map { case (b, i) => s"($b) AS band$i" }.mkString(",\n  ")}
+         |  FROM embeddings),
+         |x AS (${(0 until 4)
+             .map(b => s"SELECT vec_id, $b AS band, band$b AS bkey FROM s")
+             .mkString("\n  UNION ALL ")}),
+         |ok AS (SELECT band, bkey FROM x GROUP BY band, bkey
+         |  HAVING count(*) BETWEEN 2 AND 10000),
+         |xo AS (SELECT x.vec_id, x.band, x.bkey FROM x JOIN ok USING (band, bkey)),
+         |pp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM xo a JOIN xo b ON a.band = b.band AND a.bkey = b.bkey
+         |   AND a.vec_id < b.vec_id),
+         |c AS (SELECT id_a, id_b,
+         |  ${e6(cosSql("ea.embedding", "eb.embedding"))} AS sim_e6
+         |  FROM pp JOIN embeddings ea ON ea.vec_id = pp.id_a
+         |   JOIN embeddings eb ON eb.vec_id = pp.id_b)
+         |SELECT id_a, id_b, sim_e6 FROM c WHERE sim_e6 >= 300000
+         |ORDER BY id_a, id_b""".stripMargin,
     // X64: the oracle runs the quadratic formulation outright — the hash
     // match proves the deletion-neighborhood blocking dropped no pair
     "q_fuzzy_join" ->
@@ -1779,7 +1857,56 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_shipdate_recent', v_date, n FROM l
         |  UNION ALL SELECT 'lineitem_orders_fk', nv, n FROM fk)
         |ORDER BY rule""".stripMargin
-  )
+  ) ++ bpeEncodeOracle
+
+  /** X54c oracle, present once a BPE merge-table artifact exists in this
+    * JVM (Verify runs every query before dumping oracle_sql.json, so the
+    * path is always recorded by dump time; absent → the driver records
+    * its rows-only check, same as before r12). DuckDB replays the encode
+    * against the PERSISTED merge table: the same word sample (20 smallest
+    * vocab words + 10×10 OOV compounds), char-split + '</w>', then each
+    * merge rank applied as a left-to-right non-overlapping fold — a
+    * recursive CTE stepping (word, rank, position) with the accumulator
+    * list as state, exactly `encodeWords`' fold semantics. */
+  private def bpeEncodeOracle: Map[String, String] =
+    graft.ops.BpeOps.oracleMergesPath.map { p =>
+      "q_bpe_encode" ->
+        s"""WITH RECURSIVE
+           |m AS (SELECT rank AS mrank, "left" AS l, "right" AS r
+           |  FROM read_parquet('$p/*.parquet')),
+           |mx AS (SELECT max(mrank) AS mr FROM m),
+           |wv AS (SELECT DISTINCT word FROM (
+           |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+           |  FROM documents) WHERE length(word) > 0),
+           |w10 AS (SELECT word FROM wv ORDER BY word LIMIT 10),
+           |oov AS (SELECT a.word || b.word AS word FROM w10 a CROSS JOIN w10 b),
+           |sample AS (SELECT DISTINCT word FROM (
+           |  SELECT word FROM (SELECT word FROM wv ORDER BY word LIMIT 20)
+           |  UNION ALL SELECT word FROM oov)),
+           |init AS (SELECT word,
+           |  list_append(list_filter(string_split(word, ''), x -> x <> ''), '</w>')
+           |    AS syms FROM sample),
+           |enc AS (
+           |  SELECT word, 1 AS rk, 1 AS pos, CAST([] AS VARCHAR[]) AS acc, syms
+           |  FROM init
+           |  UNION ALL
+           |  SELECT enc.word,
+           |    CASE WHEN enc.pos <= len(enc.syms) THEN enc.rk ELSE enc.rk + 1 END,
+           |    CASE WHEN enc.pos <= len(enc.syms) THEN enc.pos + 1 ELSE 1 END,
+           |    CASE WHEN enc.pos <= len(enc.syms) THEN
+           |      CASE WHEN len(enc.acc) > 0 AND enc.acc[-1] = m.l
+           |        AND enc.syms[enc.pos] = m.r
+           |        THEN list_append(enc.acc[1:len(enc.acc)-1], m.l || m.r)
+           |        ELSE list_append(enc.acc, enc.syms[enc.pos]) END
+           |      ELSE CAST([] AS VARCHAR[]) END,
+           |    CASE WHEN enc.pos <= len(enc.syms) THEN enc.syms ELSE enc.acc END
+           |  FROM enc JOIN m ON m.mrank = enc.rk, mx
+           |  WHERE enc.pos <= len(enc.syms) OR enc.rk < mx.mr + 1)
+           |SELECT word, CAST(len(syms) AS BIGINT) AS n_pieces,
+           |  array_to_string(syms, ' ') AS tokens
+           |FROM enc, mx WHERE rk = mx.mr + 1 AND pos = 1
+           |ORDER BY word""".stripMargin
+    }.toMap
 
   private def ntileSql: String =
     """WITH b AS (SELECT o_totalprice,

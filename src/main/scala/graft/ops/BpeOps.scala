@@ -153,8 +153,22 @@ object BpeOps {
       ArtifactStore.install(base, dir, tmp, () => committed)
       if (!committed) sys.error(s"BPE artifact at $dir could not be installed")
     }
+    // the merge table doubles as an ORACLE INPUT: q_bpe_encode's DuckDB
+    // oracle replays the learned merges over the same word sample, so the
+    // dump needs the artifact's location. Recorded (not derived in
+    // oracleSql) because the path embeds a content fingerprint only known
+    // once the artifact exists; Verify runs every query before dumping
+    // oracle_sql.json, so the path is always recorded by then.
+    lastEnsured = Some(dir.getAbsolutePath)
     dir.toString
   }
+
+  @volatile private var lastEnsured: Option[String] = None
+
+  /** Absolute path of the most recently ensured merge-table artifact in
+    * this JVM (None until some query trained/loaded one) — consumed by
+    * `SparkEntry.oracleSql` to make `q_bpe_encode` hash-checkable. */
+  def oracleMergesPath: Option[String] = lastEnsured
 
   /** The learned merge table from the persisted artifact — a merge-table
     * -sized driver collect (20 rows; metadata-scale, like a Delta log
@@ -179,10 +193,15 @@ object BpeOps {
 
   /** X54c: the tokenizer-apply face — encode a mixed batch of trained and
     * OOV words (deterministic compounds of vocabulary words, which the
-    * training corpus never saw) with the learned merge table. Output is
-    * rows-only (the merge table itself is not SQL-derivable); BpeSpec pins
-    * trained-word encodings to the trained symbolization and the rejoin
-    * invariant on the OOV side. */
+    * training corpus never saw) with the learned merge table.
+    * ORACLE-CHECKED since r12: the persisted merge table is registered as
+    * an oracle input ([[oracleMergesPath]]) and DuckDB replays the encode
+    * — char-split + each merge rank as a left-to-right non-overlapping
+    * fold, expressed as a recursive CTE over (word, rank, position) —
+    * so the fixed-depth codegen fold chain is hash-verified against an
+    * independent engine's replay of the same algorithm. (The TRAINING
+    * loop stays rows-only: an iterative global argmax is genuinely not
+    * one SQL statement; BpeSpec pins it to an in-memory reference.) */
   def qBpeEncode(s: SparkSession, sf: String): DataFrame = {
     val docs = t(s, sf, "documents")
     val merges = loadMerges(s, sf, 20)
@@ -194,7 +213,7 @@ object BpeOps {
     val sample = words.select("word").orderBy("word").limit(20)
       .unionByName(oov).distinct()
     encodeWords(sample, merges)
-      .select(col("word"), size(col("pieces")).as("n_pieces"),
+      .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"),
         array_join(col("pieces"), " ").as("tokens"))
       .orderBy("word")
   }

@@ -214,11 +214,22 @@ object DedupOps {
     val b = fo.select(col("doc_id").as("id_b"), col("sh").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val j = inter / (size(col("sa")) + size(col("sb")) - inter)
-    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    val out = cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("source"), col("id_a"), col("id_b"),
         round(j * 1000000, 0).cast("long").as("jaccard_e6"))
       .filter(col("jaccard_e6") >= (threshold * 1000000).toLong)
       .orderBy("id_a", "id_b")
+      // hand the result off through its OWN (pair-count-sized) eager
+      // checkpoint so fo's corpus-scale blocks can be freed HERE: callers
+      // that checkpoint downstream (qDedupClustersIncremental) or run
+      // internal checkpoints (connectedComponents inside qDedupClusters)
+      // replace the analyzed plan with a LogicalRDD, after which a
+      // deferred unpersistCheckpoint walk could no longer reach fo's RDD
+      // and each bench pass would leak one corpus-sized cached copy until
+      // driver GC — against the repo's deterministic-unpersist discipline
+      .localCheckpoint()
+    org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(fo)
+    out
   }
 
   /** Connected components over an undirected edge list — min-label
@@ -458,9 +469,12 @@ object DedupOps {
     * query by construction: maintenance must be invisible in the result. */
   def qDedupClustersIncremental(s: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
+    // qNgramJaccardPairs already hands its result off as an eager
+    // checkpoint, so both batches read one stable materialization — the
+    // split cannot shift between reads, and unpersistCheckpoint below can
+    // still reach the pair RDD through this projection
     val pairs = qNgramJaccardPairs(s, sf).select(
       col("id_a").as("src"), col("id_b").as("dst"))
-      .localCheckpoint() // both batches read it; the split must be stable
     val e0 = pairs.filter(pmod(col("src") + col("dst"), lit(2)) === 0)
     val e1 = pairs.filter(pmod(col("src") + col("dst"), lit(2)) === 1)
     val labels0 = connectedComponents(e0)
@@ -487,6 +501,9 @@ object DedupOps {
     val pairs = qNgramJaccardPairs(s, sf).select(
       col("id_a").as("src"), col("id_b").as("dst"))
     val labels = connectedComponents(pairs)
+    // the pair checkpoint qNgramJaccardPairs handed off is consumed once
+    // the fixpoint's own first checkpoint exists; free it deterministically
+    org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(pairs)
     // materialize the TINY cluster summary eagerly so the full label set —
     // the only thing still pinning executor storage after the fixpoint —
     // can be freed here instead of living for the app's lifetime (the
@@ -509,22 +526,28 @@ object DedupOps {
     *
     * CHECKED CONTRACT: precision is 1 by construction (candidates are
     * verified with the exact Jaccard over the same distinct-shingle sets
-    * the exact pipeline uses), and measured recall of the banded candidate
-    * generation vs the exact prefix-filter pipeline is 1.0 on this corpus
-    * at every tested SF (sf0.001/0.01/0.1: 2/2, 1/1, 7/7 same-source pairs
-    * found) — so the output equals `qNgramJaccardPairs` exactly and the
-    * oracle is the SAME all-pairs SQL, hash-certifying both precision and
-    * recall. On a corpus where banding missed a pair (16 of 32 minhashes
-    * agreeing per band is far above the ~19% single-band hit rate at
-    * J = 0.4, but recall at the threshold boundary is probabilistic by
-    * design) the hash gate would catch it — that is the point of the
-    * contract. Cross-source candidates (which source blocking excludes by
+    * the exact pipeline uses), and the banded candidate generation finds
+    * every exact pair, so the output equals `qNgramJaccardPairs` exactly
+    * and the oracle is the SAME all-pairs SQL, hash-certifying both
+    * precision and recall.
+    *
+    * Flaky-oracle hardening (the recall side is probabilistic by design,
+    * so the parameters are sized to the DATA, not just the threshold):
+    * the corpus' true pairs all have J ≥ 0.889 (measured via the exact
+    * pipeline at every SF; the J ≈ 0.4 boundary region is EMPTY). At
+    * k = 64 / 16 bands (4 minhashes per band) the per-pair miss
+    * probability is (1 − J⁴)¹⁶ ≤ (1 − 0.889⁴)¹⁶ ≈ 1.5e-7 — across the
+    * ≤ 10 true pairs per corpus, ~2e-6 per run, vs ~4e-4 at the previous
+    * k = 32 / 8 bands. A miss is therefore a real regression signal, not
+    * band-luck; if one ever occurs, DedupOps' recall spec reports the
+    * missed pair list with per-pair Jaccard so it is diagnosable at a
+    * glance. Cross-source candidates (which source blocking excludes by
     * design) remain available via [[minhashCandidates]]. */
   def qMinhashNeardup(s: SparkSession, sf: String): DataFrame = {
     val docs = t(s, sf, "documents")
     val shingled = withShingles(docs, "source")
-    val sigs = minhashSignatures(shingled.select("doc_id", "sh"), k = 32)
-    val cands = minhashCandidates(sigs, k = 32, bands = 8)
+    val sigs = minhashSignatures(shingled.select("doc_id", "sh"), k = 64)
+    val cands = minhashCandidates(sigs, k = 64, bands = 16)
     val src = docs.select(col("doc_id"), col("source"))
     val sameSrc = cands
       .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))

@@ -207,7 +207,12 @@ object MultimodalOps {
       case "ppm" =>
         val img = decodePpm(bytes); binMeans(Array.tabulate(img.pixels.length)(img.lum))
       case _ => stubDecode(bytes)
-    } catch { case _: IllegalArgumentException => stubDecode(bytes) }
+    // NonFatal, not just IllegalArgumentException: format sniffing is a
+    // 2-byte magic check, so a malformed header can drive the real
+    // decoders into ArrayIndexOutOfBounds (negative BMP pixel offset) or
+    // NegativeArraySize (overflowed PPM dims) — any such payload must fall
+    // back to the stub, never kill the task
+    } catch { case scala.util.control.NonFatal(_) => stubDecode(bytes) }
 
   /** Partition-wise batch decode over a binary `payload` column — the Scala
     * analog of a `mapInPandas` batch UDF: one kernel invocation per batch,

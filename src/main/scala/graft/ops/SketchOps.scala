@@ -108,28 +108,6 @@ object SketchOps {
     heavyHittersMG(t(s, sf, "documents"), "text")
       .orderBy(col("n").desc, col("token").asc)
 
-  /** Mergeable distinct-count sketches (Apache DataSketches HLL, built into
-    * Spark as `hll_sketch_agg`/`hll_union_agg`): per-(group, shard) sketches
-    * are built independently — the shape of 1000 executors each sketching
-    * their shard of 100 TB — then register-wise-max-merged per group and
-    * estimated. The union of shard sketches carries the identical register
-    * state as one pass over the whole group (HLL merge is exact on the
-    * sketch, approximate only vs the true count), so pre-aggregated sketch
-    * columns can live in a rollup table and still answer distinct-count
-    * queries over any group combination.
-    *
-    * CHECKED CONTRACT (the estimate itself has no DuckDB equivalent): the
-    * query emits, per group, the exact distinct count plus two in-plan
-    * verdicts — the merged estimate is SPLIT-INDEPENDENT (re-sharding by a
-    * different key and shard count merges to the identical estimate: the
-    * union's register state is a pure function of the value set), and it
-    * lands within 3·rsd of the exact count (rsd ≈ 1.04/√2¹² ≈ 1.63% at
-    * lgConfigK=12). The oracle computes the exact count and asserts both
-    * verdicts are literally TRUE, so the hash match certifies sketch
-    * semantics, not just row shape. (Merged ≠ single-pass estimate in
-    * general: a one-pass DataSketches sketch carries a HIP estimator that
-    * union legitimately discards — equality holds only in sparse mode, so
-    * it is NOT the claim; split-independence is.) */
   /** X52b: per-window distinct-user sketches as a CHECKED CONTRACT — the
     * batch face of `EventStream.windowedDistinctUsers` (whose streaming
     * run produces the identical estimates, StreamingSpec) joined with the
@@ -196,6 +174,28 @@ object SketchOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+    * Spark as `hll_sketch_agg`/`hll_union_agg`): per-(group, shard) sketches
+    * are built independently — the shape of 1000 executors each sketching
+    * their shard of 100 TB — then register-wise-max-merged per group and
+    * estimated. The union of shard sketches carries the identical register
+    * state as one pass over the whole group (HLL merge is exact on the
+    * sketch, approximate only vs the true count), so pre-aggregated sketch
+    * columns can live in a rollup table and still answer distinct-count
+    * queries over any group combination.
+    *
+    * CHECKED CONTRACT (the estimate itself has no DuckDB equivalent): the
+    * query emits, per group, the exact distinct count plus two in-plan
+    * verdicts — the merged estimate is SPLIT-INDEPENDENT (re-sharding by a
+    * different key and shard count merges to the identical estimate: the
+    * union's register state is a pure function of the value set), and it
+    * lands within 3·rsd of the exact count (rsd ≈ 1.04/√2¹² ≈ 1.63% at
+    * lgConfigK=12). The oracle computes the exact count and asserts both
+    * verdicts are literally TRUE, so the hash match certifies sketch
+    * semantics, not just row shape. (Merged ≠ single-pass estimate in
+    * general: a one-pass DataSketches sketch carries a HIP estimator that
+    * union legitimately discards — equality holds only in sparse mode, so
+    * it is NOT the claim; split-independence is.) */
   def qHllUnion(s: SparkSession, sf: String): DataFrame = {
     val li = t(s, sf, "lineitem")
     def merged(shardKey: org.apache.spark.sql.Column, nShards: Int, out: String) =

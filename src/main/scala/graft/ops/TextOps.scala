@@ -312,8 +312,49 @@ object TextOps {
     votes.select(col("doc_id"), sig.as("simhash"))
   }
 
-  def qSimhash(s: SparkSession, sf: String): DataFrame =
-    simhash(t(s, sf, "documents"), "text").orderBy("doc_id")
+  /** Per-row simhash as ONE nested HOF expression (hash each distinct
+    * token once, fold a 64-slot vote array, assemble the sign bits) — an
+    * INDEPENDENT formulation of [[simhash]]'s explode + groupBy votes,
+    * used as its cross-check. Kept in SQL text because Scala `functions`
+    * has no column-indexed `shiftleft`. */
+  private def simhashRowSql(textExpr: String): String =
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(
+       |      transform(array_distinct(split(trim(lower($textExpr)), '\\\\s+')),
+       |        t -> xxhash64(t)),
+       |      array_repeat(0, 64),
+       |      (acc, h) -> zip_with(acc,
+       |        transform(sequence(0, 63),
+       |          i -> CASE WHEN shiftright(h, i) & 1 = 1 THEN 1 ELSE -1 END),
+       |        (a, b) -> a + b)),
+       |    sequence(0, 63),
+       |    (v, i) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+       |      ELSE CAST(0 AS BIGINT) END),
+       |  CAST(0 AS BIGINT), (acc, x) -> acc | x)""".stripMargin
+
+  /** X27 face, CHECKED CONTRACT (the signature itself is engine-specific —
+    * xxhash64 has no DuckDB twin — so the signature VALUE cannot be the
+    * oracle): per doc, the exact distinct-token count (DuckDB recomputes
+    * it) plus a verdict that two independent Spark formulations of the
+    * signature agree — the distributed explode + groupBy bit-votes
+    * ([[simhash]]) vs the per-row nested-HOF fold ([[simhashRowSql]]).
+    * Integer vote sums are order-free, so agreement is deterministic; the
+    * oracle asserts the verdict is literally TRUE per row, certifying the
+    * distributed formulation against a per-row reference the same way
+    * q_ntile/q_ntile_scalable share one oracle. */
+  def qSimhash(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+    val dist = simhash(docs, "text")
+    docs.select(col("doc_id"),
+        size(array_distinct(split(trim(lower(col("text"))), "\\s+")))
+          .cast("long").as("n_distinct_tok"),
+        expr(simhashRowSql("text")).as("row_sig"))
+      .join(dist, Seq("doc_id"))
+      .select(col("doc_id"), col("n_distinct_tok"),
+        (col("row_sig") === col("simhash")).as("formulations_agree"))
+      .orderBy("doc_id")
+  }
 
   /** SimHash near-dup pairs: candidates share one of 4 16-bit signature
     * bands (docs within Hamming distance 3 of a 64-bit signature must agree
@@ -339,9 +380,32 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
   }
 
-  def qSimhashNeardup(s: SparkSession, sf: String): DataFrame =
-    simhashNeardupPairs(simhash(t(s, sf, "documents"), "text"), maxHamming = 3)
+  /** CHECKED CONTRACT for the simhash near-dup pipeline — a DETERMINISTIC
+    * recall floor, not a probabilistic one: any two docs with the SAME
+    * distinct-token set have identical signatures (the votes are a pure
+    * function of that set), identical signatures agree on every band, and
+    * the verify step computes hamming 0 ≤ 3 — so every token-set-duplicate
+    * pair MUST appear in [[simhashNeardupPairs]]' output, by theorem. The
+    * token-set-duplicate pair list IS DuckDB-computable (a self-join on
+    * the sorted distinct-token list), so the query emits exactly those
+    * pairs INNER-joined against the pipeline's found pairs: a pipeline
+    * regression (missed pair / wrong hamming) drops or corrupts rows and
+    * the hash gate fails. Unlike a measured-recall claim over
+    * probabilistic banding, this can never flake on corpus regeneration.
+    * The full hamming ≤ 3 pair face (engine-specific signature values)
+    * stays available via [[simhashNeardupPairs]], spec-covered in OpsSpec. */
+  def qSimhashNeardup(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+    val found = simhashNeardupPairs(simhash(docs, "text"), maxHamming = 3)
+    val keyed = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("ts"))
+    val dup = keyed.as("a").join(keyed.as("b"),
+        col("a.ts") === col("b.ts") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    dup.join(found, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
+  }
 
   /** Winnowing fingerprints (rolling k-gram hash + window minima — the
     * MOSS/SIGMOD'03 algorithm, compiled kernel in `graft.functions.Winnow`):
@@ -355,10 +419,33 @@ object TextOps {
         GraftColumnBridge.expression(col(textCol)), k, w)).as("fingerprints"))
   }
 
-  def qWinnowFingerprint(s: SparkSession, sf: String): DataFrame =
-    winnowFingerprints(t(s, sf, "documents"), "text")
-      .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
-        xxhash64(concat_ws(",", transform(col("fingerprints"), _.cast("string"))))
-          .as("fp_digest"))
+  /** CHECKED CONTRACT for winnowing (fingerprint VALUES are
+    * engine-specific Rabin-Karp hashes, so they cannot be the oracle):
+    *  - `n_distinct_kgrams` — the kernel run at w = 1 selects EVERY
+    *    window minimum of a 1-hash window, i.e. every k-gram hash, and
+    *    its dedup makes the array the distinct k-gram hash set; its size
+    *    equals the count of distinct k-length substrings of the
+    *    normalized text, which DuckDB recomputes character-for-character.
+    *    (Equality is exact unless two distinct k-grams collide in a
+    *    64-bit hash — probability ~1e-15 per doc, and deterministic for a
+    *    pinned corpus: not a flake source.)
+    *  - `subset_ok` — the winnowed fingerprint set (w = 8) is contained
+    *    in the all-k-grams set: the SIGMOD'03 selection invariant (every
+    *    fingerprint is some window's minimum, hence a k-gram hash),
+    *    asserted in-plan as a literally-TRUE verdict.
+    *  - `nonempty` — winnowing always selects ≥ 1 fingerprint (short
+    *    texts degrade to one whole-text hash), so explode+groupBy
+    *    candidate generation never silently drops a doc. */
+  def qWinnowFingerprint(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    def fp(w: Int) = GraftColumnBridge.column(graft.functions.Winnow(
+      GraftColumnBridge.expression(col("text")), 12, w))
+    t(s, sf, "documents")
+      .select(col("doc_id"), fp(8).as("sel"), fp(1).as("all_kg"))
+      .select(col("doc_id"),
+        size(col("all_kg")).cast("long").as("n_distinct_kgrams"),
+        (size(array_except(col("sel"), col("all_kg"))) === 0).as("subset_ok"),
+        (size(col("sel")) >= 1).as("nonempty"))
       .orderBy("doc_id")
+  }
 }

@@ -133,9 +133,36 @@ object StatsPruneRule extends Rule[LogicalPlan] {
       case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
       case _ => None
     }
+    // A cast can change the comparison's VALUE DOMAIN — DATE coerced to
+    // TIMESTAMP compares micros against footer stats stored in days, and
+    // a narrowing cast like `cast(v as int) = 5` truncates — so seeing
+    // through an arbitrary Cast would derive bounds in the wrong domain
+    // and prune files that actually match (wrong results, violating the
+    // fail-open contract). Only exact value-preserving numeric widenings
+    // are allowed through; anything else simply declines to prune.
+    def exactWidening(from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      def intRank(dt: DataType): Int = dt match {
+        case ByteType => 1; case ShortType => 2
+        case IntegerType => 3; case LongType => 4; case _ => -1
+      }
+      (from, to) match {
+        case (f, t) if intRank(f) > 0 && intRank(t) > 0 =>
+          intRank(t) >= intRank(f)
+        // float's 24-bit mantissa holds every byte/short exactly, but NOT
+        // every int/long — int→float rounds near 2^24 and could flip a
+        // boundary comparison, so it stays excluded
+        case (ByteType | ShortType, FloatType | DoubleType) => true
+        case (IntegerType, DoubleType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+    }
     def isCol(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name == column
-      case Cast(inner, _, _, _) => isCol(inner)
+      case Cast(a: AttributeReference, to, _, _) if a.name == column =>
+        exactWidening(a.dataType, to)
       case _ => false
     }
     def walk(e: Expression): Option[(Double, Double)] = e match {

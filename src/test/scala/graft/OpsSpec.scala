@@ -88,6 +88,29 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("minhash neardup recall vs the exact pipeline, with miss diagnostics") {
+    // qMinhashNeardup's driver oracle asserts output == qNgramJaccardPairs;
+    // banding recall is probabilistic by design (sized so a miss is
+    // ~1.5e-7 per pair at the corpus' measured J >= 0.889 — see the
+    // operator scaladoc). This spec measures the same recall and, on a
+    // miss, REPORTS the pair list with per-pair Jaccard so a band-luck
+    // event is distinguishable from a real regression at a glance.
+    val sfDir = "/root/testdata/sf0.01"
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("jaccard_e6")).toMap
+    val exact = pairSet(DedupOps.qNgramJaccardPairs(spark, sfDir))
+    val lsh = pairSet(DedupOps.qMinhashNeardup(spark, sfDir))
+    val missed = exact.keySet -- lsh.keySet
+    assert(missed.isEmpty,
+      s"LSH banding missed ${missed.size}/${exact.size} exact pairs " +
+        missed.toSeq.sorted.map(p => s"$p j_e6=${exact(p)}").mkString("[", ", ", "]") +
+        " — if every missed pair has jaccard_e6 near the 400000 threshold " +
+        "this is band-luck (re-derive the k/bands sizing); otherwise a " +
+        "candidate-generation regression")
+    assert(lsh == exact, "precision: LSH output must equal the exact pair set")
+  }
+
   test("prefix + length + positional filters are lossless vs brute-force all-pairs") {
     import spark.implicits._
     // engineered corpus: exact dups, near-clones at graded overlap (some

@@ -108,6 +108,33 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("adaptive-nlist batch IVF equals single-query probes on the same trained index") {
+    // q_ivf_topk_batch routes through the TRAINED index at nlist = sqrt(N)
+    // (the r11 fixed-nlist path went superlinear at 16x); the batch
+    // formulation must still be pointwise identical to the single-query
+    // probe against the same centroids + assignment
+    val sfDir = "/root/testdata/sf0.01"
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val nlist = VectorOps.adaptiveNlist(e.count())
+    assert(nlist == 22, s"sqrt(500) should clamp-free to 22, got $nlist")
+    val dir = VectorOps.ensureTrainedIvf(spark, sfDir, nlist = nlist)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val el = e.join(spark.read.parquet(s"$dir/assign"), "vec_id")
+    val batch = VectorOps.qIvfTopkBatch(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(p => (-p._2, p._1)).toSeq
+      }
+    assert(batch.keySet == (0L until 500L by 100L).toSet, s"query set: ${batch.keySet}")
+    for (q <- batch.keySet) {
+      val qv = e.filter(col("vec_id") === q).select(col("embedding").as("qv"))
+      val single = VectorOps.ivfTopk(centroids, el, qv, nprobe = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(batch(q) == single, s"query $q: batch ${batch(q)} != single $single")
+    }
+  }
+
   test("interrupted or stale centroid artifacts are rebuilt, not trusted") {
     val sfDir = "/root/testdata/sf0.01"
     val dir = new java.io.File(VectorOps.ensureCentroids(spark, sfDir))
