@@ -28,7 +28,7 @@ object Bench {
     "q_source_cap", "q_mixture_weights", "q_shard_assign",
     "q_hard_negatives", "q_label_centroids", "q_perplexity_filter",
     "q_mixture_draw", "q_heavy_hitters", "q_heavy_hitters_mg", "q_pruned_scan",
-    "q_salted_join",
+    "q_pruned_scan_rule", "q_salted_join",
     "q_cube", "q_full_outer", "q_rolling_window", "q_hopping_window",
     "q_topk_per_type", "q_incr_agg_merge",
     "q_resample_ffill", "q_table_checksum", "q_percent_rank",

@@ -143,6 +143,7 @@ object SparkEntry {
     "q_heavy_hitters"         -> (SketchOps.qHeavyHitters _),
     "q_heavy_hitters_mg"      -> (SketchOps.qHeavyHittersMg _),
     "q_pruned_scan"           -> (StatsOps.qPrunedScan _),
+    "q_pruned_scan_rule"      -> (StatsOps.qPrunedScanRule _),
     "q_salted_join"           -> (SkewOps.qSaltedJoin _),
     // grouped-subtotal + outer-join completions, window/event family (r9)
     "q_cube"                  -> (Relational.qCube _),
@@ -477,6 +478,23 @@ object SparkEntry {
         |  AS n_distinct_kgrams,
         |TRUE AS subset_ok, TRUE AS nonempty
         |FROM nt ORDER BY doc_id""".stripMargin,
+    // X14b media decode, checked contract: the synthesized-WAV payload's
+    // exact integer sample checksum (Σ|byte−128|·256) replayed from the
+    // raw UTF-8 bytes via hex-nibble extraction — certifies container
+    // synthesis + sniff routing + the real RIFF decode end to end; the
+    // float feature vector contributes only a bounded-verdict
+    "q_media_decode" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+        |  hex(encode(text)) AS hx FROM documents),
+        |s AS (SELECT doc_id, n,
+        |  [ (position(substring(hx, i*2+1, 1) IN '0123456789ABCDEF')-1)*16
+        |   + (position(substring(hx, i*2+2, 1) IN '0123456789ABCDEF')-1)
+        |   for i in range(0, length(hx)//2)] AS bytes FROM b)
+        |SELECT doc_id, 'wav' AS format, CAST(44 + n AS BIGINT) AS n_bytes,
+        |CAST(coalesce(list_sum(list_transform(bytes, x -> abs(x - 128) * 256)), 0)
+        |  AS BIGINT) AS content_sum,
+        |TRUE AS features_bounded
+        |FROM s ORDER BY doc_id""".stripMargin,
     // hyperplane-LSH near-dup: the planes are deterministic and the dot
     // sums replay in identical IEEE order, so unlike classic seeded LSH
     // the WHOLE pipeline (bands, bucket cap, pair join, exact cosine
@@ -1684,13 +1702,11 @@ object SparkEntry {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_heavy_hitters_mg" -> heavyHittersSql,
     // X37 pruned scan: the oracle reads the ORIGINAL unpartitioned table —
-    // file-level pruning must be invisible in the result
-    "q_pruned_scan" ->
-      """SELECT l_returnflag, count(*) AS n,
-        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-07-01'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // file-level pruning must be invisible in the result. One SQL, two
+    // Spark faces: the opt-in prunedScan call and the optimizer-rule
+    // rewrite of a plain filtered scan (StatsPruneRule)
+    "q_pruned_scan" -> prunedScanSql,
+    "q_pruned_scan_rule" -> prunedScanSql,
     // X40 salted join: the salt must be invisible — same oracle shape as a
     // plain equi-join + rollup
     "q_salted_join" ->
@@ -1907,6 +1923,13 @@ object SparkEntry {
            |FROM enc, mx WHERE rk = mx.mr + 1 AND pos = 1
            |ORDER BY word""".stripMargin
     }.toMap
+
+  private def prunedScanSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   private def ntileSql: String =
     """WITH b AS (SELECT o_totalprice,

@@ -206,7 +206,19 @@ object DedupOps {
     // shingle pass already materializes in shuffle files; localCheckpoint
     // storage spills to disk, so at 100 TB this is a disk-backed temp of
     // the operator's own working set, not an extra corpus copy.
-    val fo = freqOrderedShingles(withShingles(docs, "source")).localCheckpoint()
+    //
+    // Shingles travel as 64-BIT HASHES from here on: every downstream
+    // stage (the df window's exchange, the prefix-key groupBy, the
+    // checkpointed arrays, the verify intersect) moves 8-byte longs
+    // instead of ~25-byte strings — at 100 TB that is the difference
+    // between shuffling the corpus text twice and shuffling a fingerprint
+    // of it. Set cardinalities are preserved (distinct in, distinct out)
+    // unless two distinct shingles collide in 64 bits (~n²/2⁶⁴ ≈ 1e-9 at
+    // 260k corpus shingles — and deterministic for a pinned corpus, so
+    // the DuckDB string-side oracle stays an exact gate, not a flaky one).
+    val hashed = withShingles(docs, "source")
+      .withColumn("sh", transform(col("sh"), x => xxhash64(x)))
+    val fo = freqOrderedShingles(hashed).localCheckpoint()
     // single consumer — the verify join below — so candidates need no
     // checkpoint of their own
     val cands = candidatePairs(fo, threshold)
@@ -283,13 +295,48 @@ object DedupOps {
   }
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 40,
-      jumpAfter: Int = 8): DataFrame = {
+      jumpAfter: Int = 8, driverFastPathMax: Long = 20000L): DataFrame = {
     import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
     // materialize the symmetrized edge list ONCE — the upstream edge query
     // may be expensive (e.g. the n-gram pair join), and every round reuses it
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // SMALL-GRAPH FAST PATH: a near-dup pair graph is usually orders of
+    // magnitude smaller than its corpus (7 pairs from 5k docs at sf0.1);
+    // for such graphs the distributed fixpoint is pure scheduling overhead
+    // — 4-6 barrier jobs to label a few dozen nodes. Below a BOUNDED edge
+    // cap (the same class of adaptive, size-capped driver decision as
+    // Spark's own broadcast-join threshold: the collect is ≤ cap × 16
+    // bytes, never corpus-scale, and the count reads the already-
+    // materialized checkpoint) the components are solved with an in-memory
+    // union-find and returned as one small DataFrame. Labels are identical
+    // by construction (min node id per component); the distributed path —
+    // exercised directly in specs and by any cap-exceeding graph — remains
+    // the 100 TB route.
+    if (sym.count() <= driverFastPathMax) {
+      val s = edges.sparkSession
+      import s.implicits._
+      val rows = sym.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      // sym is symmetric, so every endpoint appears as src at least once
+      val labels = rows.iterator.map(_.getLong(0)).toSet[Long].toSeq.sorted
+        .map(n => (n, find(n)))
+      unpersistCheckpoint(sym)
+      return labels.toDF("node", "label")
+    }
     // ROUND-0 CONTRACTION: near-dup pair graphs are forests of near-cliques
     // (every LSH/prefix bucket emits all its in-bucket pairs), so one
     // min-neighbor aggregation — l0(v) = min(v, neighbors(v)) — collapses

@@ -155,22 +155,41 @@ object MergeOps {
     * make the merge order-independent, so state ⊕ delta is bit-identical
     * to full recompute. At 100 TB this is the difference between touching
     * the day's partition and touching the corpus. */
-  def qIncrAggMerge(s: SparkSession, sf: String): DataFrame = {
+  /** Per-type MERGEABLE partials of an event frame — count / decimal sum /
+    * min / max, the algebra [[qIncrAggMerge]] and the streaming face
+    * (`streaming.AggStream`) both fold with. Decimal sums make the merge
+    * order-independent, so any micro-batching of the input merges to the
+    * identical state. */
+  def aggPartial(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val e = t(s, sf, "events").select(col("event_id"), col("event_type"),
-      col("value").cast(DecimalType(18, 6)).as("v"))
-    def partial(df: DataFrame): DataFrame =
-      df.groupBy("event_type").agg(count(lit(1)).as("n"),
+    events.select(col("event_type"),
+        col("value").cast(DecimalType(18, 6)).as("v"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
         sum(col("v")).as("sv"), min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val state = partial(e.filter(col("event_id") % 10 < 8))
-    val delta = partial(e.filter(col("event_id") % 10 >= 8))
-    state.unionByName(delta)
-      .groupBy("event_type")
-      .agg(sum(col("n")).as("n"),
-        sum(col("sv")).cast("double").as("sum_value"),
-        min(col("mn")).cast("double").as("min_value"),
-        max(col("mx")).cast("double").as("max_value"))
+  }
+
+  /** Algebraic merge of stacked partials: sum the counts and sums, min the
+    * mins, max the maxes — associative and commutative, so state ⊕ delta
+    * in any grouping equals one partial over everything. */
+  def mergePartials(parts: DataFrame): DataFrame =
+    parts.groupBy("event_type")
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  /** Final report shape over a partials table (doubles for readability —
+    * derived from the exact decimal state, never accumulated as floats). */
+  def finishPartials(parts: DataFrame): DataFrame =
+    parts.select(col("event_type"), col("n"),
+      col("sv").cast("double").as("sum_value"),
+      col("mn").cast("double").as("min_value"),
+      col("mx").cast("double").as("max_value"))
       .orderBy("event_type")
+
+  def qIncrAggMerge(s: SparkSession, sf: String): DataFrame = {
+    val e = t(s, sf, "events")
+    val state = aggPartial(e.filter(col("event_id") % 10 < 8))
+    val delta = aggPartial(e.filter(col("event_id") % 10 >= 8))
+    finishPartials(mergePartials(state.unionByName(delta)))
   }
 
   /** X55: snapshot diff — classify every key across two table versions as

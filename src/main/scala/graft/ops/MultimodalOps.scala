@@ -28,7 +28,12 @@ object MultimodalOps {
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("format", StringType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
+    // exact integer content checksum from the SAME decode pass — wav:
+    // Σ round(|sample|·32768) (integer-exact for 8/16-bit PCM), images:
+    // Σ (r+g+b) over pixels, other formats: byte length. Certifies the
+    // decoder read every sample/pixel; q_media_decode's oracle replays it
+    StructField("content_sum", LongType, nullable = false)))
 
   /** STUB decode kernel for COMPRESSED formats: a real deployment would
     * decode image/audio bytes here (e.g. JPEG → RGB tensor). The
@@ -200,19 +205,36 @@ object MultimodalOps {
     * sniffed format claims a real decoder but fails to parse falls back to
     * the stub — decode errors must not kill a 100 TB batch job. */
   private[ops] def decodeOne(format: String, bytes: Array[Byte]): Array[Float] =
+    decodeBoth(format, bytes)._1
+
+  /** One decode pass → (feature vector, exact integer content checksum).
+    * The checksum is lossless integer arithmetic on the decoded values
+    * (|sample|·32768 is an integer for 8/16-bit PCM; pixel channels are
+    * bytes), so it certifies end-to-end decode correctness without any
+    * float in the comparison path. */
+  private[ops] def decodeBoth(format: String, bytes: Array[Byte]): (Array[Float], Long) =
     try format match {
-      case "wav" => binMeans(decodeWav(bytes).samples.map(math.abs))
+      case "wav" =>
+        val abs = decodeWav(bytes).samples.map(math.abs)
+        (binMeans(abs), abs.foldLeft(0L)((a, s) => a + math.round(s * 32768.0)))
       case "bmp" =>
-        val img = decodeBmp(bytes); binMeans(Array.tabulate(img.pixels.length)(img.lum))
+        val img = decodeBmp(bytes)
+        (binMeans(Array.tabulate(img.pixels.length)(img.lum)), rgbSum(img.pixels))
       case "ppm" =>
-        val img = decodePpm(bytes); binMeans(Array.tabulate(img.pixels.length)(img.lum))
-      case _ => stubDecode(bytes)
+        val img = decodePpm(bytes)
+        (binMeans(Array.tabulate(img.pixels.length)(img.lum)), rgbSum(img.pixels))
+      case _ => (stubDecode(bytes), bytes.length.toLong)
     // NonFatal, not just IllegalArgumentException: format sniffing is a
     // 2-byte magic check, so a malformed header can drive the real
     // decoders into ArrayIndexOutOfBounds (negative BMP pixel offset) or
     // NegativeArraySize (overflowed PPM dims) — any such payload must fall
     // back to the stub, never kill the task
-    } catch { case scala.util.control.NonFatal(_) => stubDecode(bytes) }
+    } catch { case scala.util.control.NonFatal(_) =>
+      (stubDecode(bytes), bytes.length.toLong) }
+
+  private def rgbSum(pixels: Array[Int]): Long =
+    pixels.foldLeft(0L)((a, p) =>
+      a + ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
 
   /** Partition-wise batch decode over a binary `payload` column — the Scala
     * analog of a `mapInPandas` batch UDF: one kernel invocation per batch,
@@ -226,7 +248,8 @@ object MultimodalOps {
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
             val fmt = sniffFormat(bytes)
-            Row(id, bytes.length.toLong, fmt, decodeOne(fmt, bytes))
+            val (features, sum) = decodeBoth(fmt, bytes)
+            Row(id, bytes.length.toLong, fmt, features, sum)
           }
         }
       }
@@ -318,18 +341,25 @@ object MultimodalOps {
 
   /** X14b: the real-decoder face over synthesized WAV payloads — every
     * document's text bytes wrapped in a PCM container, decoded by the REAL
-    * RIFF parser (not the stub), reduced to metadata + a features digest.
-    * Rows-only (byte-level synthesis + float features are not reasonably
-    * SQL-derivable); MultimodalSpec pins the decode to fixtures and the
-    * synthesis round-trip sample-for-sample. */
+    * RIFF parser (not the stub), reduced to metadata + an exact integer
+    * content checksum.
+    *
+    * ORACLE-CHECKED since r12: the 8-bit PCM mapping is sample =
+    * (byte − 128)/128, so Σ round(|sample|·32768) = Σ |byte − 128|·256 —
+    * pure integer arithmetic on the payload's UTF-8 bytes, which DuckDB
+    * replays byte-for-byte (hex-nibble extraction). The hash match
+    * certifies the WHOLE path: container synthesis (44-byte header +
+    * data), magic-byte sniff routing to the real decoder, RIFF chunk
+    * walk, and every decoded sample. The float feature vector stays out
+    * of the comparison (bounded-verdict only); MultimodalSpec pins it to
+    * fixtures. */
   def qMediaDecode(s: SparkSession, sf: String): DataFrame = {
     val docs = t(s, sf, "documents")
       .select(col("doc_id"), wavFromBytes(col("text").cast("binary")).as("payload"))
     decodeFeatures(docs)
-      .select(col("doc_id"), col("format"), col("n_bytes"),
-        xxhash64(concat_ws(",",
-          transform(col("features"), f => format_number(f.cast("double"), 6))))
-          .as("feature_digest"))
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("content_sum"),
+        (size(filter(col("features"),
+          f => f < lit(0.0f) || f > lit(1.0f))) === 0).as("features_bounded"))
       .orderBy("doc_id")
   }
 }

@@ -115,7 +115,10 @@ object StatsOps {
     * oracle runs the same filter+agg over the ORIGINAL table — pruning
     * must be invisible in the result. StatsOpsSpec additionally asserts
     * the prune actually dropped most files (the perf claim). */
-  def qPrunedScan(s: SparkSession, sf: String): DataFrame = {
+  /** Stage (once per process) the range-partitioned-by-l_shipdate lineitem
+    * copy both pruned-scan faces read — 8 files, each covering a narrow
+    * date band, the layout footer stats can actually skip. */
+  def stagedShipdateLayout(s: SparkSession, sf: String): String = {
     Option(new java.io.File("target/tmp_stats_scan").listFiles()).foreach(_.foreach { f =>
       val ownerDead = f.getName.split("_").lastOption.flatMap(_.toLongOption)
         .exists(p => !java.lang.ProcessHandle.of(p).isPresent)
@@ -134,13 +137,35 @@ object StatsOps {
         .sortWithinPartitions("l_shipdate")
         .write.mode("overwrite").option("compression", "zstd").parquet(work)
     }
-    val (loD, hiD) = ("1995-03-01", "1995-06-30")
-    val (df, _, _) = prunedScan(s, work, "l_shipdate",
-      utcMicros(loD), utcMicros(hiD) + 86399999999.0)
-    df.filter(col("l_shipdate") >= lit(loD).cast("timestamp") &&
+    work
+  }
+
+  /** The one-quarter window filter + aggregate both faces share. */
+  private def shipdateWindowAgg(df: DataFrame): DataFrame =
+    df.filter(col("l_shipdate") >= lit("1995-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
       .orderBy("l_returnflag")
+
+  def qPrunedScan(s: SparkSession, sf: String): DataFrame = {
+    val work = stagedShipdateLayout(s, sf)
+    val (df, _, _) = prunedScan(s, work, "l_shipdate",
+      utcMicros("1995-03-01"), utcMicros("1995-06-30") + 86399999999.0)
+    shipdateWindowAgg(df)
+  }
+
+  /** X37's rule face, as BENCH evidence for the optimizer-level path: the
+    * SAME staged layout and the SAME filter+agg as [[qPrunedScan]], but
+    * pruning happens inside `StatsPruneRule` against the registered
+    * footer index — the query itself is a PLAIN `spark.read.parquet` +
+    * filter, the way a user (or `Tables.t`) would write it, with no
+    * opt-in call at the scan site. Shares q_pruned_scan's oracle (the
+    * unpartitioned original): the rewrite must be invisible in the
+    * result; PlanSpec separately asserts the file-list reduction. */
+  def qPrunedScanRule(s: SparkSession, sf: String): DataFrame = {
+    val work = stagedShipdateLayout(s, sf)
+    graft.plans.StatsPruneRule.registerIndex(s, work, "l_shipdate")
+    shipdateWindowAgg(s.read.parquet(work))
   }
 }

@@ -49,6 +49,10 @@ object TemplateSqlGenerator extends SqlGenerator {
 
   private case class Col(name: String, dataType: String) {
     def parts: Seq[String] = name.toLowerCase.split("_").filter(_.nonEmpty).toSeq
+    /** Parts with a 1-2 letter schema prefix dropped (`o_totalprice` →
+      * `totalprice`), so prefixed warehouse schemas match natural phrasing. */
+    def stripped: Seq[String] =
+      if (parts.length > 1 && parts.head.length <= 2) parts.tail else parts
     def numeric: Boolean = {
       val t = dataType.toLowerCase
       t.contains("int") || t.contains("double") || t.contains("float") ||
@@ -56,6 +60,28 @@ object TemplateSqlGenerator extends SqlGenerator {
     }
   }
   private case class Tab(name: String, cols: Seq[Col])
+
+  /** Join key between two cataloged tables: an exactly-shared column name
+    * (the same rule `PlannerHooks.NameMatchIdentifier` uses for its
+    * join_key — the reference's tool contract, `multi_file_util.py:8-31`),
+    * falling back to a prefix-stripped name match so TPC-H-style schemas
+    * (`o_custkey` ↔ `c_custkey`) join on their common stem. Deterministic:
+    * first key in name order. */
+  private def joinKeyOf(a: Tab, b: Tab): Option[(String, String)] = {
+    def strip(n: String): String = {
+      val p = n.split("_", 2)
+      if (p.length == 2 && p(0).length <= 2) p(1) else n
+    }
+    val exact = a.cols.map(_.name).toSet & b.cols.map(_.name).toSet
+    if (exact.nonEmpty) Some((exact.toSeq.sorted.head, exact.toSeq.sorted.head))
+    else {
+      val byStem = b.cols.groupBy(c => strip(c.name.toLowerCase))
+      a.cols.sortBy(_.name).collectFirst(Function.unlift { c =>
+        byStem.get(strip(c.name.toLowerCase))
+          .flatMap(_.sortBy(_.name).headOption).map(bc => (c.name, bc.name))
+      })
+    }
+  }
 
   private val lineRe = """^(\S+) \(\d+ rows\): (.*)$""".r
 
@@ -73,7 +99,8 @@ object TemplateSqlGenerator extends SqlGenerator {
     q.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
 
   private def mentioned(toks: Seq[String], c: Col): Boolean =
-    c.parts.forall(toks.contains) || toks.contains(c.name.toLowerCase)
+    c.parts.forall(toks.contains) || toks.contains(c.name.toLowerCase) ||
+      c.stripped.forall(toks.contains)
 
   def generate(question: String, catalogText: String): Option[String] = {
     val catalog = parseCatalog(catalogText)
@@ -102,7 +129,34 @@ object TemplateSqlGenerator extends SqlGenerator {
     }
     val best = scored.maxBy(_._2)
     if (best._2 == 0) return None
-    val tab = best._1
+
+    // multi-table: when the question NAMES two cataloged tables and a join
+    // key exists between them, resolve columns over both and emit an
+    // aliased equi-join — the reference's defining multi-table move
+    // (LLM-identified join key, `multi_file_util.py:8-31`, feeding aliased
+    // joins, `duckdb_util.py:184-225`). No key → single-table fallback.
+    val named = scored.filter { case (t, _) =>
+      toks.contains(t.name.toLowerCase) ||
+        toks.contains(t.name.toLowerCase.stripSuffix("s"))
+    }
+    val multi: Option[(Tab, Tab, String, String)] =
+      if (named.size < 2) None
+      else {
+        val pair = named.sortBy(-_._2).take(2).map(_._1)
+        joinKeyOf(pair(0), pair(1)).map(k => (pair(0), pair(1), k._1, k._2))
+      }
+    val (tab, fromClause, qualify) = multi match {
+      case Some((t1, t2, k1, k2)) =>
+        val shared = t1.cols.map(_.name).toSet & t2.cols.map(_.name).toSet
+        // shared-name columns resolve to t1's side, qualified so generated
+        // SQL never hits an ambiguous-reference error
+        val cols = t1.cols ++ t2.cols.filterNot(c => shared(c.name))
+        (Tab(t1.name, cols),
+          s"${t1.name} JOIN ${t2.name} ON ${t1.name}.$k1 = ${t2.name}.$k2",
+          shared.map(n => n -> s"${t1.name}.$n").toMap)
+      case None => (best._1, best._1.name, Map.empty[String, String])
+    }
+    def ref(name: String): String = qualify.getOrElse(name, name)
 
     val agg: Option[(String, Boolean)] = // (fn, needsMeasure)
       if (q.contains("how many") || toks.contains("count")) Some(("COUNT", false))
@@ -122,7 +176,8 @@ object TemplateSqlGenerator extends SqlGenerator {
         !(w == "by" && i > 0 &&
           Set("sorted", "ordered", "order").contains(toks(i - 1))) =>
         tab.cols.find(c => c.parts.nonEmpty &&
-          toks.drop(i + 1).take(c.parts.size + 1).containsSlice(c.parts))
+          (toks.drop(i + 1).take(c.parts.size + 1).containsSlice(c.parts) ||
+            toks.drop(i + 1).take(c.stripped.size + 1).containsSlice(c.stripped)))
       case _ => None
     })
 
@@ -132,8 +187,12 @@ object TemplateSqlGenerator extends SqlGenerator {
         case (w, i) if Set("sorted", "ordered", "order").contains(w) =>
           val j = if (toks.lift(i + 1).contains("by")) i + 2 else i + 1
           tab.cols.find(c => c.parts.nonEmpty &&
-            toks.drop(j).take(c.parts.size) == c.parts).map { c =>
-            val dir = toks.drop(j + c.parts.size).headOption match {
+            (toks.drop(j).take(c.parts.size) == c.parts ||
+              toks.drop(j).take(c.stripped.size) == c.stripped)).map { c =>
+            val matchedLen =
+              if (toks.drop(j).take(c.parts.size) == c.parts) c.parts.size
+              else c.stripped.size
+            val dir = toks.drop(j + matchedLen).headOption match {
               case Some("descending") | Some("desc") => "DESC"
               case _ => "ASC"
             }
@@ -158,8 +217,12 @@ object TemplateSqlGenerator extends SqlGenerator {
       "before" -> "<", "until" -> "<=", "through" -> "<=")
     val num = "\\d+(\\.\\d+)?"
     val allFilters = toks.zipWithIndex.flatMap { case (_, i) =>
-      tab.cols.find(c => toks.slice(i, i + c.parts.size) == c.parts).flatMap { c =>
-        val rest = toks.drop(i + c.parts.size)
+      tab.cols.find(c => toks.slice(i, i + c.parts.size) == c.parts ||
+        toks.slice(i, i + c.stripped.size) == c.stripped).flatMap { c =>
+        val matchedLen =
+          if (toks.slice(i, i + c.parts.size) == c.parts) c.parts.size
+          else c.stripped.size
+        val rest = toks.drop(i + matchedLen)
         // a date-typed column compares against DATE literals; string-typed
         // date columns (the reference's date-as-string shape, FIXTURES §A)
         // compare lexicographically — exact for ISO yyyy-mm-dd
@@ -172,25 +235,25 @@ object TemplateSqlGenerator extends SqlGenerator {
         val pred = rest match {
           case "between" +: a +: "and" +: b +: _
             if a.matches(num) && b.matches(num) =>
-            Some(s"${c.name} BETWEEN $a AND $b")
+            Some(s"${ref(c.name)} BETWEEN $a AND $b")
           case "between" +: a +: "and" +: b +: _
             if dateOf(a).isDefined && dateOf(b).isDefined =>
-            Some(s"${c.name} BETWEEN ${dlit(dateOf(a).get)} AND ${dlit(dateOf(b).get)}")
+            Some(s"${ref(c.name)} BETWEEN ${dlit(dateOf(a).get)} AND ${dlit(dateOf(b).get)}")
           case op +: v +: _ if dateCmp.contains(op) && dateOf(v).isDefined =>
-            Some(s"${c.name} ${dateCmp(op)} ${dlit(dateOf(v).get)}")
+            Some(s"${ref(c.name)} ${dateCmp(op)} ${dlit(dateOf(v).get)}")
           case op +: v +: _ if cmpOps.contains(op) && v.matches(num) =>
-            Some(s"${c.name} ${cmpOps(op)} $v")
+            Some(s"${ref(c.name)} ${cmpOps(op)} $v")
           case "at" +: op +: v +: _ if cmpOps.contains(op) && v.matches(num) =>
-            Some(s"${c.name} ${cmpOps(op)} $v")
+            Some(s"${ref(c.name)} ${cmpOps(op)} $v")
           case "is" +: "not" +: w +: _ if nullWords.contains(w) =>
-            Some(s"${c.name} IS NOT NULL")
+            Some(s"${ref(c.name)} IS NOT NULL")
           case "is" +: w +: _ if nullWords.contains(w) =>
-            Some(s"${c.name} IS NULL")
+            Some(s"${ref(c.name)} IS NULL")
           case rel +: v +: _ if Set("is", "equals").contains(rel) =>
-            if (v.matches(num)) Some(s"${c.name} = $v")
-            else if (dateOf(v).isDefined) Some(s"${c.name} = ${dlit(dateOf(v).get)}")
+            if (v.matches(num)) Some(s"${ref(c.name)} = $v")
+            else if (dateOf(v).isDefined) Some(s"${ref(c.name)} = ${dlit(dateOf(v).get)}")
             else if (c.numeric) None
-            else Some(s"${c.name} = '${v.replace("'", "''")}'")
+            else Some(s"${ref(c.name)} = '${v.replace("'", "''")}'")
           case _ => None
         }
         pred.map(p => (c.name, p))
@@ -208,7 +271,7 @@ object TemplateSqlGenerator extends SqlGenerator {
       case Some(("COUNT", _)) => (Some("count(*) AS n"), Some("n"))
       case Some((fn, _)) =>
         measure.map(m =>
-          (s"$fn(${m.name}) AS ${fn.toLowerCase}_${m.name}",
+          (s"$fn(${ref(m.name)}) AS ${fn.toLowerCase}_${m.name}",
             s"${fn.toLowerCase}_${m.name}")) match {
           case Some((s, a)) => (Some(s), Some(a))
           case None => (None, None)
@@ -222,27 +285,27 @@ object TemplateSqlGenerator extends SqlGenerator {
         // names a column that exists in the output (the group key or the
         // aggregated measure); top-k keeps its LIMIT either way
         val explicit = sortSpec.flatMap { case (c, dir) =>
-          if (groupCol.contains(c)) Some(s"${g.name} $dir")
+          if (groupCol.contains(c)) Some(s"${ref(g.name)} $dir")
           else if (measure.contains(c))
-            aggAlias.map(al => s"$al $dir, ${g.name} ASC")
+            aggAlias.map(al => s"$al $dir, ${ref(g.name)} ASC")
           else None
         }
         val order = explicit
           .map(o => s" ORDER BY $o" + topK.map(k => s" LIMIT $k").getOrElse(""))
           .getOrElse(topK
-            .map(k => s" ORDER BY ${aggAlias.get} DESC, ${g.name} ASC LIMIT $k")
-            .getOrElse(s" ORDER BY ${g.name} ASC"))
-        Some(s"SELECT ${g.name}, $a FROM ${tab.name}" +
+            .map(k => s" ORDER BY ${aggAlias.get} DESC, ${ref(g.name)} ASC LIMIT $k")
+            .getOrElse(s" ORDER BY ${ref(g.name)} ASC"))
+        Some(s"SELECT ${ref(g.name)}, $a FROM $fromClause" +
           filter.map(f => s" WHERE $f").getOrElse("") +
-          s" GROUP BY ${g.name}$order")
+          s" GROUP BY ${ref(g.name)}$order")
       case (Some(a), None) =>
-        Some(s"SELECT $a FROM ${tab.name}" +
+        Some(s"SELECT $a FROM $fromClause" +
           filter.map(f => s" WHERE $f").getOrElse(""))
       case (None, _) =>
-        val order = sortSpec.map { case (c, dir) => s" ORDER BY ${c.name} $dir" }
-          .orElse(measureOrderCol(tab, toks).map(c => s" ORDER BY ${c.name} DESC"))
+        val order = sortSpec.map { case (c, dir) => s" ORDER BY ${ref(c.name)} $dir" }
+          .orElse(measureOrderCol(tab, toks).map(c => s" ORDER BY ${ref(c.name)} DESC"))
         val lim = topK.getOrElse(20)
-        Some(s"SELECT * FROM ${tab.name}" +
+        Some(s"SELECT * FROM $fromClause" +
           filter.map(f => s" WHERE $f").getOrElse("") +
           order.getOrElse("") +
           s" LIMIT $lim")

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType,
+  StructField, StructType}
+
+import graft.ops.MergeOps
+
+/** Streaming incremental-aggregate maintenance — the X40 operator
+  * (`MergeOps.qIncrAggMerge`) driven by Structured Streaming: each
+  * micro-batch of events folds into a persistent per-key table of
+  * MERGEABLE partials (count / decimal sum / min / max) by algebraic
+  * merge, so the standing aggregate is maintained at delta cost — the
+  * difference between touching the day's partition and touching the
+  * corpus at 100 TB. Decimal sums make the merge order-independent, so
+  * the folded state is bit-identical to a from-scratch aggregate over
+  * everything seen, REGARDLESS of how the stream was micro-batched —
+  * StreamingSpec proves streamed-fold ≡ recompute over random splits.
+  *
+  * State lives OUTSIDE stream state as a versioned parquet table (the
+  * DedupStream/IndexStream artifact discipline, not
+  * `mapGroupsWithState`): the partials table is key-count-sized and every
+  * batch rewrites a full snapshot — that is a table, not per-key
+  * incremental state. Versioned `v<batchId>` dirs + a `_GRAFT_OK` marker
+  * make at-least-once `foreachBatch` retries idempotent (a retried batch
+  * re-reads its input snapshot and rebuilds its own version; readers only
+  * see marker-complete versions).
+  */
+object AggStream {
+
+  private val stateSchema = StructType(Seq(
+    StructField("event_type", StringType, nullable = true),
+    StructField("n", LongType, nullable = false),
+    StructField("sv", DecimalType(38, 6), nullable = true),
+    StructField("mn", DecimalType(18, 6), nullable = true),
+    StructField("mx", DecimalType(18, 6), nullable = true)))
+
+  /** Latest marker-complete partials snapshot under `stateBase` (empty
+    * typed frame when none exists yet). */
+  def currentPartials(s: SparkSession, stateBase: String): DataFrame =
+    latestVersion(stateBase) match {
+      case Some(dir) => s.read.parquet(dir)
+      case None => s.createDataFrame(
+        java.util.Collections.emptyList[Row](), stateSchema)
+    }
+
+  /** The standing aggregate served from the latest snapshot, in
+    * `qIncrAggMerge`'s report shape. */
+  def currentAggregate(s: SparkSession, stateBase: String): DataFrame =
+    MergeOps.finishPartials(currentPartials(s, stateBase))
+
+  private def latestVersion(stateBase: String): Option[String] =
+    Option(new java.io.File(stateBase).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("v") &&
+        new java.io.File(f, "_GRAFT_OK").exists())
+      .sortBy(_.getName)
+      .lastOption.map(_.toString)
+
+  /** Start the maintenance sink over a streaming frame of
+    * (event_type, value) events: each non-empty micro-batch reduces to
+    * its own partials (map-side shrink to key-count rows BEFORE touching
+    * state) and merges with the current snapshot into the next sealed
+    * version. */
+  def maintainAggregates(events: DataFrame, stateBase: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$stateBase/_checkpoint")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val delta = MergeOps.aggPartial(batch.toDF())
+          val prev = currentPartials(s, stateBase)
+            .select(col("event_type"), col("n"),
+              col("sv").cast(DecimalType(38, 6)).as("sv"),
+              col("mn"), col("mx"))
+          val next = MergeOps.mergePartials(prev.unionByName(
+            delta.select(col("event_type"), col("n"),
+              col("sv").cast(DecimalType(38, 6)).as("sv"),
+              col("mn"), col("mx"))))
+          val dir = new java.io.File(stateBase, f"v$batchId%05d")
+          next.write.mode("overwrite").parquet(dir.toString)
+          new java.io.File(dir, "_GRAFT_OK").createNewFile(): Unit
+        }
+      }
+      .start()
+}

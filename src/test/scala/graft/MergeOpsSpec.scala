@@ -82,6 +82,13 @@ class MergeOpsSpec extends SparkTestBase {
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("src", "dst")
     val labels = graft.ops.DedupOps.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the small-graph driver fast path and the distributed fixpoint must
+    // agree label for label
+    val distributed = graft.ops.DedupOps.connectedComponents(
+        edges, driverFastPathMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == distributed,
+      s"fast path diverges from fixpoint: $labels vs $distributed")
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labels(_) == 1L))
     assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
     assert(Seq(20L, 21L).forall(labels(_) == 20L))
@@ -93,7 +100,8 @@ class MergeOpsSpec extends SparkTestBase {
     // ~8 + log2(119) rounds (regression for the 16x-replica bench chain)
     val n = 120
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
-    val labels = graft.ops.DedupOps.connectedComponents(edges)
+    val labels = graft.ops.DedupOps.connectedComponents(
+        edges, driverFastPathMax = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == n)
     assert((1 to n).forall(i => labels(i.toLong) == 1L))
@@ -121,7 +129,8 @@ class MergeOpsSpec extends SparkTestBase {
     // maxIter=3 must fail loudly, not hand back wrong clusters
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
     val e = intercept[IllegalStateException] {
-      graft.ops.DedupOps.connectedComponents(edges, maxIter = 3)
+      graft.ops.DedupOps.connectedComponents(edges, maxIter = 3,
+        driverFastPathMax = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -131,7 +140,8 @@ class MergeOpsSpec extends SparkTestBase {
     val before = sc.getPersistentRDDs.keySet
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
     intercept[IllegalStateException] {
-      graft.ops.DedupOps.connectedComponents(edges, maxIter = 3)
+      graft.ops.DedupOps.connectedComponents(edges, maxIter = 3,
+        driverFastPathMax = 0L)
     }
     // unpersist is async (blocking = false) — poll briefly before failing
     val deadline = System.nanoTime() + 10_000_000_000L

@@ -48,6 +48,37 @@ class QueryPipelineSpec extends SparkTestBase {
     assert(ans.summary.contains("5 rows") && ans.summary.contains("10 rows"))
   }
 
+  test("template generator joins two named tables on the inferred key") {
+    import org.apache.spark.sql.functions._
+    // the reference's defining multi-table move: the identified join key
+    // feeds an aliased two-table join (multi_file_util.py:8-31,
+    // duckdb_util.py:184-225) — here end to end through the DEFAULT
+    // template generator over testdata orders×customer, whose TPC-H
+    // prefixed key columns (o_custkey/c_custkey) join via the stem match
+    val catalog = Seq("orders", "customer").map(CatalogOps.profileTable(spark, sf, _))
+    val ans = QueryPipeline.run(spark,
+      "total totalprice per mktsegment for orders and customer", catalog)
+    val r = ans.subResults.head
+    assert(r.error.isEmpty, s"error: ${r.error}")
+    assert(r.result.columns.toSeq == Seq("c_mktsegment", "sum_o_totalprice"))
+    val want = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("w"))
+      .orderBy("c_mktsegment")
+      .collect().map(rr => (rr.getString(0), rr.getDecimal(1).doubleValue()))
+    val got = r.result.collect()
+      .map(rr => (rr.getString(0), rr.getDouble(1)))
+    assert(got.length == want.length && got.map(_._1).sameElements(want.map(_._1)),
+      s"groups: ${got.toSeq} vs ${want.toSeq}")
+    got.zip(want).foreach { case ((seg, g), (_, w)) =>
+      assert(math.abs(g - w) <= 1e-6 * math.abs(w), s"$seg: $g vs $w")
+    }
+    // both named tables were identified for the sub-query
+    assert(r.tables.toSet == Set("orders", "customer"))
+  }
+
   test("default template generator answers loan-demo NL questions end to end") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory(

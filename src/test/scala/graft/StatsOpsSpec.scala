@@ -62,6 +62,33 @@ class StatsOpsSpec extends SparkTestBase {
     assert(a.count() == b.count() && a.exceptAll(b).isEmpty)
   }
 
+  test("qPrunedScanRule matches qPrunedScan and scans fewer files via the rule") {
+    val byCall = StatsOps.qPrunedScan(spark, sf).collect().toSeq
+    val byRule = StatsOps.qPrunedScanRule(spark, sf).collect().toSeq
+    assert(byRule == byCall, s"rule face diverges:\n$byRule\nvs\n$byCall")
+    // the rule (not the opt-in call) must have shrunk the plain scan's
+    // file list: compare against the same plan with the index dropped
+    val work = StatsOps.stagedShipdateLayout(spark, sf)
+    def scannedFiles(): Long = {
+      val df = StatsOps.qPrunedScanRule(spark, sf)
+      // sparkPlan, not executedPlan: AQE wraps the tree and hides the scan
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length.toLong
+      }.sum
+    }
+    val prunedFiles = scannedFiles()
+    graft.plans.StatsPruneRule.unregisterIndex(work)
+    try {
+      val fullFiles = spark.read.parquet(work).inputFiles.length.toLong
+      assert(prunedFiles < fullFiles,
+        s"rule did not prune: $prunedFiles of $fullFiles files")
+      assert(prunedFiles > 0)
+    } finally {
+      graft.plans.StatsPruneRule.registerIndex(spark, work, "l_shipdate"): Unit
+    }
+  }
+
   test("unusable stats fail open: string column prunes nothing") {
     val stats = StatsOps.footerStats(spark, work, "l_returnflag")
     // binary stats are rejected (non-numeric), so min/max must be null...

@@ -411,6 +411,31 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming aggregate maintenance folds micro-batches to the from-scratch partials") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateBase = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "agg_stream").toString
+    val ev = graft.ops.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+    val rows = ev.collect().map(r => (r.getString(0), r.getDouble(1)))
+    val stream = MemoryStream[(String, Double)]
+    val q = graft.streaming.AggStream.maintainAggregates(
+      stream.toDF.toDF("event_type", "value"), stateBase)
+    try {
+      // uneven micro-batches, incl. a tiny tail — the decimal-sum merge
+      // must make the batching invisible
+      Seq(rows.take(70), rows.slice(70, 2500), rows.drop(2500), rows.take(0))
+        .foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val got = graft.streaming.AggStream.currentAggregate(spark, stateBase)
+      .collect().toSeq
+    val want = graft.ops.MergeOps.finishPartials(
+      graft.ops.MergeOps.aggPartial(ev)).collect().toSeq
+    assert(got.nonEmpty, "no snapshot sealed")
+    assert(got == want, s"streamed fold diverges:\n got=$got\nwant=$want")
+  }
+
   test("streaming cluster maintenance folds edge batches to the batch CC fixpoint") {
     import spark.implicits._
     val stateBase = java.nio.file.Files.createTempDirectory(
