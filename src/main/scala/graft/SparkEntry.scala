@@ -1873,7 +1873,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_shipdate_recent', v_date, n FROM l
         |  UNION ALL SELECT 'lineitem_orders_fk', nv, n FROM fk)
         |ORDER BY rule""".stripMargin
-  ) ++ bpeEncodeOracle
+  ) ++ bpeEncodeOracle ++ ivfOracles ++ pqOracles
 
   /** X54c oracle, present once a BPE merge-table artifact exists in this
     * JVM (Verify runs every query before dumping oracle_sql.json, so the
@@ -1923,6 +1923,130 @@ object SparkEntry {
            |FROM enc, mx WHERE rk = mx.mr + 1 AND pos = 1
            |ORDER BY word""".stripMargin
     }.toMap
+
+  /** IVF probe replays (since r12): the probe queries are PURE FUNCTIONS
+    * of the persisted index artifacts (label centroids / trained
+    * centroids+assignments), so DuckDB replays them end to end — centroid
+    * ranking with the identical left-to-right IEEE double fold
+    * ([[cosSql]], proven bit-compatible by `q_cosine_topk`), probed-list
+    * pruning via the artifact's assignment, and the micro-int cosine over
+    * probed rows. The k-means float iteration seeded the ARTIFACT, but
+    * every probe over it is deterministic — approximation lives in the
+    * index, not the query, so the hash gate applies. Paths are recorded at
+    * query time (the `q_bpe_encode` pattern): absent → rows-only, as
+    * before r12. */
+  private def ivfOracles: Map[String, String] = {
+    def probedSql(nprobe: Int) =
+      s"""SELECT label FROM c CROSS JOIN q
+         |  ORDER BY ${cosSql("centroid", "qv")} DESC, label ASC LIMIT $nprobe"""
+        .stripMargin
+    val flat = graft.ops.VectorOps.oracleCentroidsPath.map { p =>
+      "q_ivf_topk" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT label, centroid FROM read_parquet('$p/*.parquet')),
+           |probed AS (${probedSql(3)})
+           |SELECT e.vec_id, e.label, ${e6(cosSql("embedding", "qv"))} AS score_e6
+           |FROM embeddings e JOIN probed USING (label) CROSS JOIN q
+           |ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
+    }
+    val trained = graft.ops.VectorOps.oracleTrainedDefaultPath.map { p =>
+      "q_ivf_trained_topk" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT label, centroid FROM read_parquet('$p/centroids/*.parquet')),
+           |a AS (SELECT vec_id, label FROM read_parquet('$p/assign/*.parquet')),
+           |ev AS (SELECT vec_id, embedding FROM embeddings),
+           |probed AS (${probedSql(3)})
+           |SELECT e.vec_id, a.label, ${e6(cosSql("embedding", "qv"))} AS score_e6
+           |FROM ev e JOIN a USING (vec_id) JOIN probed USING (label)
+           |CROSS JOIN q
+           |ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
+    }
+    val batch = graft.ops.VectorOps.oracleBatchTrainedPath.map { p =>
+      "q_ivf_topk_batch" ->
+        s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+           |  FROM embeddings WHERE vec_id % 100 = 0),
+           |c AS (SELECT label, centroid FROM read_parquet('$p/centroids/*.parquet')),
+           |a AS (SELECT vec_id, label FROM read_parquet('$p/assign/*.parquet')),
+           |ev AS (SELECT vec_id, embedding FROM embeddings),
+           |probes AS (SELECT query_id, qv, label FROM qs CROSS JOIN c
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY ${cosSql("centroid", "qv")} DESC, label ASC) <= 3),
+           |cand AS (SELECT p.query_id, e.vec_id,
+           |    ${e6(cosSql("embedding", "qv"))} AS score_e6
+           |  FROM ev e JOIN a USING (vec_id) JOIN probes p USING (label))
+           |SELECT query_id, vec_id, score_e6 FROM cand
+           |QUALIFY row_number() OVER (PARTITION BY query_id
+           |  ORDER BY score_e6 DESC, vec_id ASC) <= 5
+           |ORDER BY query_id ASC, score_e6 DESC, vec_id ASC""".stripMargin
+    }
+    (flat.toSeq ++ trained.toSeq ++ batch.toSeq).toMap
+  }
+
+  /** PQ probe replays (since r12): ADC scores are order-free integer sums
+    * of per-(subspace, code) micro-int partials, themselves pure functions
+    * of the persisted codebooks and the query vector — so the full
+    * ADC-shortlist → exact-re-rank pipeline replays in SQL. The query is
+    * unit-normalized with the same sequential double fold; each partial is
+    * the squared L2 between a codebook centroid and the query's 2-dim
+    * subvector (list slice), micro-int-collapsed BEFORE the per-vector sum
+    * exactly as `PqOps.adcTable` does. */
+  private def pqOracles: Map[String, String] = {
+    val dsub = graft.ops.PqOps.DSUB
+    val m = graft.ops.PqOps.M
+    val short = graft.ops.PqOps.SHORTLIST
+    // squared-L2 between the codebook centroid and the query subvector for
+    // this row's subspace — identical zip/transform/fold order as Spark's
+    // l2(centroid, slice(nq, sub*DSUB+1, DSUB))
+    val pdE6 =
+      s"""CAST(round(list_reduce(list_transform(
+         |    list_zip(centroid, nq[sub*$dsub+1 : sub*$dsub+$dsub]),
+         |    z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+         |       * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+         |  (acc, x) -> acc + x) * 1000000, 0) AS BIGINT)""".stripMargin
+    def adcCtes(pq: String) =
+      s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |nd AS (SELECT list_transform(qv, x -> CAST(x AS DOUBLE)) AS d FROM q),
+         |nv AS (SELECT list_transform(d, x -> x / sqrt(
+         |    list_reduce(list_transform(d, y -> y * y), (a, y) -> a + y)))
+         |  AS nq FROM nd),
+         |bk AS (SELECT sub, code, centroid
+         |  FROM read_parquet('$pq/codebooks/*.parquet')),
+         |adc AS (SELECT sub, code, $pdE6 AS pd_e6 FROM bk CROSS JOIN nv),
+         |cd AS (SELECT vec_id, codes FROM read_parquet('$pq/codes/*.parquet')),
+         |ex AS (SELECT vec_id, s.sub AS sub, codes[s.sub + 1] AS code
+         |  FROM cd CROSS JOIN (SELECT unnest(range($m)) AS sub) s)"""
+        .stripMargin
+    val rerank =
+      s"""SELECT e.vec_id, ${e6(cosSql("embedding", "qv"))} AS score_e6
+         |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+         |ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
+    val flat = graft.ops.PqOps.oraclePqPath.map { pq =>
+      "q_pq_topk" ->
+        s"""WITH ${adcCtes(pq)},
+           |sc AS (SELECT vec_id, sum(pd_e6) AS adc
+           |  FROM ex JOIN adc USING (sub, code) GROUP BY vec_id),
+           |short AS (SELECT vec_id FROM sc
+           |  ORDER BY adc ASC, vec_id ASC LIMIT $short)
+           |$rerank""".stripMargin
+    }
+    val ivfpq = for {
+      pq <- graft.ops.PqOps.oraclePqPath
+      ivf <- graft.ops.VectorOps.oracleTrainedDefaultPath
+    } yield "q_ivfpq_topk" ->
+      s"""WITH ${adcCtes(pq)},
+         |c AS (SELECT label, centroid AS lc
+         |  FROM read_parquet('$ivf/centroids/*.parquet')),
+         |asg AS (SELECT vec_id, label FROM read_parquet('$ivf/assign/*.parquet')),
+         |probed AS (SELECT label FROM c CROSS JOIN q
+         |  ORDER BY ${cosSql("lc", "qv")} DESC, label ASC LIMIT 3),
+         |sc AS (SELECT vec_id, sum(pd_e6) AS adc
+         |  FROM ex JOIN asg USING (vec_id) JOIN probed USING (label)
+         |  JOIN adc USING (sub, code) GROUP BY vec_id),
+         |short AS (SELECT vec_id FROM sc
+         |  ORDER BY adc ASC, vec_id ASC LIMIT $short)
+         |$rerank""".stripMargin
+    (flat.toSeq ++ ivfpq.toSeq).toMap
+  }
 
   private def prunedScanSql: String =
     """SELECT l_returnflag, count(*) AS n,

@@ -173,6 +173,14 @@ object PqOps {
     * one content-fingerprinted dir, committed as a PAIR by `_GRAFT_OK`
     * and installed under the ArtifactStore lock — the exact lifecycle of
     * the trained IVF (`VectorOps.ensureTrainedIvf`). */
+  // PQ artifact location recorded at query time for the DuckDB oracle
+  // replay (the BpeOps.oracleMergesPath pattern).
+  @volatile private var lastPq: Option[String] = None
+
+  /** Absolute path of the PQ artifact (codebooks/ + codes/) the probe
+    * queries read — consumed by `SparkEntry.oracleSql`. */
+  def oraclePqPath: Option[String] = lastPq
+
   def ensurePq(s: SparkSession, sf: String, iters: Int = 2): String = {
     val base = new java.io.File("target/pq")
     val src = new java.io.File(s"$sf/embeddings.parquet")
@@ -198,6 +206,7 @@ object PqOps {
       if (!committed)
         sys.error(s"PQ artifact at $dir could not be installed")
     }
+    lastPq = Some(dir.getAbsolutePath)
     dir.toString
   }
 
@@ -236,6 +245,7 @@ object PqOps {
   def ivfPqShortlist(s: SparkSession, sf: String, qv: DataFrame,
       nprobe: Int, c: Int): DataFrame = {
     val ivfDir = VectorOps.ensureTrainedIvf(s, sf)
+    VectorOps.recordTrainedDefault(ivfDir)
     val pqDir = ensurePq(s, sf)
     val probed = s.read.parquet(s"$ivfDir/centroids").crossJoin(broadcast(qv))
       .select(col("label"), cosineFast(col("centroid"), col("qv")).as("cs"))

@@ -327,6 +327,7 @@ object VectorOps {
     val e = t(s, sf, "embeddings")
     val nlist = adaptiveNlist(e.count())
     val dir = ensureTrainedIvf(s, sf, nlist = nlist)
+    lastBatchTrained = Some(new java.io.File(dir).getAbsolutePath)
     val centroids = s.read.parquet(s"$dir/centroids")
     val assign = s.read.parquet(s"$dir/assign")
     val el = e.select(col("vec_id"), col("embedding")).join(assign, "vec_id")
@@ -336,16 +337,43 @@ object VectorOps {
       .orderBy(col("query_id").asc, col("score_e6").desc, col("vec_id").asc)
   }
 
-  /** ANN top-k via IVF probing (no oracle: approximate by construction —
-    * recall vs brute force asserted in ScaleOpsSpec). The centroid artifact
-    * is built once per dataset directory and read back on every subsequent
-    * query — the query path scans only centroids + probed lists. */
+  /** ANN top-k via IVF probing. ORACLE-CHECKED since r12: the probe is a
+    * pure function of the PERSISTED centroid artifact (registered as an
+    * oracle input, the `q_bpe_encode` pattern) — DuckDB replays centroid
+    * ranking, probed-list pruning, and the micro-int cosine over probed
+    * rows with the identical IEEE fold, so the hash match certifies the
+    * approximate query EXACTLY (approximation lives in the artifact, the
+    * probe is deterministic). Recall vs brute force stays in ScaleOpsSpec.
+    * The centroid artifact is built once per dataset directory and read
+    * back on every subsequent query — the query path scans only centroids
+    * + probed lists. */
   def qIvfTopk(s: SparkSession, sf: String): DataFrame = {
     val e = t(s, sf, "embeddings")
     val path = ensureCentroids(s, sf)
+    lastCentroids = Some(new java.io.File(path).getAbsolutePath)
     val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     ivfTopk(s.read.parquet(path), e, qv, nprobe = 3, k = 10)
   }
+
+  // Artifact locations recorded at query time for the DuckDB oracle replay
+  // (the BpeOps.oracleMergesPath pattern): the paths embed content
+  // fingerprints only known once the artifact exists; Verify runs every
+  // query before dumping oracle_sql.json, so they are always set by then.
+  @volatile private var lastCentroids: Option[String] = None
+  @volatile private var lastTrainedDefault: Option[String] = None
+  @volatile private var lastBatchTrained: Option[String] = None
+
+  /** Absolute path of the label-centroid artifact `q_ivf_topk` probed. */
+  def oracleCentroidsPath: Option[String] = lastCentroids
+  /** Absolute path of the default-nlist trained IVF artifact
+    * (`q_ivf_trained_topk`, `q_ivfpq_topk`). */
+  def oracleTrainedDefaultPath: Option[String] = lastTrainedDefault
+  /** Absolute path of the √N-nlist trained IVF artifact
+    * (`q_ivf_topk_batch`). */
+  def oracleBatchTrainedPath: Option[String] = lastBatchTrained
+
+  private[ops] def recordTrainedDefault(dir: String): Unit =
+    lastTrainedDefault = Some(new java.io.File(dir).getAbsolutePath)
 
   /** K-means-trained IVF for corpora that do NOT ship a pre-assigned list
     * column (the `label`-based build above serves pre-clustered data; real
@@ -466,12 +494,15 @@ object VectorOps {
   }
 
   /** ANN top-k over the TRAINED index: routing joins the persisted
-    * assignment table, not a data-shipped label column. No oracle
-    * (approximate + float-iteration-seeded); ScaleOpsSpec asserts
-    * assignment/centroid consistency, exactness at nprobe = nlist, and
-    * recall vs brute force. */
+    * assignment table, not a data-shipped label column. ORACLE-CHECKED
+    * since r12: DuckDB replays centroid ranking + assignment-join pruning
+    * + micro-int cosine from the persisted artifact pair — the float
+    * iteration seeded the ARTIFACT, but the probe over it is
+    * deterministic. ScaleOpsSpec keeps assignment/centroid consistency,
+    * exactness at nprobe = nlist, and recall vs brute force. */
   def qIvfTrainedTopk(s: SparkSession, sf: String): DataFrame = {
     val dir = ensureTrainedIvf(s, sf)
+    recordTrainedDefault(dir)
     val centroids = s.read.parquet(s"$dir/centroids")
     val assign = s.read.parquet(s"$dir/assign")
     val e = t(s, sf, "embeddings").select(col("vec_id"), col("embedding"))
