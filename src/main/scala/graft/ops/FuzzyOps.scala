@@ -45,7 +45,15 @@ object FuzzyOps {
     * DEDUPED candidate pairs for the verify, two id-keyed joins against
     * the input table. */
   def fuzzyPairs(df: DataFrame): DataFrame = {
+    // keys travel as 64-bit hashes through the bucket shuffle (8-byte
+    // longs, not |s|-char strings — the dedup family's r12 trick). A
+    // 64-bit collision between two DIFFERENT variant strings can only ADD
+    // a candidate pair, and every candidate passes the exact levenshtein
+    // verify — so hashing is lossless for the result by construction (not
+    // merely with high probability), while the blocking guarantee
+    // (distance-≤1 ⇒ shared key ⇒ shared hash) is preserved exactly.
     val cands = deletionKeys(df)
+      .withColumn("key", xxhash64(col("key")))
       .groupBy("key")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
