@@ -85,10 +85,37 @@ object VectorOps {
     (0 until bands).map { b =>
       (0 until per).map { j =>
         val i = b * per + j
-        when(element_at(col("embedding"), 2 * i + 1) >=
-          element_at(col("embedding"), 2 * i + 2), lit(1L << j)).otherwise(lit(0L))
+        when(element_at(col("embedding"), cmpIdx(i)._1) >=
+          element_at(col("embedding"), cmpIdx(i)._2), lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"band$b")
     }
+  }
+
+  /** 1-indexed coordinate pair compared for signature bit `i`. Bits 0–31
+    * compare disjoint pairs (2i+1, 2i+2) — the original 32-bit layout the
+    * DuckDB oracle replays term for term. Bits 32–62 reuse the 64 dims
+    * with OFFSET pairs (2j+2, 2j+3), j = i−32 — each extra bit compares a
+    * pair no lower bit compared, so higher resolutions stay ~independent
+    * sign projections without exceeding the 64-dim embedding. */
+  private[graft] def cmpIdx(i: Int): (Int, Int) = {
+    require(i < 63, s"comparison-bit index $i exceeds the 64-dim layout")
+    if (i < 32) (2 * i + 1, 2 * i + 2) else (2 * (i - 32) + 2, 2 * (i - 32) + 3)
+  }
+
+  /** Per-band comparison bits sized to the corpus — the [[adaptiveNlist]]
+    * discipline applied to the band-blocked pair family: with FIXED band
+    * resolution the bucket count is constant, so in-bucket pair work grows
+    * ∝ N²/buckets — quadratic (measured: `q_semantic_dedup` 6.1× time for
+    * 16× data at the fixed 8-bit keys). clamp(8, 15, ⌈log₂N⌉−5) keeps
+    * bucket count ∝ N and expected bucket load constant: every testdata
+    * SF (N ≤ 6000) maps to 8, so the static DuckDB oracle — which replays
+    * the 32-bit layout — stays exact at every oracle-checked scale, and
+    * the higher resolutions engage only on replicated-scale benches and
+    * real 100 TB corpora. The count that sizes the key is a parquet
+    * footer read. */
+  def adaptiveBandBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.max(8, math.min(15, ceilLog2 - 5))
   }
 
   /** Near-dup pairs: (label, band, key)-blocked candidates scored with the
@@ -103,8 +130,16 @@ object VectorOps {
     * the unblocked pair set is the standard LSH trade (raise `bits/bands`
     * resolution per corpus size at 100 TB). */
   def qEmbedNeardupPairs(s: SparkSession, sf: String): DataFrame = {
-    val (bits, bands) = (32, 4)
     val e = t(s, sf, "embeddings")
+    embedNeardupPairs(e, bands = 4, per = adaptiveBandBits(e.count()))
+  }
+
+  /** The band-blocked pair pipeline at an explicit geometry — split out so
+    * specs can drive the extended-resolution path directly (identical
+    * vectors agree on EVERY comparison bit, so exact-duplicate recall is
+    * 1.0 at any `per`). */
+  def embedNeardupPairs(e: DataFrame, bands: Int, per: Int): DataFrame = {
+    val bits = bands * per
     val sig = e.select(Seq(col("vec_id"), col("label"), col("embedding")) ++
       cmpBandKeys(bits, bands): _*)
     val exploded = sig.select(col("vec_id"), col("label"), col("embedding"),
@@ -513,12 +548,24 @@ object VectorOps {
 
   /** ANN near-dup via LSH bucketing + exact re-score (no oracle: candidate
     * recall is probabilistic; invariants tested in ScaleOpsSpec). */
-  def qEmbedNeardupLsh(s: SparkSession, sf: String): DataFrame =
-    lshCandidatePairs(t(s, sf, "embeddings"), bits = 16, bands = 4)
+  /** Per-band hyperplane bits sized to the corpus — [[adaptiveBandBits]]'
+    * discipline for the seeded-LSH face: clamp(4, 15, ⌈log₂N⌉−9) per band.
+    * Every testdata SF (N ≤ 6000) resolves to 4 (the 16-bit/4-band layout
+    * the DuckDB oracle replays plane for plane), larger corpora get
+    * proportionally more buckets so in-bucket pair work stays ~linear. */
+  def adaptiveLshBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.max(4, math.min(15, ceilLog2 - 9))
+  }
+
+  def qEmbedNeardupLsh(s: SparkSession, sf: String): DataFrame = {
+    val e = t(s, sf, "embeddings")
+    lshCandidatePairs(e, bits = 4 * adaptiveLshBits(e.count()), bands = 4)
       .select(col("id_a"), col("id_b"),
         microScore(cosineFast(col("va"), col("vb"))).as("sim_e6"))
       .filter(col("sim_e6") >= 300000)
       .orderBy("id_a", "id_b")
+  }
 
   /** X33: hard-negative mining for contrastive training — for each query
     * vector, the top-k most-similar vectors carrying a DIFFERENT label

@@ -135,6 +135,53 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("adaptive band bits: oracle SFs pin the 8-bit layout; extended bits index validly and find exact dups") {
+    import spark.implicits._
+    // the static DuckDB oracle replays the 32-bit (per=8) layout — every
+    // oracle-checked scale must resolve to it, and larger corpora must
+    // grow the bucket count (the fixed-resolution path measured 6.1x time
+    // for 16x data on q_semantic_dedup)
+    assert(VectorOps.adaptiveBandBits(500) == 8)
+    assert(VectorOps.adaptiveBandBits(6000) == 8)
+    assert(VectorOps.adaptiveBandBits(24000) == 10)
+    assert(VectorOps.adaptiveBandBits(96000) == 12)
+    assert(VectorOps.adaptiveBandBits(Long.MaxValue) == 15)
+    // every usable comparison bit addresses a distinct in-range coordinate
+    // pair of the 64-dim embedding
+    val idx = (0 until 60).map(VectorOps.cmpIdx)
+    assert(idx.forall { case (x, y) => x >= 1 && y >= 1 && x <= 64 && y <= 64 && x != y })
+    assert(idx.distinct.size == idx.size, "duplicate comparison pairs")
+    // identical vectors agree on EVERY comparison bit, so exact-duplicate
+    // recall is 1.0 at ANY resolution — run the pipeline at the 16x-scale
+    // geometry (per=12) over a frame with planted duplicate pairs
+    val base = (0 until 40).map { i =>
+      (0 until 64).map(d => math.sin(i * 64 + d + 1).toFloat).toArray
+    }
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, i.toLong % 5, v) } ++
+      base.take(6).zipWithIndex.map { case (v, i) => (100L + i, i.toLong % 5, v) }
+    val e = rows.toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val pairs = VectorOps.embedNeardupPairs(e, bands = 4, per = 12)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    (0 until 6).foreach { i =>
+      assert(pairs.contains((i.toLong, 100L + i)),
+        s"exact duplicate ($i, ${100 + i}) missed at per=12")
+    }
+    // the seeded-LSH face scales the same way: oracle SFs pin the 16-bit
+    // layout, and identical vectors collide in every band at any width
+    assert(VectorOps.adaptiveLshBits(500) == 4)
+    assert(VectorOps.adaptiveLshBits(6000) == 4)
+    assert(VectorOps.adaptiveLshBits(96000) == 8)
+    val lshPairs = VectorOps.lshCandidatePairs(e, bits = 32, bands = 4)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 6).foreach { i =>
+      assert(lshPairs.contains((i.toLong, 100L + i)),
+        s"exact duplicate ($i, ${100 + i}) missed by 32-bit LSH")
+    }
+  }
+
   test("interrupted or stale centroid artifacts are rebuilt, not trusted") {
     val sfDir = "/root/testdata/sf0.01"
     val dir = new java.io.File(VectorOps.ensureCentroids(spark, sfDir))
