@@ -41,7 +41,9 @@ object Bench {
     // round 11 additions
     "q_fuzzy_join", "q_pmi_collocations", "q_window_distinct_sketch",
     "q_dedup_clusters_incremental", "q_drop_reasons", "q_media_decode",
-    "q_approx_percentiles")
+    "q_approx_percentiles",
+    // round 12 additions
+    "q_cm_sketch", "q_retrieval_metrics", "q_zorder_values", "q_sq8_topk")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

@@ -185,7 +185,13 @@ object SparkEntry {
     "q_bpe_encode"            -> (BpeOps.qBpeEncode _),
     // X55-X56 snapshot audit + data-quality expectations
     "q_snapshot_diff"         -> (MergeOps.qSnapshotDiff _),
-    "q_expectations"          -> (ProfileOps.qExpectations _)
+    "q_expectations"          -> (ProfileOps.qExpectations _),
+    // X66-X69 Count-Min sketch, retrieval-eval metrics, Z-order kernel,
+    // SQ8 scalar-quantized ANN
+    "q_cm_sketch"             -> (SketchOps.qCmSketch _),
+    "q_retrieval_metrics"     -> (SearchOps.qRetrievalMetrics _),
+    "q_zorder_values"         -> (LayoutOps.qZorderValues _),
+    "q_sq8_topk"              -> (VectorOps.qSq8Topk _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -1872,8 +1878,105 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_discount_range', v_disc, n FROM l
         |  UNION ALL SELECT 'l_shipdate_recent', v_date, n FROM l
         |  UNION ALL SELECT 'lineitem_orders_fk', nv, n FROM fk)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+    // X66 Count-Min sketch: the d salted-md5 hash rows are bit-identical
+    // in both engines (conv(hex,16,10) == CAST('0x'|| AS BIGINT)), so
+    // DuckDB replays the ENTIRE sketch — every counter and every min-cell
+    // estimate — not just a contract
+    "q_cm_sketch" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM tok),
+        |freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        |hh AS (SELECT token, CAST(n AS BIGINT) AS exact_n FROM freq, tot
+        |  WHERE n >= n_total // 2000 + 1),
+        |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS v(j)),
+        |cells AS (SELECT j,
+        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' || token), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  FROM tok, js),
+        |sketch AS (SELECT j, cell, count(*) AS cnt FROM cells GROUP BY j, cell),
+        |probes AS (SELECT hh.token, hh.exact_n, j,
+        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' || hh.token), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  FROM hh, js)
+        |SELECT token, exact_n, CAST(min(cnt) AS BIGINT) AS est_n,
+        |  CAST(min(cnt) AS BIGINT) >= exact_n AS overestimate_ok
+        |FROM probes JOIN sketch USING (j, cell)
+        |GROUP BY token, exact_n ORDER BY token""".stripMargin,
+    // X67 retrieval-eval metrics: integer-exact recall@k + MRR·2520 over
+    // the deterministic self-retrieval benchmark (query = the doc's first
+    // three tokens, relevant = the doc itself, eval set = doc_id < 100)
+    "q_retrieval_metrics" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |qt AS (SELECT doc_id AS query_id, unnest(toks[1:3]) AS term FROM d
+        |  WHERE doc_id < 100),
+        |st AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+        |  (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |  CAST(round((ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
+        |    * 1000000, 0) AS BIGINT) AS s_e6
+        |  FROM tf JOIN dfq USING (term), st),
+        |pq AS (SELECT qt.query_id, sc.doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6
+        |  FROM sc JOIN qt USING (term) GROUP BY qt.query_id, sc.doc_id),
+        |r AS (SELECT query_id, doc_id, CAST(row_number() OVER
+        |  (PARTITION BY query_id ORDER BY bm25_e6 DESC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM pq),
+        |rel AS (SELECT query_id, rk FROM r WHERE doc_id = query_id),
+        |qids AS (SELECT DISTINCT query_id FROM qt)
+        |SELECT count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+        |  CAST(sum(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_5,
+        |  CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+        |  CAST(sum(CASE WHEN rk <= 10 THEN 2520 // rk ELSE 0 END) AS BIGINT) AS mrr_x2520
+        |FROM qids LEFT JOIN rel USING (query_id)""".stripMargin,
+    // X38b Z-order kernel: DuckDB replays the 16-term bit interleave
+    "q_zorder_values" ->
+      s"""WITH pts AS (SELECT DISTINCT l_partkey, l_suppkey,
+         |  l_partkey % 65536 AS p, l_suppkey % 65536 AS s FROM lineitem)
+         |SELECT l_partkey, l_suppkey, CAST($zInterleaveSql AS BIGINT) AS zval
+         |FROM pts ORDER BY zval DESC, l_partkey ASC, l_suppkey ASC
+         |LIMIT 100""".stripMargin,
+    // X69 SQ8: unit-normalize (sequential IEEE fold), symmetric signed
+    // int8 grid with one global scale, integer code dot, top-50
+    // shortlist, exact micro-int cosine re-rank — every stage a pure
+    // function of the data, replayed end to end
+    "q_sq8_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |nv AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) / sqrt(list_reduce(
+         |      list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+         |      (acc, y) -> acc + y))) AS nv
+         |  FROM e),
+         |sc AS (SELECT max(list_reduce(list_transform(nv, x -> abs(x)),
+         |    (acc, x) -> greatest(acc, x))) AS ma FROM nv),
+         |codes AS (SELECT vec_id, list_transform(nv,
+         |    x -> CAST(least(127.0, greatest(-127.0, round(x * 127.0 / ma, 0)))
+         |      AS BIGINT)) AS codes
+         |  FROM nv CROSS JOIN sc),
+         |qc AS (SELECT codes AS qcodes FROM codes WHERE vec_id = 0),
+         |dots AS (SELECT vec_id, CAST(list_reduce(list_transform(
+         |    list_zip(codes, qcodes), z -> z[1] * z[2]),
+         |    (acc, v) -> acc + v) AS BIGINT) AS dot
+         |  FROM codes CROSS JOIN qc),
+         |short AS (SELECT vec_id FROM dots
+         |  ORDER BY dot DESC, vec_id ASC LIMIT 50),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, ${e6(cosSql("embedding", "qv"))} AS score_e6
+         |FROM e JOIN short USING (vec_id) CROSS JOIN q
+         |ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
   ) ++ bpeEncodeOracle ++ ivfOracles ++ pqOracles
+
+  /** The Morton interleave as DuckDB SQL — the same 16 shift/mask/or
+    * triples `LayoutOps.zValue` builds as Column expressions. */
+  private def zInterleaveSql: String = (0 until 16).map(i =>
+    s"((((p >> $i) & 1) << ${2 * i + 1}) | (((s >> $i) & 1) << ${2 * i}))")
+    .mkString(" | ")
 
   /** X54c oracle, present once a BPE merge-table artifact exists in this
     * JVM (Verify runs every query before dumping oracle_sql.json, so the

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import Tables._
 
 /** Multi-dimensional data-skipping layout: Z-order (Morton-curve)
   * clustering. A single-column sort gives perfect file-level min/max
@@ -29,6 +30,23 @@ object LayoutOps {
     if (hi <= lo) lit(0L)
     else least(lit(65535L), greatest(lit(0L),
       floor((c.cast("double") - lo) / (hi - lo) * 65535.0).cast("long")))
+
+  /** X38b: the Morton-curve kernel as an ORACLE-CHECKED query face — the
+    * distinct (l_partkey, l_suppkey) grid points ranked by their
+    * interleaved z-value. `zValue` is a closed-form integer bit shuffle,
+    * so DuckDB replays it term for term (16 shift/mask/or triples); the
+    * hash match certifies the exact curve `writeZOrdered` clusters files
+    * along, which LayoutOpsSpec separately proves yields two-column
+    * file-rectangle pruning. Keys pass through `pmod 65536` (the curve's
+    * grid width) rather than min/max rank-scaling so the mapping is a
+    * pure function of the row — replayable without a stats pass. */
+  def qZorderValues(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .withColumn("zval", zValue(pmod(col("l_partkey"), lit(65536L)),
+        pmod(col("l_suppkey"), lit(65536L))))
+      .orderBy(col("zval").desc, col("l_partkey").asc, col("l_suppkey").asc)
+      .limit(100)
 
   /** Write `df` z-ordered on (colA, colB) into `nFiles` range partitions.
     * The min/max bounds are one aggregation returning FOUR doubles to the

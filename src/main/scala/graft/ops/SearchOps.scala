@@ -286,6 +286,68 @@ object SearchOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** X67: retrieval-quality evaluation harness — recall@k and MRR@10 for
+    * BM25 over a deterministic self-retrieval benchmark: the eval set is
+    * the fixed first-100 documents (eval sets stay fixed-size while the
+    * corpus grows — the standard IR-eval regime), each query is the source
+    * document's first three tokens, and the relevant document is the
+    * source itself. One distributed plan scores the whole eval batch
+    * (qBm25Batch's shape: corpus-side tf/df computed once against the
+    * batch's distinct terms, fan-out to (query, doc) partials after), one
+    * window ranks per query, and the metrics aggregate to a single row.
+    *
+    * Everything is integer-exact: ranks are integers; MRR is carried as
+    * Σ(2520 div rank) over hits (2520 = lcm(1..10), so every reciprocal
+    * rank at k=10 is an exact integer — no float mean to drift between
+    * engines); recall@k are hit counts. The oracle replays the full chain
+    * (tokenize → tf/df → e6 BM25 → rank → metrics) in DuckDB.
+    *
+    * 100 TB shape: eval-set size is a constant, so the query side is a
+    * broadcast; corpus-side work is the same bounded `term IN (batch
+    * terms)` explode-filter as qBm25Batch; the ranking window partitions
+    * by query_id (parallel across the eval set), and only per-query
+    * top-rank rows survive to the final 1-row aggregate. */
+  def qRetrievalMetrics(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val queries = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, 3)).as("term"))
+    val terms = queries.select("term").distinct()
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * (K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    val perTerm = tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), e6(idf * tfn).as("s_e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25_e6").desc, col("doc_id").asc)
+    val ranked = perTerm.join(broadcast(queries), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s_e6")).as("bm25_e6"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val rel = ranked.filter(col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("rk"))
+    queries.select("query_id").distinct()
+      .join(rel, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("hits_at_1"),
+        sum(when(col("rk") <= 5, 1L).otherwise(0L)).as("hits_at_5"),
+        sum(when(col("rk") <= 10, 1L).otherwise(0L)).as("hits_at_10"),
+        sum(when(col("rk") <= 10, expr("2520 div rk")).otherwise(0L))
+          .as("mrr_x2520"))
+  }
+
   /** Demo phrase for the phrase-match queries (both words corpus-frequent;
     * adjacency is what's being tested). */
   val phrase: Seq[String] = Seq("hash", "join")

@@ -174,6 +174,69 @@ object SketchOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** X66: Count-Min sketch (Cormode & Muthukrishnan 2005) — the frequency
+    * sketch whose SIZE is fixed (d×w counters) no matter how large the
+    * corpus: each executor folds its partition of the token stream into
+    * d·w partial counters (the groupBy key space is bounded by d·w = 8192,
+    * so map-side combine collapses every partition to at most 8192 rows
+    * before the shuffle), the merged table IS the sketch, and a point
+    * query reads back min over d cells — broadcast-joinable precisely
+    * because the sketch cannot grow. This is the companion to the
+    * Misra–Gries pass above: MG keeps exact candidates for the heavy tail,
+    * CM answers frequency point queries for ANY key with a one-sided
+    * error (est ≥ true always; est ≤ true + 2N/w with prob ≥ 1−(1/2)^d).
+    *
+    * FULLY ORACLE-CHECKED, not just a contract: the d hash functions are
+    * salted md5 (`md5("cm<j>:" ++ token)` → first 15 hex digits → mod w),
+    * bit-identical in Spark (`conv(…,16,10)`) and DuckDB
+    * (`CAST('0x'||… AS BIGINT)`), so the whole sketch — every counter,
+    * every estimate — is a deterministic pure function of the data that
+    * DuckDB replays end to end. The probe set is the exact heavy-hitter
+    * list (self-contained: derived from the same corpus), and the output
+    * carries the exact count, the CM estimate, and the never-underestimate
+    * verdict per token.
+    *
+    * 100 TB shape: one corpus scan, bounded-key aggregation (the ONLY
+    * shuffle, ≤ d·w rows after partial agg), probe side joins the
+    * broadcast sketch. Compare `heavyHittersExact`, whose shuffle key
+    * space is the full vocabulary. */
+  private val CmD = 4   // hash rows
+  private val CmW = 2048L // counters per row
+
+  private def cmCell(j: Int, tok: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(concat(lit(s"cm$j:"), tok)), 1, 15), 16, 10)
+      .cast("long"), lit(CmW))
+
+  /** The d×w counter table for a token column — at most d·w rows. */
+  private[graft] def cmSketch(toks: DataFrame): DataFrame =
+    toks.select(posexplode(
+        array((0 until CmD).map(j => cmCell(j, col("token"))): _*))
+      .as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+
+  /** Point-query `queries` (a `token` column) against a sketch: min over
+    * the d matching cells. The sketch side is broadcast — it is bounded. */
+  private[graft] def cmEstimate(queries: DataFrame, sketch: DataFrame): DataFrame = {
+    val probes = queries.select(col("*"), posexplode(
+        array((0 until CmD).map(j => cmCell(j, col("token"))): _*))
+      .as(Seq("j", "cell")))
+    val others = queries.columns.filter(_ != "token").map(col).toSeq
+    probes.join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy(col("token") +: others: _*)
+      .agg(min(col("cnt")).as("est_n"))
+  }
+
+  def qCmSketch(s: SparkSession, sf: String): DataFrame = {
+    val docs = t(s, sf, "documents")
+    val toks = tokens(docs, "text")
+    val hh = heavyHittersExact(docs, "text")
+      .select(col("token"), col("n").as("exact_n"))
+    cmEstimate(hh, cmSketch(toks))
+      .select(col("token"), col("exact_n"), col("est_n"),
+        (col("est_n") >= col("exact_n")).as("overestimate_ok"))
+      .orderBy("token")
+  }
+
   /** Mergeable distinct-count sketches (Apache DataSketches HLL, built into
     * Spark as `hll_sketch_agg`/`hll_union_agg`): per-(group, shard) sketches
     * are built independently — the shape of 1000 executors each sketching

@@ -26,6 +26,19 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   */
 object SketchStream {
 
+  /** X66 streaming face: the Count-Min counter table maintained as a plain
+    * STREAMING AGGREGATION in Complete mode — legitimate without a
+    * watermark precisely because CM state is bounded by construction (d·w
+    * counters, corpus-independent): the rare stateful query whose
+    * unbounded-lifetime state is finite. Counters are integer sums, so the
+    * streamed snapshot equals the batch sketch EXACTLY under any
+    * micro-batching (StreamingSpec proves bit-equality across uneven
+    * splits). The batch kernel runs unchanged on the stream — one
+    * definition serves both; point queries keep using
+    * `SketchOps.cmEstimate` against the latest snapshot. */
+  def cmSketchStream(tokens: DataFrame): DataFrame =
+    graft.ops.SketchOps.cmSketch(tokens)
+
   /** Per-shard MG state: bounded counters + an emission version. */
   case class MgState(counters: Map[String, Long], version: Long)
 

@@ -55,4 +55,21 @@ class LayoutOpsSpec extends SparkTestBase {
     assert(zCust < 0.7, s"z-order should narrow custkey: $zCust")
     assert(zPrice < 0.7, s"z-order should narrow price: $zPrice")
   }
+
+  test("q_zorder_values: kernel face matches an independent scalar reference") {
+    def zRef(p: Long, s: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (((p >> i) & 1L) << (2 * i + 1)) | (((s >> i) & 1L) << (2 * i)))
+    val rows = LayoutOps.qZorderValues(spark, sf).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("l_partkey"); val s = r.getAs[Long]("l_suppkey")
+      assert(r.getAs[Long]("zval") == zRef(p % 65536, s % 65536),
+        s"zval mismatch at ($p, $s)")
+    }
+    // ordering is the deterministic (zval desc, keys asc) total order
+    val sorted = rows.sortBy(r => (-r.getAs[Long]("zval"),
+      r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey")))
+    assert(rows.toSeq == sorted.toSeq)
+  }
 }

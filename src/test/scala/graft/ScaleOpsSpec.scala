@@ -86,6 +86,27 @@ class ScaleOpsSpec extends SparkTestBase {
       s"query path rebuilds centroids:\n$plan")
   }
 
+  test("SQ8: exact self-match, high top-10 recall vs brute force, codes in range") {
+    val sfDir = "/root/testdata/sf0.01"
+    val brute = VectorOps.qCosineTopk(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val sq = VectorOps.qSq8Topk(spark, sfDir).collect()
+    val sqIds = sq.map(_.getLong(0)).toSeq
+    assert(sqIds.head == brute.head, "SQ8 must find the exact self-match")
+    val recall = (brute.toSet & sqIds.toSet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 top-10 recall too low: $recall")
+    // re-ranked scores are the EXACT micro-int cosines — for every id both
+    // lists share, the score must be identical to the brute-force path
+    val bruteScores = VectorOps.qCosineTopk(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("score_e6")).toMap
+    sq.foreach { r =>
+      bruteScores.get(r.getLong(0)).foreach { s =>
+        assert(r.getAs[Long]("score_e6") == s,
+          s"re-rank score drifted for vec ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("batch IVF kNN equals the single-query probe for each query") {
     val sfDir = "/root/testdata/sf0.01"
     val e = Tables.t(spark, sfDir, "embeddings")

@@ -341,4 +341,25 @@ class SearchOpsSpec extends SparkTestBase {
     // deterministic across runs
     assert(r.exceptAll(SearchOps.qPerplexityFilter(spark, sf)).isEmpty)
   }
+
+  test("retrieval metrics: bounds, monotone recall@k, MRR consistent with hits") {
+    val row = SearchOps.qRetrievalMetrics(spark, sf).head()
+    val nQ = row.getAs[Long]("n_queries")
+    val h1 = row.getAs[Long]("hits_at_1")
+    val h5 = row.getAs[Long]("hits_at_5")
+    val h10 = row.getAs[Long]("hits_at_10")
+    val mrr = row.getAs[Long]("mrr_x2520")
+    // eval set = docs with doc_id < 100 (all of them at sf0.001)
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 100).count()
+    assert(nQ == want, s"eval set size $nQ != $want")
+    assert(0 <= h1 && h1 <= h5 && h5 <= h10 && h10 <= nQ,
+      "recall@k must be monotone in k and bounded by the query count")
+    // each top-10 hit contributes between 2520/10 and 2520/1
+    assert(mrr >= h10 * 252 && mrr <= h10 * 2520,
+      s"MRR numerator $mrr inconsistent with $h10 hits")
+    // self-retrieval on this corpus: the source doc's own three leading
+    // tokens should usually find it — demand a non-degenerate benchmark
+    assert(h10 > 0, "no query recovered its source doc in the top-10")
+  }
 }

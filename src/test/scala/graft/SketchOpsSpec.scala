@@ -95,4 +95,34 @@ class SketchOpsSpec extends SparkTestBase {
     assert(r.forall(_.getAs[Long]("thresh") == thresh))
     assert(r.forall(row => row.getAs[Long]("n") >= thresh))
   }
+
+  test("cm sketch: bounded size, never underestimates ANY token, eps bound") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = docs.select(
+      explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+    val sketch = SketchOps.cmSketch(toks)
+    // the defining property: the counter table cannot outgrow d·w
+    assert(sketch.count() <= 4 * 2048,
+      "CM sketch grew beyond its fixed d*w bound")
+    // one-sided error on EVERY distinct token, not just the heavy probes
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+    val est = SketchOps.cmEstimate(exact, sketch)
+    assert(est.filter(col("est_n") < col("exact_n")).isEmpty,
+      "CM must never underestimate")
+    // standard Markov bound: overshoot ≤ 2N/w for the vast majority of
+    // tokens (prob ≥ 1−(1/2)^d per token; allow a small absolute tail)
+    val n = toks.count()
+    val eps = 2.0 * n / 2048.0
+    val over = est.filter(col("est_n") - col("exact_n") > lit(eps)).count()
+    assert(over <= math.max(1L, exact.count() / 20),
+      s"too many tokens past the 2N/w bound: $over")
+  }
+
+  test("q_cm_sketch: probes are the exact heavy hitters, verdicts all TRUE") {
+    val r = SketchOps.qCmSketch(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Boolean]("overestimate_ok")))
+    val hh = SketchOps.qHeavyHitters(spark, sf).count()
+    assert(r.length.toLong == hh, "probe set must be the heavy-hitter list")
+  }
 }

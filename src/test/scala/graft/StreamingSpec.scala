@@ -211,6 +211,33 @@ class StreamingSpec extends SparkTestBase {
       s"exact heavy hitters missing from streamed candidates: ${exact -- candidates}")
   }
 
+  test("streaming Count-Min sketch equals the batch sketch exactly on any split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SketchStream
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toksDf = docs.select(explode(
+      split(trim(lower(col("text"))), "\\s+")).as("token"))
+    val toks = toksDf.as[String].collect()
+    val stream = MemoryStream[String]
+    val q = SketchStream.cmSketchStream(stream.toDF.toDF("token"))
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // uneven chunks — integer counters must merge identically regardless
+      val chunks = Seq(toks.take(7), toks.slice(7, toks.length / 2),
+        toks.drop(toks.length / 2))
+      chunks.foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("cm_stream")
+    val batch = graft.ops.SketchOps.cmSketch(toksDf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed CM snapshot must equal the batch sketch bit-for-bit")
+    // and the state really is bounded
+    assert(streamed.count() <= 4 * 2048)
+  }
+
   test("stream-static anti-join admits only unseen documents per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
