@@ -43,7 +43,8 @@ object Bench {
     "q_dedup_clusters_incremental", "q_drop_reasons", "q_media_decode",
     "q_approx_percentiles",
     // round 12 additions
-    "q_cm_sketch", "q_retrieval_metrics", "q_zorder_values", "q_sq8_topk")
+    "q_cm_sketch", "q_retrieval_metrics", "q_zorder_values", "q_sq8_topk",
+    "q_cm_join_est", "q_skew_profile")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

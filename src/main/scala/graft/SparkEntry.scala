@@ -191,7 +191,9 @@ object SparkEntry {
     "q_cm_sketch"             -> (SketchOps.qCmSketch _),
     "q_retrieval_metrics"     -> (SearchOps.qRetrievalMetrics _),
     "q_zorder_values"         -> (LayoutOps.qZorderValues _),
-    "q_sq8_topk"              -> (VectorOps.qSq8Topk _)
+    "q_sq8_topk"              -> (VectorOps.qSq8Topk _),
+    "q_cm_join_est"           -> (SketchOps.qCmJoinEst _),
+    "q_skew_profile"          -> (SkewOps.qSkewProfile _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -1942,6 +1944,41 @@ object SparkEntry {
          |SELECT l_partkey, l_suppkey, CAST($zInterleaveSql AS BIGINT) AS zval
          |FROM pts ORDER BY zval DESC, l_partkey ASC, l_suppkey ASC
          |LIMIT 100""".stripMargin,
+    // X71 key-skew diagnostics: exact per-key count distribution + the
+    // hot-key/mean percent that decides salting — all integer/e6
+    "q_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(max(n) AS BIGINT) AS max_n,
+        |  CAST(round(quantile_cont(n, 0.5) * 1000000, 0) AS BIGINT) AS p50_e6,
+        |  CAST(round(quantile_cont(n, 0.99) * 1000000, 0) AS BIGINT) AS p99_e6,
+        |  (CAST(max(n) AS BIGINT) * 100 * count(*)) // CAST(sum(n) AS BIGINT)
+        |    AS hot_pct_of_mean
+        |FROM c""".stripMargin,
+    // X70 CM join-size estimation: the AMS/CM inner product, replayed
+    // exactly (same salted-md5 hash rows as q_cm_sketch); the exact side
+    // is the group-count product sum — no row-level join on either engine
+    "q_cm_join_est" ->
+      """WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS token FROM lineitem),
+        |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS token FROM orders),
+        |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS v(j)),
+        |ska AS (SELECT j, cell, count(*) AS ca FROM (SELECT j,
+        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' || token), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  FROM la, js) GROUP BY j, cell),
+        |skb AS (SELECT j, cell, count(*) AS cb FROM (SELECT j,
+        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' || token), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  FROM ob, js) GROUP BY j, cell),
+        |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_n FROM (
+        |  SELECT j, sum(ca * cb) AS ip FROM ska JOIN skb USING (j, cell)
+        |  GROUP BY j)),
+        |ex AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_n FROM
+        |  (SELECT token, count(*) AS na FROM la GROUP BY token) a
+        |  JOIN (SELECT token, count(*) AS nb FROM ob GROUP BY token) b
+        |  USING (token))
+        |SELECT exact_n, est_n, est_n >= exact_n AS overestimate_ok,
+        |  (est_n * 100) // exact_n AS ratio_pct
+        |FROM ex CROSS JOIN est""".stripMargin,
     // X69 SQ8: unit-normalize (sequential IEEE fold), symmetric signed
     // int8 grid with one global scale, integer code dot, top-50
     // shortlist, exact micro-int cosine re-rank — every stage a pure

@@ -226,6 +226,47 @@ object SketchOps {
       .agg(min(col("cnt")).as("est_n"))
   }
 
+  /** X70: JOIN-SIZE ESTIMATION from CM sketches (the AMS/Count-Min inner
+    * product, Cormode & Muthukrishnan §4.2) — |A ⋈ B on k| = Σ_k nA(k)·nB(k)
+    * is estimated as min_j Σ_cell cmA[j][cell]·cmB[j][cell], the planner
+    * primitive that prices a join WITHOUT running it. Hash collisions only
+    * ADD cross terms, so the estimate NEVER undershoots (the same one-sided
+    * guarantee as the point query); overshoot is bounded by nA·nB/w per row
+    * w.h.p. At 100 TB this is how an optimizer decides broadcast vs
+    * shuffle vs skew-salt from two 8 KB summaries instead of a dry run —
+    * and because both sketches use the salted-md5 rows, DuckDB replays the
+    * entire estimate exactly.
+    *
+    * The output also carries the EXACT join cardinality — itself computed
+    * WITHOUT materializing the join (Σ over shared keys of the two group
+    * counts' product — group-count shuffles, never row×row fan-out) — plus
+    * the never-undershoot verdict and the e6 overshoot ratio.
+    *
+    * 100 TB shape: two bounded-key (≤ d·w) sketch aggs, one 8192-row join
+    * between them; the exact side is two keyed group-counts and a
+    * key-cardinality join — no row-level join output ever exists. */
+  def qCmJoinEst(s: SparkSession, sf: String): DataFrame = {
+    val li = t(s, sf, "lineitem")
+      .select(col("l_orderkey").cast("string").as("token"))
+    val ord = t(s, sf, "orders")
+      .select(col("o_orderkey").cast("string").as("token"))
+    val skA = cmSketch(li).withColumnRenamed("cnt", "ca")
+    val skB = cmSketch(ord).withColumnRenamed("cnt", "cb")
+    val est = skA.join(skB, Seq("j", "cell"))
+      .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_n"))
+    val exact = li.groupBy("token").agg(count(lit(1)).as("na"))
+      .join(ord.groupBy("token").agg(count(lit(1)).as("nb")), "token")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_n"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_n"), col("est_n"),
+        (col("est_n") >= col("exact_n")).as("overestimate_ok"),
+        // ×100 (percent), not ×1e6: est_n·1e6 would overflow int64 once
+        // the join passes ~9.2e12/1e6 rows — percent precision is what a
+        // broadcast-vs-shuffle decision needs anyway
+        expr("(est_n * 100) div exact_n").as("ratio_pct"))
+  }
+
   def qCmSketch(s: SparkSession, sf: String): DataFrame = {
     val docs = t(s, sf, "documents")
     val toks = tokens(docs, "text")

@@ -59,6 +59,27 @@ object SkewOps {
     probeS.join(buildS, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** X71: key-skew diagnostics — the one-row report that tells an operator
+    * (or a planner) WHETHER the salted/AQE machinery above is needed for a
+    * given key BEFORE the job runs hot: per-key cardinality distribution
+    * (count, total, max, exact p50/p99 of per-key counts) plus the
+    * hot-key-to-mean ratio in integer percent (max·100·keys div rows).
+    * One keyed count (map-side combinable — the shuffle carries one row
+    * per distinct key) and one key-cardinality-sized aggregate; at 100 TB
+    * the report costs a group-count pass, which is exactly what it prices.
+    * The percentile is Spark's exact interpolating `percentile` ≡ DuckDB
+    * `quantile_cont` (parity proven by q_percentiles), e6-quantized. */
+  def qSkewProfile(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame =
+    Tables.t(s, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"),
+        round(expr("percentile(n, 0.5)") * 1000000, 0).cast("long").as("p50_e6"),
+        round(expr("percentile(n, 0.99)") * 1000000, 0).cast("long").as("p99_e6"),
+        expr("(max(n) * 100 * count(1)) div sum(n)").as("hot_pct_of_mean"))
+
   /** Oracle-checked wiring: revenue per customer market segment through the
     * salted join must equal the plain equi-join the oracle runs. */
   def qSaltedJoin(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {

@@ -53,6 +53,19 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("skew profile: totals reconcile with the raw table, stats ordered") {
+    val ev = Tables.events(spark, sf)
+    val row = graft.ops.SkewOps.qSkewProfile(spark, sf).head()
+    assert(row.getAs[Long]("n_rows") == ev.count())
+    assert(row.getAs[Long]("n_keys") == ev.select("user_id").distinct().count())
+    val p50 = row.getAs[Long]("p50_e6"); val p99 = row.getAs[Long]("p99_e6")
+    val mx = row.getAs[Long]("max_n")
+    assert(p50 <= p99 && p99 <= mx * 1000000L,
+      s"percentiles out of order: p50=$p50 p99=$p99 max=$mx")
+    assert(row.getAs[Long]("hot_pct_of_mean") >= 100L,
+      "the hottest key cannot sit below the mean")
+  }
+
   test("salted join equals the plain equi-join on a skewed frame") {
     import spark.implicits._
     // one hot key carrying most probe rows, many cold keys

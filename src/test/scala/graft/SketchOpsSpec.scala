@@ -118,6 +118,22 @@ class SketchOpsSpec extends SparkTestBase {
       s"too many tokens past the 2N/w bound: $over")
   }
 
+  test("cm join-size estimate: never undershoots, exact side matches a real join") {
+    val row = SketchOps.qCmJoinEst(spark, sf).head()
+    val exact = row.getAs[Long]("exact_n")
+    val est = row.getAs[Long]("est_n")
+    assert(row.getAs[Boolean]("overestimate_ok") && est >= exact)
+    // the group-count-product formulation must equal the materialized join
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val joined = li.join(ord,
+      li("l_orderkey") === ord("o_orderkey")).count()
+    assert(exact == joined, s"exact side $exact != materialized join $joined")
+    // 4 rows of 2048 cells on this key cardinality: overshoot stays tame
+    assert(est <= exact * 2, s"estimate $est implausibly loose vs $exact")
+    assert(row.getAs[Long]("ratio_pct") >= 100L)
+  }
+
   test("q_cm_sketch: probes are the exact heavy hitters, verdicts all TRUE") {
     val r = SketchOps.qCmSketch(spark, sf).collect()
     assert(r.nonEmpty)
