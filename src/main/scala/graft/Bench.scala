@@ -36,7 +36,7 @@ object Bench {
     "q_unpivot", "q_regex_funcs", "q_array_funcs",
     "q_mode_median", "q_ntile", "q_above_avg", "q_arg_max",
     "q_event_runs", "q_mad_outliers", "q_hll_union",
-    "q_class_balance", "q_bpe_merges", "q_ntile_scalable",
+    "q_class_balance", "q_bpe_merges",
     "q_snapshot_diff", "q_expectations", "q_ohlc_bars",
     // round 11 additions
     "q_fuzzy_join", "q_pmi_collocations", "q_window_distinct_sketch",

@@ -165,7 +165,6 @@ object SparkEntry {
     // grouped analytics widening (round 10)
     "q_mode_median"           -> (GroupAnalytics.qModeMedian _),
     "q_ntile"                 -> (GroupAnalytics.qNtile _),
-    "q_ntile_scalable"        -> (GroupAnalytics.qNtileScalable _),
     "q_string_agg"            -> (GroupAnalytics.qStringAgg _),
     "q_conditional_agg"       -> (GroupAnalytics.qConditionalAgg _),
     "q_above_avg"             -> (GroupAnalytics.qAboveAvg _),
@@ -1739,7 +1738,6 @@ object SparkEntry {
     // one SQL, two Spark formulations (global window vs range-partitioned
     // rank composition) — the scalable path must be invisible
     "q_ntile" -> ntileSql,
-    "q_ntile_scalable" -> ntileSql,
     "q_string_agg" ->
       """SELECT r_name, count(*) AS n_nations,
         |string_agg(n_name, ',' ORDER BY n_name) AS nations
@@ -1977,7 +1975,7 @@ object SparkEntry {
         |  JOIN (SELECT token, count(*) AS nb FROM ob GROUP BY token) b
         |  USING (token))
         |SELECT exact_n, est_n, est_n >= exact_n AS overestimate_ok,
-        |  (est_n * 100) // exact_n AS ratio_pct
+        |  (est_n * 100) // greatest(exact_n, 1) AS ratio_pct
         |FROM ex CROSS JOIN est""".stripMargin,
     // X69 SQ8: unit-normalize (sequential IEEE fold), symmetric signed
     // int8 grid with one global scale, integer code dot, top-50

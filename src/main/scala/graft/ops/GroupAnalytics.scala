@@ -44,15 +44,19 @@ object GroupAnalytics {
   }
 
   /** NTILE quantile bucketing over a global order — bucket membership counts
-    * and exact per-bucket price ranges. The global ORDER BY is inherent to
-    * ntile semantics: Spark executes it as a range-partitioned total sort
-    * (sampled boundaries), not a single-partition window, but the final
-    * ntile window itself is unpartitioned — at 100 TB replace with
-    * approx-quantile boundaries + a stateless range bucketing (the shape
-    * `StatsOps.qPrunedScan`'s histogram uses); ntile here is the exact
-    * small-dimension face. Tie-break on o_orderkey keeps both engines'
-    * bucket assignment identical. */
-  def qNtile(s: SparkSession, sf: String): DataFrame = {
+    * and exact per-bucket price ranges. The registered face executes via
+    * [[qNtileScalable]] (range-partitioned exact ranks from [[globalRanks]],
+    * integer ntile arithmetic): a no-PARTITION-BY `ntile().over(window)`
+    * lands the whole table on one task, which is exactly the plan that must
+    * not exist at 100 TB. The single-partition window formulation survives
+    * only as [[qNtileWindow]], the spec-side twin GroupAnalyticsSpec proves
+    * bit-identical — the same twin-collapse as the heavy-hitter family. */
+  def qNtile(s: SparkSession, sf: String): DataFrame = qNtileScalable(s, sf)
+
+  /** The naive unpartitioned-window ntile — SPEC ONLY (one-task global
+    * sort; 11.6× superlinear at 16× data). Kept solely as the semantic
+    * reference [[qNtileScalable]] is proven identical to; never registered. */
+  def qNtileWindow(s: SparkSession, sf: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
     t(s, sf, "orders")
       .withColumn("bucket", ntile(4).over(w).cast("long"))

@@ -214,16 +214,33 @@ object SketchOps {
       .as(Seq("j", "cell")))
       .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
 
+  /** Sketch from a PRE-AGGREGATED (token, wn) frequency frame: counter for
+    * (j, cell) = Σ wn over tokens hashing there — identical counters to
+    * [[cmSketch]] over the raw rows, but the d salted-md5 hashes are
+    * computed once per DISTINCT key instead of once per row, and the
+    * group-count subtree can be SHARED (ReusedExchange) with any exact-side
+    * consumer of the same key frequencies. */
+  private[graft] def cmSketchWeighted(keyCounts: DataFrame): DataFrame =
+    keyCounts.select(col("wn"), posexplode(
+        array((0 until CmD).map(j => cmCell(j, col("token"))): _*))
+      .as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(sum(col("wn")).as("cnt"))
+
   /** Point-query `queries` (a `token` column) against a sketch: min over
-    * the d matching cells. The sketch side is broadcast — it is bounded. */
+    * the d matching cells. The sketch side is broadcast — it is bounded.
+    * LEFT join with missing cells coalesced to 0: a token the corpus never
+    * produced may hash to (j, cell) pairs absent from the counter table,
+    * and an inner join would either drop the token or take min over only
+    * the colliding cells (inflated) — the correct CM answer for an unseen
+    * key is 0, which still never underestimates. */
   private[graft] def cmEstimate(queries: DataFrame, sketch: DataFrame): DataFrame = {
     val probes = queries.select(col("*"), posexplode(
         array((0 until CmD).map(j => cmCell(j, col("token"))): _*))
       .as(Seq("j", "cell")))
     val others = queries.columns.filter(_ != "token").map(col).toSeq
-    probes.join(broadcast(sketch), Seq("j", "cell"))
+    probes.join(broadcast(sketch), Seq("j", "cell"), "left")
       .groupBy(col("token") +: others: _*)
-      .agg(min(col("cnt")).as("est_n"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }
 
   /** X70: JOIN-SIZE ESTIMATION from CM sketches (the AMS/Count-Min inner
@@ -242,29 +259,38 @@ object SketchOps {
     * counts' product — group-count shuffles, never row×row fan-out) — plus
     * the never-undershoot verdict and the e6 overshoot ratio.
     *
-    * 100 TB shape: two bounded-key (≤ d·w) sketch aggs, one 8192-row join
-    * between them; the exact side is two keyed group-counts and a
-    * key-cardinality join — no row-level join output ever exists. */
+    * 100 TB shape: ONE group-count pass per table feeds BOTH the sketch
+    * build (weighted — md5 ×d per distinct key, not per row) and the
+    * exact side, sharing the keyed shuffle via ReusedExchange; then two
+    * bounded-key (≤ d·w) sketch aggs and one 8192-row join between them —
+    * no row-level join output ever exists. */
   def qCmJoinEst(s: SparkSession, sf: String): DataFrame = {
-    val li = t(s, sf, "lineitem")
+    // one keyed group-count per table, consumed twice: identical subtrees
+    // so the exchange is built once and reused, and the d salted hashes
+    // run over |distinct keys| rows instead of |rows|
+    val liCnt = t(s, sf, "lineitem")
       .select(col("l_orderkey").cast("string").as("token"))
-    val ord = t(s, sf, "orders")
+      .groupBy("token").agg(count(lit(1)).as("wn"))
+    val ordCnt = t(s, sf, "orders")
       .select(col("o_orderkey").cast("string").as("token"))
-    val skA = cmSketch(li).withColumnRenamed("cnt", "ca")
-    val skB = cmSketch(ord).withColumnRenamed("cnt", "cb")
+      .groupBy("token").agg(count(lit(1)).as("wn"))
+    val skA = cmSketchWeighted(liCnt).withColumnRenamed("cnt", "ca")
+    val skB = cmSketchWeighted(ordCnt).withColumnRenamed("cnt", "cb")
     val est = skA.join(skB, Seq("j", "cell"))
       .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
       .agg(min(col("ip")).as("est_n"))
-    val exact = li.groupBy("token").agg(count(lit(1)).as("na"))
-      .join(ord.groupBy("token").agg(count(lit(1)).as("nb")), "token")
+    val exact = liCnt.withColumnRenamed("wn", "na")
+      .join(ordCnt.withColumnRenamed("wn", "nb"), "token")
       .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_n"))
     exact.crossJoin(broadcast(est))
       .select(col("exact_n"), col("est_n"),
         (col("est_n") >= col("exact_n")).as("overestimate_ok"),
         // ×100 (percent), not ×1e6: est_n·1e6 would overflow int64 once
         // the join passes ~9.2e12/1e6 rows — percent precision is what a
-        // broadcast-vs-shuffle decision needs anyway
-        expr("(est_n * 100) div exact_n").as("ratio_pct"))
+        // broadcast-vs-shuffle decision needs anyway. greatest(…, 1)
+        // guards disjoint key sets: exact_n = 0 must yield a defined
+        // ratio in BOTH engines (DuckDB integer // 0 errors out).
+        expr("(est_n * 100) div greatest(exact_n, 1L)").as("ratio_pct"))
   }
 
   def qCmSketch(s: SparkSession, sf: String): DataFrame = {

@@ -65,21 +65,35 @@ object TemplateSqlGenerator extends SqlGenerator {
     * (the same rule `PlannerHooks.NameMatchIdentifier` uses for its
     * join_key — the reference's tool contract, `multi_file_util.py:8-31`),
     * falling back to a prefix-stripped name match so TPC-H-style schemas
-    * (`o_custkey` ↔ `c_custkey`) join on their common stem. Deterministic:
-    * first key in name order. */
+    * (`o_custkey` ↔ `c_custkey`) join on their common stem. KEY-LIKE names
+    * (stem ending in "key" or "id") are preferred at every tier: without
+    * the preference, a full TPC-H catalog would stem-match `o_comment` ↔
+    * `c_comment` (sorts before `custkey`) and join orders×customer on
+    * comments. Deterministic: key-likeness first, then name order. */
   private def joinKeyOf(a: Tab, b: Tab): Option[(String, String)] = {
     def strip(n: String): String = {
       val p = n.split("_", 2)
       if (p.length == 2 && p(0).length <= 2) p(1) else n
     }
-    val exact = a.cols.map(_.name).toSet & b.cols.map(_.name).toSet
-    if (exact.nonEmpty) Some((exact.toSeq.sorted.head, exact.toSeq.sorted.head))
-    else {
+    def keyLike(n: String): Boolean = {
+      val s = strip(n.toLowerCase)
+      s.endsWith("key") || s.endsWith("id") || s == "id"
+    }
+    // sort key-like names first so join candidates that LOOK like keys win
+    // over arbitrary shared columns (comments, flags) at both tiers
+    def ranked(names: Seq[String]): Seq[String] =
+      names.sortBy(n => (if (keyLike(n)) 0 else 1, n))
+    val exact = (a.cols.map(_.name).toSet & b.cols.map(_.name).toSet).toSeq
+    if (exact.nonEmpty) {
+      val k = ranked(exact).head
+      Some((k, k))
+    } else {
       val byStem = b.cols.groupBy(c => strip(c.name.toLowerCase))
-      a.cols.sortBy(_.name).collectFirst(Function.unlift { c =>
-        byStem.get(strip(c.name.toLowerCase))
-          .flatMap(_.sortBy(_.name).headOption).map(bc => (c.name, bc.name))
-      })
+      ranked(a.cols.map(_.name)).iterator.flatMap { an =>
+        byStem.get(strip(an.toLowerCase))
+          .flatMap(bs => ranked(bs.map(_.name)).headOption)
+          .map(bn => (an, bn))
+      }.nextOption()
     }
   }
 

@@ -24,9 +24,11 @@ import graft.ops.MergeOps
   * `mapGroupsWithState`): the partials table is key-count-sized and every
   * batch rewrites a full snapshot — that is a table, not per-key
   * incremental state. Versioned `v<batchId>` dirs + a `_GRAFT_OK` marker
-  * make at-least-once `foreachBatch` retries idempotent (a retried batch
-  * re-reads its input snapshot and rebuilds its own version; readers only
-  * see marker-complete versions).
+  * make at-least-once `foreachBatch` retries idempotent: a retried batch
+  * folds onto its TRUE PREDECESSOR (latest sealed version with id <
+  * batchId) — never the global latest, which after a partial failure could
+  * be its own output, and additive count/sum partials would double-count —
+  * and rebuilds its own version; readers only see marker-complete versions.
   */
 object AggStream {
 
@@ -38,9 +40,15 @@ object AggStream {
     StructField("mx", DecimalType(18, 6), nullable = true)))
 
   /** Latest marker-complete partials snapshot under `stateBase` (empty
-    * typed frame when none exists yet). */
-  def currentPartials(s: SparkSession, stateBase: String): DataFrame =
-    latestVersion(stateBase) match {
+    * typed frame when none exists yet). `beforeBatch` restricts to versions
+    * with a STRICTLY smaller batch id — the maintainer reads its true
+    * predecessor through this, so an at-least-once retry of batch b (which
+    * may have already sealed v<b> before the checkpoint offset committed)
+    * can never fold its own delta in twice: count/sum partials are additive,
+    * not idempotent, so "latest snapshot" would double-count on replay. */
+  def currentPartials(s: SparkSession, stateBase: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    latestVersion(stateBase, beforeBatch) match {
       case Some(dir) => s.read.parquet(dir)
       case None => s.createDataFrame(
         java.util.Collections.emptyList[Row](), stateSchema)
@@ -51,11 +59,16 @@ object AggStream {
   def currentAggregate(s: SparkSession, stateBase: String): DataFrame =
     MergeOps.finishPartials(currentPartials(s, stateBase))
 
-  private def latestVersion(stateBase: String): Option[String] =
+  /** Version dirs sort by NUMERIC id (lexicographic 'v100000' < 'v99999'
+    * would fold a long-running stream into a stale snapshot). */
+  private def latestVersion(stateBase: String,
+      beforeBatch: Long = Long.MaxValue): Option[String] =
     Option(new java.io.File(stateBase).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("v") &&
+        f.getName.drop(1).forall(_.isDigit) &&
+        f.getName.drop(1).toLong < beforeBatch &&
         new java.io.File(f, "_GRAFT_OK").exists())
-      .sortBy(_.getName)
+      .sortBy(_.getName.drop(1).toLong)
       .lastOption.map(_.toString)
 
   /** Start the maintenance sink over a streaming frame of
@@ -71,7 +84,10 @@ object AggStream {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val delta = MergeOps.aggPartial(batch.toDF())
-          val prev = currentPartials(s, stateBase)
+          // fold onto the TRUE PREDECESSOR (latest version < batchId), not
+          // the global latest: a retried batch may find its own sealed
+          // v<batchId> and additive partials would double-count the delta
+          val prev = currentPartials(s, stateBase, beforeBatch = batchId)
             .select(col("event_type"), col("n"),
               col("sv").cast(DecimalType(38, 6)).as("sv"),
               col("mn"), col("mx"))

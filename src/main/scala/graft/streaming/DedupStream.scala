@@ -42,11 +42,14 @@ object DedupStream {
         java.util.Collections.emptyList[Row](), labelSchema)
     }
 
+  /** Numeric-id sort: lexicographic would order 'v100000' before 'v99999'
+    * and fold a long-running stream into a stale snapshot. */
   private def latestVersion(stateBase: String): Option[String] =
     Option(new java.io.File(stateBase).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("v") &&
+        f.getName.drop(1).forall(_.isDigit) &&
         new java.io.File(f, "_GRAFT_OK").exists())
-      .sortBy(_.getName)
+      .sortBy(_.getName.drop(1).toLong)
       .lastOption.map(_.toString)
 
   /** Start the maintenance sink: each non-empty micro-batch of (src, dst)

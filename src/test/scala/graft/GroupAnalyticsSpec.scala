@@ -40,7 +40,7 @@ class GroupAnalyticsSpec extends SparkTestBase {
 
   test("ntile: scalable range-partitioned rank equals the global window, " +
     "and globalRanks is a permutation of 1..n") {
-    val win = GroupAnalytics.qNtile(spark, sf)
+    val win = GroupAnalytics.qNtileWindow(spark, sf)
     val scl = GroupAnalytics.qNtileScalable(spark, sf)
     assert(scl.exceptAll(win).isEmpty && win.exceptAll(scl).isEmpty)
     val orders = Tables.t(spark, sf, "orders")
