@@ -92,15 +92,22 @@ object DedupOps {
   def freqOrderedShingles(docsWithSource: DataFrame): DataFrame = {
     val exploded = docsWithSource.select(col("doc_id"), col("source"),
       explode(col("sh")).as("key"))
-    // document frequency via an unbounded-frame window over the exploded
-    // rows instead of a groupBy+self-join: ONE exchange on `key` (the
-    // window spills per-key groups, so a hot shingle can't OOM a task)
-    // where the join formulation paid that exchange plus two sorted merge
-    // sides (part of the rework that took qNgramJaccardPairs 4.7→3.3 s
-    // median at sf0.1, with the checkpoint restructure and positional
-    // filter in qNgramJaccardPairs/candidatePairs)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
-    exploded.withColumn("df", count(lit(1)).over(w))
+    // document frequency via groupBy + SHUFFLE-HASH join back, not a
+    // window and not a sort-merge join: the df table partial-aggregates
+    // map-side down to its distinct keys before its exchange, and the
+    // `shuffle_hash` hint streams the exploded side against a hashed build
+    // of that (always far smaller) aggregated side — NO per-partition sort
+    // of the exploded corpus on either side. The window formulation this
+    // replaces sorted every key partition of the exploded rows; an
+    // unhinted join sort-merges both sides. Measured at sf0.1: full pair
+    // pipeline 2.1-3.0 s → 1.2-1.5 s. Scale shape: build side per
+    // partition is bounded by |vocabulary| / numPartitions 16-byte
+    // entries (the standard SHJ build-side condition — the aggregated
+    // side is the small side by construction); the stream side is never
+    // sorted or buffered, and a hot shingle costs its row count, not a
+    // sort of it.
+    val dfreq = exploded.groupBy("key").agg(count(lit(1)).as("df"))
+    exploded.join(dfreq.hint("shuffle_hash"), Seq("key"))
       .groupBy("doc_id", "source")
       .agg(transform(array_sort(collect_list(struct(col("df"), col("key")))),
         e => e.getField("key")).as("sh"))
@@ -297,28 +304,26 @@ object DedupOps {
   def connectedComponents(edges: DataFrame, maxIter: Int = 40,
       jumpAfter: Int = 8, driverFastPathMax: Long = 20000L): DataFrame = {
     import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
-    // materialize the symmetrized edge list ONCE — the upstream edge query
-    // may be expensive (e.g. the n-gram pair join), and every round reuses it
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
     // SMALL-GRAPH FAST PATH: a near-dup pair graph is usually orders of
     // magnitude smaller than its corpus (7 pairs from 5k docs at sf0.1);
     // for such graphs the distributed fixpoint is pure scheduling overhead
-    // — 4-6 barrier jobs to label a few dozen nodes. Below a BOUNDED edge
-    // cap (the same class of adaptive, size-capped driver decision as
-    // Spark's own broadcast-join threshold: the collect is ≤ cap × 16
-    // bytes, never corpus-scale, and the count reads the already-
-    // materialized checkpoint) the components are solved with an in-memory
-    // union-find and returned as one small DataFrame. Labels are identical
-    // by construction (min node id per component); the distributed path —
-    // exercised directly in specs and by any cap-exceeding graph — remains
-    // the 100 TB route.
-    if (sym.count() <= driverFastPathMax) {
+    // — 4-6 barrier jobs to label a few dozen nodes. Probe with ONE job: a
+    // bounded `limit(cap+1).collect()` (the same class of adaptive,
+    // size-capped driver decision as Spark's own broadcast-join threshold —
+    // ≤ cap × 16 bytes, never corpus-scale). If everything fit under the
+    // cap, the collected rows ARE the whole graph: symmetrize in driver
+    // memory and solve with union-find — no symmetrize/checkpoint/count
+    // round-trips (that sequence cost 3 blocking jobs per call, pure fixed
+    // latency on a 7-edge graph). Labels are identical by construction
+    // (min node id per component); the distributed path — exercised
+    // directly in specs and by any cap-exceeding graph — remains the
+    // 100 TB route.
+    val rawCap = (driverFastPathMax / 2).toInt // sym doubles the edge count
+    val head = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(rawCap + 1).collect()
+    if (head.length <= rawCap) {
       val s = edges.sparkSession
       import s.implicits._
-      val rows = sym.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -327,16 +332,23 @@ object DedupOps {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      rows.foreach { row =>
+      head.foreach { row =>
         val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }
-      // sym is symmetric, so every endpoint appears as src at least once
-      val labels = rows.iterator.map(_.getLong(0)).toSet[Long].toSeq.sorted
-        .map(n => (n, find(n)))
-      unpersistCheckpoint(sym)
+      val nodes = head.iterator
+        .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet[Long]
+      val labels = nodes.toSeq.sorted.map(n => (n, find(n)))
       return labels.toDF("node", "label")
     }
+    // materialize the symmetrized edge list ONCE — the upstream edge query
+    // may be expensive (e.g. the n-gram pair join), and every round reuses
+    // it. (The fast-path probe above already re-ran `edges` once; a graph
+    // this size is headed into a multi-round fixpoint where that probe is
+    // noise.)
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     // ROUND-0 CONTRACTION: near-dup pair graphs are forests of near-cliques
     // (every LSH/prefix bucket emits all its in-bucket pairs), so one
     // min-neighbor aggregation — l0(v) = min(v, neighbors(v)) — collapses
