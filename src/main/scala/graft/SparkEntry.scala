@@ -177,8 +177,10 @@ object SparkEntry {
     "q_approx_percentiles"    -> (SketchOps.qApproxPercentiles _),
     "q_window_distinct_sketch" -> (SketchOps.qWindowDistinctSketch _),
     "q_class_balance"         -> (SampleOps.qClassBalance _),
-    // X54 BPE tokenizer training (no oracle — iterative argmax; BpeSpec
-    // pins the merge sequence to the published algorithm's reference impl)
+    // X54 BPE tokenizer training — oracle-checked since r13: DuckDB
+    // replays the WHOLE train loop as a recursive CTE over the vocab
+    // state (see bpeTrainOracles); BpeSpec additionally pins the merge
+    // sequence to the published algorithm's reference impl
     "q_bpe_merges"            -> (BpeOps.qBpeMerges _),
     "q_bpe_vocab"             -> (BpeOps.qBpeVocab _),
     "q_bpe_encode"            -> (BpeOps.qBpeEncode _),
@@ -2005,7 +2007,72 @@ object SparkEntry {
          |SELECT e.vec_id, e.label, ${e6(cosSql("embedding", "qv"))} AS score_e6
          |FROM e JOIN short USING (vec_id) CROSS JOIN q
          |ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
-  ) ++ bpeEncodeOracle ++ ivfOracles ++ pqOracles
+  ) ++ bpeTrainOracles ++ bpeEncodeOracle ++ ivfOracles ++ pqOracles
+
+  /** X54a/X54b oracles (since r13): the TRAINING loop itself, replayed in
+    * DuckDB — the last two queries that previously had no oracle. A
+    * recursive CTE carries the full word-frequency vocab as per-iteration
+    * state; each step computes the global pair-count argmax over the
+    * PREVIOUS iteration's rows (tie-break n DESC, l ASC, r ASC — the same
+    * total order `learnBpe` collects) and applies the winning merge to
+    * every word. The left-to-right NON-OVERLAPPING fold is expressed as a
+    * plain string `replace` over a delimiter-wrapped symbol string
+    * (chr(1)·sym·chr(2) per symbol): `replace` scans left to right and
+    * continues AFTER each replacement, which is exactly the fold's
+    * greedy-non-overlapping semantics, and the per-symbol wrapping keeps
+    * adjacent matches from sharing delimiter characters (a single-space
+    * join would drop every second merge in an `a a a a` run). The merge
+    * table is read back as the DISTINCT (iteration, l, r, n) rows — every
+    * vocab row of an iteration carries the merge that produced it — and
+    * the vocab face re-reads the FINAL iteration's symbolization (which
+    * equals encode-with-all-merges; BpeSpec proves trained-state ≡
+    * re-encode). Verified to reproduce the persisted artifact
+    * byte-for-byte at sf0.001/0.01/0.1. */
+  private def bpeTrainOracles: Map[String, String] = {
+    val core =
+      """WITH RECURSIVE
+        |wv AS (SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |init AS (SELECT word, freq,
+        |    chr(1) || array_to_string(
+        |      list_append(list_filter(string_split(word, ''), x -> x <> ''), '</w>'),
+        |      chr(2) || chr(1)) || chr(2) AS s
+        |  FROM wv),
+        |t AS (
+        |  SELECT 0 AS it, word, freq, s,
+        |    CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+        |    CAST(NULL AS BIGINT) AS n
+        |  FROM init
+        |  UNION ALL
+        |  SELECT t.it + 1, t.word, t.freq,
+        |    replace(t.s, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+        |      chr(1) || b.l || b.r || chr(2)) AS s,
+        |    b.l, b.r, b.n
+        |  FROM t, (
+        |    SELECT z[1] AS l, z[2] AS r, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |      SELECT freq, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+        |      FROM (SELECT freq,
+        |        string_split(s[2:len(s)-1], chr(2) || chr(1)) AS toks FROM t)
+        |    ) q(freq, z)
+        |    GROUP BY z[1], z[2]
+        |    ORDER BY n DESC, l ASC, r ASC LIMIT 1
+        |  ) b
+        |  WHERE t.it < 20 AND b.n >= 2
+        |)
+        |""".stripMargin
+    Map(
+      "q_bpe_merges" -> (core +
+        """SELECT DISTINCT CAST(it AS BIGINT) AS rank, l AS "left",
+          |  r AS "right", l || r AS merged, n
+          |FROM t WHERE it >= 1 ORDER BY rank""".stripMargin),
+      "q_bpe_vocab" -> (core +
+        """SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM (
+          |  SELECT freq, unnest(string_split(s[2:len(s)-1], chr(2) || chr(1))) AS token
+          |  FROM t WHERE it = (SELECT max(it) FROM t))
+          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 30""".stripMargin))
+  }
 
   /** The Morton interleave as DuckDB SQL — the same 16 shift/mask/or
     * triples `LayoutOps.zValue` builds as Column expressions. */

@@ -182,9 +182,12 @@ object BpeOps {
 
   /** X54a: the learned merge table over the documents corpus — rank order
     * IS the tokenizer definition, served from the persisted artifact
-    * (trained at most once per corpus via [[ensureBpe]]). No oracle
-    * (iterative argmax is not SQL-expressible in one statement); BpeSpec
-    * pins the training loop to the in-memory reference implementation. */
+    * (trained at most once per corpus via [[ensureBpe]]). ORACLE-CHECKED
+    * since r13: DuckDB replays the whole training loop as one recursive
+    * CTE (vocab state per iteration, global pair-count argmax, merge as a
+    * delimiter-wrapped string `replace` — see SparkEntry.bpeTrainOracles),
+    * so the iterative argmax IS SQL-expressible after all; BpeSpec
+    * additionally pins the loop to the in-memory reference impl. */
   def qBpeMerges(s: SparkSession, sf: String): DataFrame =
     s.read.parquet(ensureBpe(s, sf, 20))
       .select(col("rank"), col("left"), col("right"),
@@ -199,9 +202,8 @@ object BpeOps {
     * — char-split + each merge rank as a left-to-right non-overlapping
     * fold, expressed as a recursive CTE over (word, rank, position) —
     * so the fixed-depth codegen fold chain is hash-verified against an
-    * independent engine's replay of the same algorithm. (The TRAINING
-    * loop stays rows-only: an iterative global argmax is genuinely not
-    * one SQL statement; BpeSpec pins it to an in-memory reference.) */
+    * independent engine's replay of the same algorithm. (Since r13 the
+    * TRAINING loop is hash-checked too — SparkEntry.bpeTrainOracles.) */
   def qBpeEncode(s: SparkSession, sf: String): DataFrame = {
     val docs = t(s, sf, "documents")
     val merges = loadMerges(s, sf, 20)
