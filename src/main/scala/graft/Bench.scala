@@ -44,7 +44,9 @@ object Bench {
     "q_approx_percentiles",
     // round 12 additions
     "q_cm_sketch", "q_retrieval_metrics", "q_zorder_values", "q_sq8_topk",
-    "q_cm_join_est", "q_skew_profile")
+    "q_cm_join_est", "q_skew_profile",
+    // round 13 additions
+    "q_planned_skew_join")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

@@ -194,7 +194,10 @@ object SparkEntry {
     "q_zorder_values"         -> (LayoutOps.qZorderValues _),
     "q_sq8_topk"              -> (VectorOps.qSq8Topk _),
     "q_cm_join_est"           -> (SketchOps.qCmJoinEst _),
-    "q_skew_profile"          -> (SkewOps.qSkewProfile _)
+    "q_skew_profile"          -> (SkewOps.qSkewProfile _),
+    // X72 the closed planner loop: CM join estimate + skew profile DRIVE
+    // a broadcast/salt/shuffle choice; routing invisible in the result
+    "q_planned_skew_join"     -> (SkewOps.qPlannedSkewJoin _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -1979,6 +1982,43 @@ object SparkEntry {
         |SELECT exact_n, est_n, est_n >= exact_n AS overestimate_ok,
         |  (est_n * 100) // greatest(exact_n, 1) AS ratio_pct
         |FROM ex CROSS JOIN est""".stripMargin,
+    // X72 closed planner loop: DuckDB replays all three measurements
+    // (build count, hot-key percent, the salted-md5 CM join estimate —
+    // the q_cm_join_est hash rows), re-derives the SAME decision, and
+    // checks the routed join's aggregate against the plain equi-join —
+    // the decision column and the routing-invisibility are hash-gated
+    "q_planned_skew_join" ->
+      """WITH ev AS (SELECT CASE WHEN event_type = 'view' THEN 0 ELSE user_id END
+        |    AS uid, value FROM events),
+        |cu AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |bc AS (SELECT count(*) AS build_rows FROM cu),
+        |prof AS (SELECT CAST(coalesce((max(n) * 100 * count(*)) // sum(n), 0)
+        |    AS BIGINT) AS hot_pct
+        |  FROM (SELECT uid, count(*) AS n FROM ev GROUP BY uid)),
+        |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS v(j)),
+        |ska AS (SELECT j, cell, count(*) AS ca FROM (SELECT j,
+        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' ||
+        |    CAST(uid AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  FROM ev, js) GROUP BY j, cell),
+        |skb AS (SELECT j, cell, count(*) AS cb FROM (SELECT j,
+        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' ||
+        |    CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  FROM cu, js) GROUP BY j, cell),
+        |est AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est_n FROM (
+        |  SELECT j, sum(ca * cb) AS ip FROM ska JOIN skb USING (j, cell)
+        |  GROUP BY j)),
+        |dec AS (SELECT CASE WHEN build_rows <= 1000 THEN 'broadcast'
+        |    WHEN est_n >= 5000 AND hot_pct >= 300 THEN 'salt'
+        |    ELSE 'shuffle' END AS decision,
+        |  CAST(build_rows AS BIGINT) AS build_rows, est_n, hot_pct
+        |  FROM bc, est, prof)
+        |SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  decision, build_rows, est_n AS est_join_rows,
+        |  hot_pct AS hot_pct_of_mean
+        |FROM ev JOIN cu ON uid = c_custkey, dec
+        |GROUP BY c_mktsegment, decision, build_rows, est_n, hot_pct
+        |ORDER BY c_mktsegment""".stripMargin,
     // X69 SQ8: unit-normalize (sequential IEEE fold), symmetric signed
     // int8 grid with one global scale, integer code dot, top-50
     // shortlist, exact micro-int cosine re-rank — every stage a pure

@@ -214,6 +214,20 @@ object SketchOps {
       .as(Seq("j", "cell")))
       .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
 
+  /** CM join-cardinality estimate between two PRE-AGGREGATED (token, wn)
+    * key-frequency frames, as a 1-row (est_n) frame — the planner-facing
+    * primitive behind [[qCmJoinEst]] and the broadcast/salt/shuffle
+    * decision in `SkewOps.qPlannedSkewJoin`. NULL est (no cell ever
+    * collides — disjoint key sets on an empty corpus) is the caller's to
+    * coalesce to 0. */
+  private[graft] def cmJoinEstimate(aCnt: DataFrame, bCnt: DataFrame): DataFrame = {
+    val skA = cmSketchWeighted(aCnt).withColumnRenamed("cnt", "ca")
+    val skB = cmSketchWeighted(bCnt).withColumnRenamed("cnt", "cb")
+    skA.join(skB, Seq("j", "cell"))
+      .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_n"))
+  }
+
   /** Sketch from a PRE-AGGREGATED (token, wn) frequency frame: counter for
     * (j, cell) = Σ wn over tokens hashing there — identical counters to
     * [[cmSketch]] over the raw rows, but the d salted-md5 hashes are
@@ -274,11 +288,7 @@ object SketchOps {
     val ordCnt = t(s, sf, "orders")
       .select(col("o_orderkey").cast("string").as("token"))
       .groupBy("token").agg(count(lit(1)).as("wn"))
-    val skA = cmSketchWeighted(liCnt).withColumnRenamed("cnt", "ca")
-    val skB = cmSketchWeighted(ordCnt).withColumnRenamed("cnt", "cb")
-    val est = skA.join(skB, Seq("j", "cell"))
-      .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("est_n"))
+    val est = cmJoinEstimate(liCnt, ordCnt)
     val exact = liCnt.withColumnRenamed("wn", "na")
       .join(ordCnt.withColumnRenamed("wn", "nb"), "token")
       .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_n"))

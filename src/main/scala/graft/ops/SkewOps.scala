@@ -80,6 +80,76 @@ object SkewOps {
         round(expr("percentile(n, 0.99)") * 1000000, 0).cast("long").as("p99_e6"),
         expr("(max(n) * 100 * count(1)) div sum(n)").as("hot_pct_of_mean"))
 
+  /** X72: the CLOSED planner loop — measure, decide, execute. The two
+    * diagnostics this module and SketchOps provide ([[qSkewProfile]]'s
+    * hot-key ratio, `SketchOps.cmJoinEstimate`'s join-cardinality price)
+    * here DRIVE a join strategy choice instead of just reporting:
+    *
+    *   1. build-side row count ≤ [[BroadcastCapRows]] → `broadcast`
+    *      (replicate the dimension, no shuffle at all);
+    *   2. else if the CM-estimated join cardinality ≥
+    *      [[MinJoinRowsForSalt]] (a shuffle worth optimizing) AND the
+    *      probe key's hot-key-to-mean ratio ≥ [[SaltHotPct]] → `salt`
+    *      ([[saltedJoin]]: hot key spread over 8 reducers, build
+    *      replicated per salt);
+    *   3. else → plain shuffle equi-join.
+    *
+    * The probe is a DELIBERATELY skewed key: view events are logged
+    * anonymously (user 0) — the classic default-value pathology that
+    * concentrates ~20% of a corpus on one key, exactly what salting
+    * exists for. All three measurements are metadata-scale driver reads
+    * (a count, a 1-row aggregate, a 1-row sketch estimate — the AQE
+    * decision shape), every one a deterministic pure function of the
+    * data, so the ORACLE replays measurements, decision, and result:
+    * the routing must be invisible in the output (the salted-join /
+    * broadcast-join twins' invariant), and the decision column itself is
+    * hash-checked. The corpus lands on `salt` at sf0.01/sf0.1 (build >
+    * cap, est ≥ bar, hot ≈ 30× mean) and on `broadcast` at sf0.001
+    * (150-row build) — both branches exercised across the test SFs;
+    * PlanSpec asserts the salted physical shape engaged at the spec SF. */
+  private val BroadcastCapRows = 1000L
+  private val SaltHotPct = 300L      // hot key ≥ 3× the mean key
+  private val MinJoinRowsForSalt = 5000L
+
+  def qPlannedSkewJoin(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+      .select(when(col("event_type") === "view", lit(0L))
+        .otherwise(col("user_id")).as("uid"), col("value"))
+    val cust = Tables.t(s, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    // measurement 1: build cardinality (one count)
+    val buildRows = cust.count()
+    // measurement 2: probe-key skew (one group-count pass, 1-row report)
+    val hotPct = Option(ev.groupBy("uid").agg(count(lit(1)).as("n"))
+        .agg(expr("(max(n) * 100 * count(1)) div sum(n)").as("hot"))
+        .collect()(0).getAs[java.lang.Long]("hot"))
+      .map(_.longValue).getOrElse(0L)
+    // measurement 3: join cardinality priced from two 8 KB CM sketches
+    val estJoinRows = Option(SketchOps.cmJoinEstimate(
+        ev.select(col("uid").cast("string").as("token"))
+          .groupBy("token").agg(count(lit(1)).as("wn")),
+        cust.select(col("c_custkey").cast("string").as("token"))
+          .groupBy("token").agg(count(lit(1)).as("wn")))
+        .collect()(0).getAs[java.lang.Long]("est_n"))
+      .map(_.longValue).getOrElse(0L)
+    val decision =
+      if (buildRows <= BroadcastCapRows) "broadcast"
+      else if (estJoinRows >= MinJoinRowsForSalt && hotPct >= SaltHotPct) "salt"
+      else "shuffle"
+    val probe = ev.withColumnRenamed("uid", "c_custkey")
+    val joined = decision match {
+      case "broadcast" => probe.join(broadcast(cust), Seq("c_custkey"))
+      case "salt" => saltedJoin(probe, cust, "c_custkey", saltOn = "value")
+      case _ => probe.join(cust, Seq("c_custkey"))
+    }
+    joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), Tables.dsum(col("value"), 6).as("sum_value"))
+      .select(col("c_mktsegment"), col("n_events"), col("sum_value"),
+        lit(decision).as("decision"), lit(buildRows).as("build_rows"),
+        lit(estJoinRows).as("est_join_rows"), lit(hotPct).as("hot_pct_of_mean"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Oracle-checked wiring: revenue per customer market segment through the
     * salted join must equal the plain equi-join the oracle runs. */
   def qSaltedJoin(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {

@@ -80,6 +80,37 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(want.select("k", "v", "attr").exceptAll(got.select("k", "v", "attr")).isEmpty)
   }
 
+  test("planned skew join: measurements drive salt at sf0.01 and broadcast " +
+    "at sf0.001, the decided shape engages, and routing is invisible") {
+    val sf01 = "/root/testdata/sf0.01"
+    // sf0.01: build (1500) > broadcast cap, est join >= bar, hot key ~30x
+    // the mean -> salt, and the physical plan must carry the salted shape
+    val salted = SkewOps.qPlannedSkewJoin(spark, sf01)
+    val sRows = salted.collect()
+    assert(sRows.nonEmpty && sRows.forall(_.getAs[String]("decision") == "salt"),
+      s"expected salt decision at sf0.01: ${sRows.toSeq}")
+    val sp = salted.queryExecution.executedPlan.toString
+    assert(sp.contains("__salt"), s"salted join keys missing from plan:\n$sp")
+    assert(sp.contains("Generate") || sp.toLowerCase.contains("explode"),
+      s"build side must replicate per salt:\n$sp")
+    // sf0.001: 150-row build -> broadcast, and the plan must broadcast
+    val bc = SkewOps.qPlannedSkewJoin(spark, sf)
+    assert(bc.collect().forall(_.getAs[String]("decision") == "broadcast"))
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // routing invisible: the salted aggregate equals the plain equi-join
+    val ev = Tables.events(spark, sf01).select(
+      when(col("event_type") === "view", lit(0L))
+        .otherwise(col("user_id")).as("c_custkey"), col("value"))
+    val plain = ev
+      .join(Tables.t(spark, sf01, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")), Seq("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), Tables.dsum(col("value"), 6).as("sum_value"))
+    val got = salted.select("c_mktsegment", "n_events", "sum_value")
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty,
+      "salted routing changed the join result")
+  }
+
   test("IVF top-k finds the true best hit and achieves high top-10 recall") {
     val e = Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
     val brute = VectorOps.qCosineTopk(spark, "/root/testdata/sf0.01")
