@@ -43,6 +43,69 @@ class BenchScaleSpec extends SparkTestBase {
     assert(ev.select("event_id").distinct().count() == ev.count())
   }
 
+  test("adaptive-geometry recall floors at replicated scale: banded, LSH, " +
+    "and IVF faces all find planted near-dup twins (mult=4)") {
+    // adaptiveBandBits/adaptiveLshBits/adaptiveNlist change layout only
+    // ABOVE the testdata SFs, where no oracle runs — so adaptivity could
+    // silently trade recall for the x16 speed it bought. This pins it:
+    // a mult=4 replica of sf0.1 (8000 vectors) plus planted near-dup
+    // twins (multiplicative ±2% perturbation, cosine ≥ 0.9997, one per
+    // 10th vector) crosses the 8192-row threshold where the adaptive
+    // sizing engages (bandBits 8→9, lshBits 4→5, nlist ≈ 94), and every
+    // family must still recall ≥ 0.8 of the KNOWN true pairs. (Raw
+    // recall vs the 0.3-cosine exact pair set is not the right floor —
+    // this corpus has no organic pairs above 0.55, and banding is
+    // designed to pass weak pairs probabilistically; planted twins are
+    // the ground truth whose loss would mean adaptivity broke recall.
+    // Measured: all three faces at 1.0 here.)
+    import graft.ops.VectorOps
+    val scaled4 = BenchScale.ensureScaled(spark, "/root/testdata/sf0.1", 4)
+    val e = graft.ops.Tables.t(spark, scaled4, "embeddings")
+    val planted = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0f) + when(pmod(i, lit(2)) === lit(0), lit(0.02f))
+            .otherwise(lit(-0.02f)))).cast("float")).as("embedding"))
+    val corpus = e.unionByName(planted).localCheckpoint()
+    val n = corpus.count()
+    assert(VectorOps.adaptiveBandBits(n) > 8 && VectorOps.adaptiveLshBits(n) > 4,
+      s"corpus must be large enough to ENGAGE the adaptive sizing (n=$n)")
+    val twins = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + 1000000L).as("id_b"))
+      .localCheckpoint()
+    val nTwin = twins.count()
+    // banded exact-cosine face at the corpus-sized geometry
+    val banded = VectorOps.embedNeardupPairs(corpus, bands = 4,
+      per = VectorOps.adaptiveBandBits(n)).select("id_a", "id_b")
+    val bandRecall = banded.join(twins, Seq("id_a", "id_b"), "left_semi")
+      .count().toDouble / nTwin
+    assert(bandRecall >= 0.8, s"banded twin recall $bandRecall < 0.8 at n=$n")
+    // hyperplane-LSH face at the corpus-sized geometry
+    val lsh = VectorOps.lshCandidatePairs(corpus,
+        bits = 4 * VectorOps.adaptiveLshBits(n), bands = 4)
+      .select(col("id_a"), col("id_b"),
+        round(graft.ops.Tables.cosineFast(col("va"), col("vb")) * 1000000, 0)
+          .cast("long").as("sim_e6"))
+      .filter(col("sim_e6") >= 300000)
+    val lshRecall = lsh.join(twins, Seq("id_a", "id_b"), "left_semi")
+      .count().toDouble / nTwin
+    assert(lshRecall >= 0.8, s"LSH twin recall $lshRecall < 0.8 at n=$n")
+    // trained-IVF batch face (adaptiveNlist = sqrt N): each query's twin
+    // must surface in its top-5 — near-identical vectors must land in the
+    // same probed list
+    val tdir = s"target/tmp_recall_floor/${java.lang.ProcessHandle.current.pid}"
+    corpus.write.mode("overwrite").parquet(s"$tdir/embeddings.parquet")
+    val got = SparkEntry.queries("q_ivf_topk_batch")(spark, tdir)
+      .select("query_id", "vec_id")
+    val qTwins = twins.select(col("id_a").as("query_id"), col("id_b").as("vec_id"))
+      .filter(col("query_id") % 100 === 0)
+    val bothWays = qTwins.unionByName(
+      qTwins.select(col("vec_id").as("query_id"), col("query_id").as("vec_id")))
+    val annRecall = got.join(bothWays, Seq("query_id", "vec_id"), "left_semi")
+      .count().toDouble / bothWays.count()
+    assert(annRecall >= 0.8, s"IVF twin-in-top5 recall $annRecall < 0.8 at n=$n")
+  }
+
   test("replica docs and embeddings are not near-dups of the originals") {
     // disjoint shingle spaces: replica tokens are prefixed, so an exact
     // dedup over the scaled corpus finds no cross-replica duplicates

@@ -187,6 +187,62 @@ class QueryPipelineSpec extends SparkTestBase {
       s"row-select sort not applied: $rates")
   }
 
+  test("multi-intent over a mixed loan+orders catalog: three sub-answers, " +
+    "each routed to its own table(s), join leg included, deterministic summary") {
+    import org.apache.spark.sql.functions._
+    // the reference's defining demo (langgraph_pipeline.py:579-591,
+    // README.md:375 'multi-intent'): ONE NL question decomposes into
+    // sub-queries that hit DIFFERENT catalog tables — here a loan sheet
+    // ingested from xlsx plus the warehouse orders/customer pair — each
+    // identified, generated, and executed independently through the
+    // DEFAULT hooks (no canned generator), then summarized
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "qp_multi").toString
+    val res = IngestionPipeline.run(spark, Seq("/root/reference/loan.xlsx"), out)
+    val catalog = Seq(
+      CatalogOps.profileTable(spark, s"$out/parquet_files", res.files.head.table),
+      CatalogOps.profileTable(spark, sf, "orders"),
+      CatalogOps.profileTable(spark, sf, "customer"))
+    val loans = spark.read.parquet(res.files.head.parquetPath)
+
+    val ans = QueryPipeline.run(spark,
+      "total loan amount requested per loan type; " +
+        "total totalprice per mktsegment for orders and customer; " +
+        "how many loans with credit score over 700", catalog)
+    assert(ans.subResults.size == 3)
+    assert(ans.subResults.forall(_.error.isEmpty), ans.summary)
+
+    // leg 1: grouped aggregate over the LOAN table only
+    val r1 = ans.subResults(0)
+    assert(r1.result.columns.toSeq == Seq("loan_type", "sum_loan_amount_requested"))
+    val want1 = loans.groupBy("loan_type")
+      .agg(sum("loan_amount_requested").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    r1.result.collect().foreach(r =>
+      assert(math.abs(r.getDouble(1) - want1(r.getString(0))) < 1e-6))
+
+    // leg 2: the aliased two-table equi-join over orders x customer
+    val r2 = ans.subResults(1)
+    assert(r2.tables.toSet.contains("orders") && r2.tables.toSet.contains("customer"))
+    assert(r2.result.columns.toSeq == Seq("c_mktsegment", "sum_o_totalprice"))
+    val want2 = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1))).count()
+    assert(r2.result.count() == want2)
+
+    // leg 3: filtered count back on the loan table
+    val r3 = ans.subResults(2)
+    assert(r3.result.head.getLong(0) ==
+      loans.filter(col("credit_score") > 700).count())
+
+    // the summary is a pure function of the sub-results: one Q/A block
+    // per sub-query, each reporting its row count and tables
+    assert(ans.summary == QueryPipeline.summarize(ans.subResults))
+    assert(ans.summary.split("\n\n").length == 3)
+    assert(ans.summary.contains("rows"))
+  }
+
   test("loadContext follows the reference union-vs-join decision") {
     val catalog = Seq("customer", "supplier").map(CatalogOps.profileTable(spark, sf, _))
     // >1 table, no join key -> union by name with provenance
