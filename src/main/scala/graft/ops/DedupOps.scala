@@ -556,24 +556,35 @@ object DedupOps {
     * recursive-CTE transitive closure, so the fixpoint itself is
     * hash-verified. Runs jobs during construction (iterative), like the
     * ingest roundtrips. */
+  /** True when every leaf of the frame's plan is a LocalRelation — the
+    * shape [[connectedComponents]]' driver fast path returns. Such a frame
+    * pins no executor storage and references no checkpointed RDD, so
+    * downstream summaries need no protective checkpoint of their own. */
+  private def isDriverLocal(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+
   def qDedupClusters(s: SparkSession, sf: String): DataFrame = {
     val pairs = qNgramJaccardPairs(s, sf).select(
       col("id_a").as("src"), col("id_b").as("dst"))
     val labels = connectedComponents(pairs)
     // the pair checkpoint qNgramJaccardPairs handed off is consumed once
-    // the fixpoint's own first checkpoint exists; free it deterministically
+    // the fixpoint returns; free it deterministically
     org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(pairs)
-    // materialize the TINY cluster summary eagerly so the full label set —
-    // the only thing still pinning executor storage after the fixpoint —
-    // can be freed here instead of living for the app's lifetime (the
-    // bench repeats this query; without the handoff each run would leave
-    // one full label RDD behind)
-    val clusters = labels
+    val summary = labels
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
       .filter(col("n_members") >= 2)
       .orderBy("cluster_rep")
-      .localCheckpoint()
+    // materialize the TINY cluster summary eagerly so the full label set —
+    // the only thing still pinning executor storage after a DISTRIBUTED
+    // fixpoint — can be freed here instead of living for the app's
+    // lifetime. The fast path's labels are a driver-local relation: no
+    // blocks to free, no checkpointed lineage to cut — the protective
+    // blocking job would be pure fixed latency, so it is skipped.
+    val clusters = if (isDriverLocal(labels)) summary else summary.localCheckpoint()
     org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(labels)
     clusters
   }
@@ -645,7 +656,7 @@ object DedupOps {
       .join(comp.select(col("node").as("vec_id"), col("label").as("comp")), Seq("vec_id"))
       .groupBy("coll")
       .agg(count(lit(1)).as("n_clustered"), countDistinct(col("comp")).as("n_clusters"))
-    val report = e.groupBy("coll").agg(count(lit(1)).as("n_vecs"))
+    val summary = e.groupBy("coll").agg(count(lit(1)).as("n_vecs"))
       .join(dupStats, Seq("coll"), "left")
       .select(col("coll").as("label"), col("n_vecs"),
         coalesce(col("n_clustered"), lit(0L)).as("n_in_dup_clusters"),
@@ -653,7 +664,9 @@ object DedupOps {
         (col("n_vecs") - coalesce(col("n_clustered") - col("n_clusters"), lit(0L)))
           .as("n_kept"))
       .orderBy("label")
-      .localCheckpoint() // free the component labels (see qDedupClusters)
+    // free the component labels (see qDedupClusters); skip the protective
+    // checkpoint when the fast path returned a driver-local label relation
+    val report = if (isDriverLocal(comp)) summary else summary.localCheckpoint()
     org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(comp)
     report
   }
