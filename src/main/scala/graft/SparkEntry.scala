@@ -69,6 +69,7 @@ object SparkEntry {
     "q_ingest_csv_roundtrip"  -> (IngestOps.qIngestCsvRoundtrip _),
     "q_ingest_tsv_roundtrip"  -> (IngestOps.qIngestTsvRoundtrip _),
     "q_ingest_json_roundtrip" -> (IngestOps.qIngestJsonRoundtrip _),
+    "q_ingest_orc_roundtrip"  -> (IngestOps.qIngestOrcRoundtrip _),
     "q_partitioned_roundtrip" -> (IngestOps.qPartitionedRoundtrip _),
     // text / vector / dedup (SURVEY §2d + north star)
     "q_chunk_rows"            -> (TextOps.qChunkRows _),
@@ -905,6 +906,10 @@ object SparkEntry {
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |count(DISTINCT o_orderstatus) AS n_status FROM orders""".stripMargin,
     "q_ingest_json_roundtrip" ->
+      """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |count(DISTINCT o_orderstatus) AS n_status FROM orders""".stripMargin,
+    "q_ingest_orc_roundtrip" ->
       """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |count(DISTINCT o_orderstatus) AS n_status FROM orders""".stripMargin,
@@ -1897,11 +1902,11 @@ object SparkEntry {
         |  WHERE n >= n_total // 2000 + 1),
         |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS v(j)),
         |cells AS (SELECT j,
-        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' || token), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  CAST(CONCAT('0x', substring(md5('cm:' || token), 1 + 8 * j, 8)) AS BIGINT) % 2048 AS cell
         |  FROM tok, js),
         |sketch AS (SELECT j, cell, count(*) AS cnt FROM cells GROUP BY j, cell),
         |probes AS (SELECT hh.token, hh.exact_n, j,
-        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' || hh.token), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  CAST(CONCAT('0x', substring(md5('cm:' || hh.token), 1 + 8 * j, 8)) AS BIGINT) % 2048 AS cell
         |  FROM hh, js)
         |SELECT token, exact_n, CAST(min(cnt) AS BIGINT) AS est_n,
         |  CAST(min(cnt) AS BIGINT) >= exact_n AS overestimate_ok
@@ -1967,10 +1972,10 @@ object SparkEntry {
         |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS token FROM orders),
         |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS v(j)),
         |ska AS (SELECT j, cell, count(*) AS ca FROM (SELECT j,
-        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' || token), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  CAST(CONCAT('0x', substring(md5('cm:' || token), 1 + 8 * j, 8)) AS BIGINT) % 2048 AS cell
         |  FROM la, js) GROUP BY j, cell),
         |skb AS (SELECT j, cell, count(*) AS cb FROM (SELECT j,
-        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' || token), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  CAST(CONCAT('0x', substring(md5('cm:' || token), 1 + 8 * j, 8)) AS BIGINT) % 2048 AS cell
         |  FROM ob, js) GROUP BY j, cell),
         |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_n FROM (
         |  SELECT j, sum(ca * cb) AS ip FROM ska JOIN skb USING (j, cell)
@@ -1997,12 +2002,12 @@ object SparkEntry {
         |  FROM (SELECT uid, count(*) AS n FROM ev GROUP BY uid)),
         |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS v(j)),
         |ska AS (SELECT j, cell, count(*) AS ca FROM (SELECT j,
-        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' ||
-        |    CAST(uid AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  CAST(CONCAT('0x', substring(md5('cm:' ||
+        |    CAST(uid AS VARCHAR)), 1 + 8 * j, 8)) AS BIGINT) % 2048 AS cell
         |  FROM ev, js) GROUP BY j, cell),
         |skb AS (SELECT j, cell, count(*) AS cb FROM (SELECT j,
-        |  CAST(CONCAT('0x', substring(md5('cm' || j || ':' ||
-        |    CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS cell
+        |  CAST(CONCAT('0x', substring(md5('cm:' ||
+        |    CAST(c_custkey AS VARCHAR)), 1 + 8 * j, 8)) AS BIGINT) % 2048 AS cell
         |  FROM cu, js) GROUP BY j, cell),
         |est AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est_n FROM (
         |  SELECT j, sum(ca * cb) AS ip FROM ska JOIN skb USING (j, cell)

@@ -25,6 +25,8 @@ object IngestOps {
         spark.read.option("multiLine", "true").json(path)
       else if (lower.endsWith(".parquet"))
         spark.read.parquet(path)
+      else if (lower.endsWith(".orc"))
+        spark.read.orc(path)
       else if (lower.endsWith(".xlsx"))
         // first non-empty sheet in WORKBOOK order (readXlsx returns an
         // ordered Seq); per-sheet tables via ExcelSource.readXlsx, which
@@ -105,6 +107,34 @@ object IngestOps {
     // has no rows (a JSON dir with no data files) and fail the parquet
     // write; on non-empty data it matches what inference produces
     val back = CleanColumns(s.read.schema(out.schema).json(s"$work/orders_json"))
+    writeParquetZstd(back, s"$work/orders_pq")
+    s.read.parquet(s"$work/orders_pq").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey").cast("long")).as("sum_key"),
+      dsum(col("o_totalprice"), 2).as("sum_price"),
+      countDistinct(col("o_orderstatus")).as("n_status"))
+  }
+
+  /** S13: ORC round-trip — the OTHER columnar interchange format Spark
+    * ships natively (a warehouse migrating Hive/ORC data into this
+    * pipeline hands over .orc directories). Export orders to zstd ORC,
+    * re-ingest through the same cleaning path, land as zstd parquet,
+    * aggregate; the aggregate must equal the same aggregate over the
+    * original table — proving types (decimal-ish doubles, strings, longs)
+    * survive the ORC writer/reader pair. Unlike the text formats there is
+    * no schema inference step: ORC carries its schema, so the contract is
+    * type fidelity, not parsing. */
+  def qIngestOrcRoundtrip(s: SparkSession, sf: String): DataFrame = {
+    val work = "target/tmp_ingest_orc"
+    val src = t(s, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    src.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .orc(s"$work/orders_orc")
+    // explicit schema for the same reason as the JSON path: an EMPTY table
+    // writes a directory with no data files, leaving inference nothing to
+    // read (type fidelity through the schema-carrying ORC reader is proven
+    // by OpsSpec's readAny dispatch test on real files)
+    val back = CleanColumns(s.read.schema(src.schema).orc(s"$work/orders_orc"))
     writeParquetZstd(back, s"$work/orders_pq")
     s.read.parquet(s"$work/orders_pq").agg(
       count(lit(1)).as("n_rows"),

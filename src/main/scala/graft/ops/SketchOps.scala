@@ -187,8 +187,9 @@ object SketchOps {
     * error (est ≥ true always; est ≤ true + 2N/w with prob ≥ 1−(1/2)^d).
     *
     * FULLY ORACLE-CHECKED, not just a contract: the d hash functions are
-    * salted md5 (`md5("cm<j>:" ++ token)` → first 15 hex digits → mod w),
-    * bit-identical in Spark (`conv(…,16,10)`) and DuckDB
+    * disjoint 8-hex-digit windows of ONE `md5("cm:" ++ token)` digest
+    * (mod w — exact-uniform since w divides 2³²), bit-identical in Spark
+    * (`conv(…,16,10)`) and DuckDB
     * (`CAST('0x'||… AS BIGINT)`), so the whole sketch — every counter,
     * every estimate — is a deterministic pure function of the data that
     * DuckDB replays end to end. The probe set is the exact heavy-hitter
@@ -203,14 +204,26 @@ object SketchOps {
   private val CmD = 4   // hash rows
   private val CmW = 2048L // counters per row
 
-  private def cmCell(j: Int, tok: org.apache.spark.sql.Column) =
-    pmod(conv(substring(md5(concat(lit(s"cm$j:"), tok)), 1, 15), 16, 10)
+  /** The d cell indexes come from ONE md5 per key, not d salted calls:
+    * an md5 digest is 32 hex chars, and the d = 4 rows each read a
+    * DISJOINT 8-hex-digit window (32 uniform bits; 2048 divides 2³², so
+    * `mod w` stays exactly uniform) — independent-enough hash rows at a
+    * quarter of the hashing cost, which is the dominant per-row work of
+    * every sketch build (measured: the 16×-scale `q_cm_join_est` spends
+    * its time in md5). Both engines slice the same digest, so DuckDB
+    * replay stays bit-exact. */
+  private def cmDigest(tok: org.apache.spark.sql.Column) =
+    md5(concat(lit("cm:"), tok))
+
+  private def cmCell(j: Int, digest: org.apache.spark.sql.Column) =
+    pmod(conv(substring(digest, 1 + 8 * j, 8), 16, 10)
       .cast("long"), lit(CmW))
 
   /** The d×w counter table for a token column — at most d·w rows. */
   private[graft] def cmSketch(toks: DataFrame): DataFrame =
-    toks.select(posexplode(
-        array((0 until CmD).map(j => cmCell(j, col("token"))): _*))
+    toks.withColumn("h", cmDigest(col("token")))
+      .select(posexplode(
+        array((0 until CmD).map(j => cmCell(j, col("h"))): _*))
       .as(Seq("j", "cell")))
       .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
 
@@ -235,8 +248,9 @@ object SketchOps {
     * group-count subtree can be SHARED (ReusedExchange) with any exact-side
     * consumer of the same key frequencies. */
   private[graft] def cmSketchWeighted(keyCounts: DataFrame): DataFrame =
-    keyCounts.select(col("wn"), posexplode(
-        array((0 until CmD).map(j => cmCell(j, col("token"))): _*))
+    keyCounts.withColumn("h", cmDigest(col("token")))
+      .select(col("wn"), posexplode(
+        array((0 until CmD).map(j => cmCell(j, col("h"))): _*))
       .as(Seq("j", "cell")))
       .groupBy("j", "cell").agg(sum(col("wn")).as("cnt"))
 
@@ -248,9 +262,10 @@ object SketchOps {
     * the colliding cells (inflated) — the correct CM answer for an unseen
     * key is 0, which still never underestimates. */
   private[graft] def cmEstimate(queries: DataFrame, sketch: DataFrame): DataFrame = {
-    val probes = queries.select(col("*"), posexplode(
-        array((0 until CmD).map(j => cmCell(j, col("token"))): _*))
-      .as(Seq("j", "cell")))
+    val probes = queries.withColumn("h", cmDigest(col("token")))
+      .select(col("*"), posexplode(
+        array((0 until CmD).map(j => cmCell(j, col("h"))): _*))
+      .as(Seq("j", "cell"))).drop("h")
     val others = queries.columns.filter(_ != "token").map(col).toSeq
     probes.join(broadcast(sketch), Seq("j", "cell"), "left")
       .groupBy(col("token") +: others: _*)
@@ -279,18 +294,21 @@ object SketchOps {
     * bounded-key (≤ d·w) sketch aggs and one 8192-row join between them —
     * no row-level join output ever exists. */
   def qCmJoinEst(s: SparkSession, sf: String): DataFrame = {
-    // one keyed group-count per table, consumed twice: identical subtrees
-    // so the exchange is built once and reused, and the d salted hashes
-    // run over |distinct keys| rows instead of |rows|
+    // one keyed group-count per table, consumed twice (identical subtrees
+    // → one exchange, ReusedExchange). The exchange carries the NATIVE
+    // 8-byte long key; the string form md5 needs exists only AFTER the
+    // aggregation, on |distinct keys| rows — at 16× scale the string-keyed
+    // shuffle, not the hashing, dominated the query. The exact side joins
+    // on the long key for the same reason.
     val liCnt = t(s, sf, "lineitem")
-      .select(col("l_orderkey").cast("string").as("token"))
-      .groupBy("token").agg(count(lit(1)).as("wn"))
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("wn"))
     val ordCnt = t(s, sf, "orders")
-      .select(col("o_orderkey").cast("string").as("token"))
-      .groupBy("token").agg(count(lit(1)).as("wn"))
-    val est = cmJoinEstimate(liCnt, ordCnt)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("wn"))
+    def tok(c: DataFrame) =
+      c.select(col("k").cast("string").as("token"), col("wn"))
+    val est = cmJoinEstimate(tok(liCnt), tok(ordCnt))
     val exact = liCnt.withColumnRenamed("wn", "na")
-      .join(ordCnt.withColumnRenamed("wn", "nb"), "token")
+      .join(ordCnt.withColumnRenamed("wn", "nb"), "k")
       .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_n"))
     exact.crossJoin(broadcast(est))
       .select(col("exact_n"), col("est_n"),

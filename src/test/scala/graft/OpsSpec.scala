@@ -294,6 +294,22 @@ class OpsSpec extends SparkTestBase {
     assert(back.count() == 2)
   }
 
+  test("orc dispatch: readAny reads .orc with types and cleaned names intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ingest_orc").toString
+    Seq((1L, "x", 2.5), (2L, "y", 3.5)).toDF("Order Key", "STATUS", "Total-Price($)")
+      .coalesce(1).write.mode("overwrite").orc(s"$dir/o")
+    val orcFile = new java.io.File(s"$dir/o").listFiles()
+      .find(_.getName.endsWith(".orc")).get.getAbsolutePath
+    val back = IngestOps.readAny(spark, orcFile)
+    assert(back.columns.toSeq == Seq("order_key", "status", "total_price"))
+    // ORC carries its schema — types survive without inference
+    assert(back.schema("order_key").dataType.typeName == "long")
+    assert(back.schema("total_price").dataType.typeName == "double")
+    assert(back.orderBy("order_key").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("append-mode parquet sink accumulates batches (reference INSERT-INTO parity)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(

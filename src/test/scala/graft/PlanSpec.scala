@@ -312,7 +312,7 @@ class PlanSpec extends SparkTestBase {
     // plan materializes without an action having run; the ingest roundtrips
     // are excluded because exporting + re-reading files is their semantics
     val sideEffecting = Set("q_ingest_csv_roundtrip", "q_ingest_tsv_roundtrip",
-      "q_ingest_json_roundtrip", "q_partitioned_roundtrip",
+      "q_ingest_json_roundtrip", "q_ingest_orc_roundtrip", "q_partitioned_roundtrip",
       // iterative fixpoints run jobs during construction
       "q_dedup_clusters", "q_semantic_dedup")
     SparkEntry.queries.foreach { case (name, fn) =>
