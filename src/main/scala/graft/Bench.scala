@@ -138,6 +138,8 @@ object Bench {
     } catch { case _: Throwable => () }
     try graft.ops.PqOps.ensurePq(spark, sfDir): Unit
     catch { case _: Throwable => () }
+    try graft.ops.VectorOps.ensureSq8(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     try graft.ops.BpeOps.ensureBpe(spark, sfDir): Unit
     catch { case _: Throwable => () }
     // untimed warmup pass at the TARGET sf: first-touch page cache, JIT at

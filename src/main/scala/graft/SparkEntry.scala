@@ -2024,35 +2024,33 @@ object SparkEntry {
         |FROM ev JOIN cu ON uid = c_custkey, dec
         |GROUP BY c_mktsegment, decision, build_rows, est_n, hot_pct
         |ORDER BY c_mktsegment""".stripMargin,
-    // X69 SQ8: unit-normalize (sequential IEEE fold), symmetric signed
-    // int8 grid with one global scale, integer code dot, top-50
-    // shortlist, exact micro-int cosine re-rank — every stage a pure
-    // function of the data, replayed end to end
-    "q_sq8_topk" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-         |nv AS (SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(x AS DOUBLE) / sqrt(list_reduce(
-         |      list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
-         |      (acc, y) -> acc + y))) AS nv
-         |  FROM e),
-         |sc AS (SELECT max(list_reduce(list_transform(nv, x -> abs(x)),
-         |    (acc, x) -> greatest(acc, x))) AS ma FROM nv),
-         |codes AS (SELECT vec_id, list_transform(nv,
-         |    x -> CAST(least(127.0, greatest(-127.0, round(x * 127.0 / ma, 0)))
-         |      AS BIGINT)) AS codes
-         |  FROM nv CROSS JOIN sc),
-         |qc AS (SELECT codes AS qcodes FROM codes WHERE vec_id = 0),
-         |dots AS (SELECT vec_id, CAST(list_reduce(list_transform(
-         |    list_zip(codes, qcodes), z -> z[1] * z[2]),
-         |    (acc, v) -> acc + v) AS BIGINT) AS dot
-         |  FROM codes CROSS JOIN qc),
-         |short AS (SELECT vec_id FROM dots
-         |  ORDER BY dot DESC, vec_id ASC LIMIT 50),
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-         |SELECT e.vec_id, e.label, ${e6(cosSql("embedding", "qv"))} AS score_e6
-         |FROM e JOIN short USING (vec_id) CROSS JOIN q
-         |ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
-  ) ++ bpeTrainOracles ++ bpeEncodeOracle ++ ivfOracles ++ pqOracles
+    // X69 SQ8 (r13): the probe replays from the PERSISTED code artifact
+    // (the IVF pattern) — see sq8Oracle below
+  ) ++ bpeTrainOracles ++ bpeEncodeOracle ++ ivfOracles ++ pqOracles ++ sq8Oracle
+
+  /** X69 oracle (artifact-replayed since r13): integer code dot over the
+    * persisted SQ8 code table, top-50 shortlist, exact micro-int cosine
+    * re-rank over the raw embeddings — the normalize/scale/quantize
+    * passes live in the artifact (pure projections of the data), the
+    * probe over it is exact. Codes are int8 in parquet; both engines
+    * widen to 64-bit inside the dot. */
+  private def sq8Oracle: Map[String, String] =
+    graft.ops.VectorOps.oracleSq8Path.map { p =>
+      "q_sq8_topk" ->
+        s"""WITH c AS (SELECT vec_id, codes FROM read_parquet('$p/*.parquet')),
+           |qc AS (SELECT codes AS qcodes FROM c WHERE vec_id = 0),
+           |dots AS (SELECT vec_id, CAST(list_reduce(list_transform(
+           |    list_zip(codes, qcodes),
+           |    z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT)),
+           |    (acc, v) -> acc + v) AS BIGINT) AS dot
+           |  FROM c CROSS JOIN qc),
+           |short AS (SELECT vec_id FROM dots
+           |  ORDER BY dot DESC, vec_id ASC LIMIT 50),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id, e.label, ${e6(cosSql("embedding", "qv"))} AS score_e6
+           |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+           |ORDER BY score_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
+    }.toMap
 
   /** X54a/X54b oracles (since r13): the TRAINING loop itself, replayed in
     * DuckDB — the last two queries that previously had no oracle. A

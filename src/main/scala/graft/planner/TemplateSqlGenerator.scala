@@ -144,30 +144,51 @@ object TemplateSqlGenerator extends SqlGenerator {
     val best = scored.maxBy(_._2)
     if (best._2 == 0) return None
 
-    // multi-table: when the question NAMES two cataloged tables and a join
-    // key exists between them, resolve columns over both and emit an
-    // aliased equi-join — the reference's defining multi-table move
-    // (LLM-identified join key, `multi_file_util.py:8-31`, feeding aliased
-    // joins, `duckdb_util.py:184-225`). No key → single-table fallback.
+    // multi-table: when the question NAMES two or more cataloged tables,
+    // chain aliased equi-joins on inferred keys — the reference's defining
+    // multi-table move (LLM-identified join key, `multi_file_util.py:8-31`
+    // — "two or more tables" — feeding aliased joins,
+    // `duckdb_util.py:184-225`). Tables attach GREEDILY in score order:
+    // each next named table joins the earliest already-joined table it
+    // shares a key with (orders⋈customer on custkey, then nation attaches
+    // to customer on nationkey — a chain, not a star, when the schema is
+    // one). A named table with no key into the joined set is skipped, the
+    // same treatment the previous 2-table form gave tables beyond the
+    // first pair. No joinable pair at all → single-table fallback.
     val named = scored.filter { case (t, _) =>
       toks.contains(t.name.toLowerCase) ||
         toks.contains(t.name.toLowerCase.stripSuffix("s"))
     }
-    val multi: Option[(Tab, Tab, String, String)] =
+    val chain: Option[(Seq[Tab], String)] =
       if (named.size < 2) None
       else {
-        val pair = named.sortBy(-_._2).take(2).map(_._1)
-        joinKeyOf(pair(0), pair(1)).map(k => (pair(0), pair(1), k._1, k._2))
+        val ordered = named.sortBy(-_._2).map(_._1).take(4)
+        val sb = new StringBuilder(ordered.head.name)
+        var joined = Vector(ordered.head)
+        ordered.tail.foreach { t2 =>
+          joined.iterator
+            .flatMap(t1 => joinKeyOf(t1, t2).map(k => (t1, k)))
+            .nextOption()
+            .foreach { case (t1, (k1, k2)) =>
+              sb.append(s" JOIN ${t2.name} ON ${t1.name}.$k1 = ${t2.name}.$k2")
+              joined :+= t2
+            }
+        }
+        if (joined.size >= 2) Some((joined, sb.toString)) else None
       }
-    val (tab, fromClause, qualify) = multi match {
-      case Some((t1, t2, k1, k2)) =>
-        val shared = t1.cols.map(_.name).toSet & t2.cols.map(_.name).toSet
-        // shared-name columns resolve to t1's side, qualified so generated
-        // SQL never hits an ambiguous-reference error
-        val cols = t1.cols ++ t2.cols.filterNot(c => shared(c.name))
-        (Tab(t1.name, cols),
-          s"${t1.name} JOIN ${t2.name} ON ${t1.name}.$k1 = ${t2.name}.$k2",
-          shared.map(n => n -> s"${t1.name}.$n").toMap)
+    val (tab, fromClause, qualify) = chain match {
+      case Some((ts, fc)) =>
+        // shared-name columns resolve to their FIRST owner in join order,
+        // qualified so generated SQL never hits an ambiguous reference
+        val firstOwner = scala.collection.mutable.LinkedHashMap.empty[String, (Col, String)]
+        ts.foreach(tt => tt.cols.foreach(c =>
+          if (!firstOwner.contains(c.name)) firstOwner(c.name) = (c, tt.name)))
+        val dup = ts.flatMap(_.cols.map(_.name))
+          .groupBy(identity).collect { case (n, v) if v.size >= 2 => n }.toSet
+        (Tab(ts.head.name, firstOwner.values.map(_._1).toSeq),
+          fc,
+          firstOwner.collect { case (n, (_, tn)) if dup(n) => n -> s"$tn.$n" }
+            .toMap)
       case None => (best._1, best._1.name, Map.empty[String, String])
     }
     def ref(name: String): String = qualify.getOrElse(name, name)

@@ -79,6 +79,44 @@ class QueryPipelineSpec extends SparkTestBase {
     assert(r.tables.toSet == Set("orders", "customer"))
   }
 
+  test("template generator chains THREE named tables on inferred keys") {
+    import org.apache.spark.sql.functions._
+    // the reference tool contract covers "two or more tables"
+    // (multi_file_util.py:8-31); the chain attaches each named table to
+    // the earliest joined table it shares a key with: orders JOIN customer
+    // ON custkey, then nation attaches to CUSTOMER on nationkey (orders
+    // has no nation key — the chain, not a star, is the correct shape)
+    val catalog = Seq("orders", "customer", "nation")
+      .map(CatalogOps.profileTable(spark, sf, _))
+    val q = "total totalprice per nationkey for orders customer and nation"
+    val sql = graft.planner.TemplateSqlGenerator.generate(
+      q, catalog.map(_.describe).mkString("\n"))
+    assert(sql.isDefined, "no SQL generated")
+    assert(sql.get.contains("JOIN customer ON orders.o_custkey = customer.c_custkey"),
+      sql.get)
+    assert(sql.get.contains("JOIN nation ON customer.c_nationkey = nation.n_nationkey"),
+      sql.get)
+    val ans = QueryPipeline.run(spark, q, catalog)
+    val r = ans.subResults.head
+    assert(r.error.isEmpty, ans.summary)
+    assert(r.tables.toSet == Set("orders", "customer", "nation"))
+    val want = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_nationkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("w"))
+      .collect().map(rr => rr.getAs[Number](0).longValue ->
+        rr.getDecimal(1).doubleValue()).toMap
+    val got = r.result.collect().map(rr =>
+      rr.getAs[Number](0).longValue -> rr.getDouble(1)).toMap
+    assert(got.keySet == want.keySet, s"groups: $got vs $want")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) <= 1e-6 * math.abs(want(k)), s"key $k: $v vs ${want(k)}")
+    }
+  }
+
   test("default template generator answers loan-demo NL questions end to end") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory(
