@@ -198,7 +198,10 @@ object SparkEntry {
     "q_skew_profile"          -> (SkewOps.qSkewProfile _),
     // X72 the closed planner loop: CM join estimate + skew profile DRIVE
     // a broadcast/salt/shuffle choice; routing invisible in the result
-    "q_planned_skew_join"     -> (SkewOps.qPlannedSkewJoin _)
+    "q_planned_skew_join"     -> (SkewOps.qPlannedSkewJoin _),
+    // X73/X74 leakage-safe group split + token-budget source cap
+    "q_group_split"           -> (SampleOps.qGroupSplit _),
+    "q_token_budget_cap"      -> (SampleOps.qTokenBudgetCap _)
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
@@ -2024,6 +2027,39 @@ object SparkEntry {
         |FROM ev JOIN cu ON uid = c_custkey, dec
         |GROUP BY c_mktsegment, decision, build_rows, est_n, hot_pct
         |ORDER BY c_mktsegment""".stripMargin,
+    // X73 leakage-safe group split: DuckDB replays the salted-md5 split
+    // draw over SOURCE and the leak-free equality verdict
+    "q_group_split" ->
+      """WITH d AS (SELECT source, n_chars,
+        |  CASE WHEN substring(md5(source || ':split'), 1, 1) < 'c' THEN 'train'
+        |       WHEN substring(md5(source || ':split'), 1, 1) < 'e' THEN 'dev'
+        |       ELSE 'test' END AS split FROM documents),
+        |ps AS (SELECT split, count(*) AS n_docs,
+        |    count(DISTINCT source) AS n_sources,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM d GROUP BY split),
+        |tot AS (SELECT count(DISTINCT source) AS n_total FROM documents),
+        |ss AS (SELECT CAST(sum(n_sources) AS BIGINT) AS sum_sources FROM ps)
+        |SELECT split, n_docs, n_sources, sum_chars,
+        |  sum_sources = n_total AS leak_free
+        |FROM ps, tot, ss ORDER BY split""".stripMargin,
+    // X74 token-budget cap: the window cumsum + prefix-keep semantics,
+    // token counting per q_token_bpe's whitespace convention
+    "q_token_budget_cap" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN cum <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN cum <= 500 THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(500 AS BIGINT) AS budget
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // X69 SQ8 (r13): the probe replays from the PERSISTED code artifact
     // (the IVF pattern) — see sq8Oracle below
   ) ++ bpeTrainOracles ++ bpeEncodeOracle ++ ivfOracles ++ pqOracles ++ sq8Oracle

@@ -233,4 +233,65 @@ object SampleOps {
         col("n_kept"), col("kept_id_sum"))
       .orderBy("label")
   }
+
+  /** X73: leakage-safe GROUP split — train/dev/test assignment keyed on the
+    * GROUP (source), not the row, so every document of a source lands in
+    * ONE split. Row-level splits (X17's doc_id assignment) leak: near-dup
+    * documents within a source straddle train and test, and the eval set
+    * quietly contains training data — the GroupShuffleSplit discipline is
+    * the standard fix. Assignment is [[CorpusOps.splitAssign]]'s salted-md5
+    * draw over `source` (stable across runs/engines/partitionings; adding
+    * docs to a source never moves the source). The report carries per-split
+    * doc/source/char volumes plus an in-plan `leak_free` verdict: Σ
+    * per-split distinct sources must equal the corpus' distinct-source
+    * count — any source counted in two splits breaks the equality. Scale:
+    * one (split)-keyed agg + two 1-row broadcasts; the verdict costs a
+    * 3-row aggregate, never a row-level pass. */
+  def qGroupSplit(s: SparkSession, sf: String): DataFrame = {
+    val d = t(s, sf, "documents")
+      .withColumn("split", CorpusOps.splitAssign(col("source")))
+    val perSplit = d.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars").cast("long")).as("sum_chars"))
+    val tot = d.agg(countDistinct(col("source")).as("n_total_sources"))
+    val sums = perSplit.agg(sum(col("n_sources")).as("sum_sources"))
+    perSplit.crossJoin(broadcast(tot)).crossJoin(broadcast(sums))
+      .select(col("split"), col("n_docs"), col("n_sources"), col("sum_chars"),
+        (col("sum_sources") === col("n_total_sources")).as("leak_free"))
+      .orderBy("split")
+  }
+
+  /** X74: TOKEN-budget source cap — pretraining mixtures are budgeted in
+    * TOKENS, not documents (X30 caps doc counts; a source of long docs
+    * would still dominate a token-weighted mix). Per source, documents are
+    * taken in deterministic priority order (doc_id) while the running
+    * whitespace-token total stays within the budget — strict prefix
+    * semantics (the first doc that would cross the budget is dropped and
+    * nothing later back-fills), so the kept set is a pure function of the
+    * data that a window cumsum expresses exactly in both engines. The
+    * report: per source, docs/tokens before and after the cap.
+    *
+    * Scale shape: ONE (source)-keyed window cumsum (partition bounded by
+    * per-source doc count) + the same keyed aggregation. A pathological
+    * mega-source needs the two-level block decomposition `qPackSequences`
+    * already implements for its sequential budget machine; for the
+    * contribution-cap use the per-source partition IS the unit of work.
+    * Token counting matches `q_token_bpe`'s whitespace convention (len of
+    * \\s+ split of trimmed text) so the two reports compose. */
+  def qTokenBudgetCap(s: SparkSession, sf: String): DataFrame = {
+    val budget = 500L
+    val docs = t(s, sf, "documents").select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.withColumn("cum", sum(col("n_tokens")).over(w))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cum") <= budget, col("n_tokens")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("budget", lit(budget))
+      .orderBy("source")
+  }
 }

@@ -109,6 +109,44 @@ class SampleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("group split: every source lands in exactly ONE split, and the " +
+    "report is leak-free and conserving") {
+    import org.apache.spark.sql.functions._
+    val d = graft.ops.Tables.t(spark, sf, "documents")
+      .withColumn("split", graft.ops.CorpusOps.splitAssign(col("source")))
+    // the leakage property itself: no source straddles two splits
+    assert(d.groupBy("source")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count() == 0)
+    val rep = graft.ops.SampleOps.qGroupSplit(spark, sf).collect()
+    assert(rep.nonEmpty && rep.forall(_.getAs[Boolean]("leak_free")))
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == d.count())
+  }
+
+  test("token-budget cap: kept set is the exact doc_id-order prefix per source") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = rows.groupBy(_._2).map { case (src, ds) =>
+      var cum = 0L; var kept = 0L; var keptTok = 0L
+      ds.sortBy(_._1).foreach { case (_, _, nt) =>
+        cum += nt; if (cum <= 500L) { kept += 1; keptTok += nt }
+      }
+      src -> ((kept, keptTok))
+    }
+    val got = graft.ops.SampleOps.qTokenBudgetCap(spark, sf).collect()
+    assert(got.map(_.getAs[String]("source")).toSet == want.keySet)
+    got.foreach { row =>
+      val (k, kt) = want(row.getAs[String]("source"))
+      assert(row.getAs[Long]("n_kept") == k &&
+        row.getAs[Long]("tokens_kept") == kt,
+        s"prefix mismatch for ${row.getAs[String]("source")}: $row want ($k, $kt)")
+      assert(row.getAs[Long]("n_kept") <= row.getAs[Long]("n_docs"))
+    }
+  }
+
   test("every ops qX entrypoint is registered in SparkEntry.queries") {
     import org.apache.spark.sql.{DataFrame, SparkSession}
     val opsObjects: Seq[AnyRef] = Seq(
