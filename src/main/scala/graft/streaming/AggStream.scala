@@ -71,6 +71,28 @@ object AggStream {
       .sortBy(_.getName.drop(1).toLong)
       .lastOption.map(_.toString)
 
+  /** One micro-batch fold — package-visible so StreamingSpec can REPLAY a
+    * batch id and prove the at-least-once retry contract directly. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      stateBase: String): Unit = {
+    val s = batch.sparkSession
+    val delta = MergeOps.aggPartial(batch)
+    // fold onto the TRUE PREDECESSOR (latest version < batchId), not
+    // the global latest: a retried batch may find its own sealed
+    // v<batchId> and additive partials would double-count the delta
+    val prev = currentPartials(s, stateBase, beforeBatch = batchId)
+      .select(col("event_type"), col("n"),
+        col("sv").cast(DecimalType(38, 6)).as("sv"),
+        col("mn"), col("mx"))
+    val next = MergeOps.mergePartials(prev.unionByName(
+      delta.select(col("event_type"), col("n"),
+        col("sv").cast(DecimalType(38, 6)).as("sv"),
+        col("mn"), col("mx"))))
+    val dir = new java.io.File(stateBase, f"v$batchId%05d")
+    next.write.mode("overwrite").parquet(dir.toString)
+    new java.io.File(dir, "_GRAFT_OK").createNewFile(): Unit
+  }
+
   /** Start the maintenance sink over a streaming frame of
     * (event_type, value) events: each non-empty micro-batch reduces to
     * its own partials (map-side shrink to key-count rows BEFORE touching
@@ -81,24 +103,7 @@ object AggStream {
       .outputMode("append")
       .option("checkpointLocation", s"$stateBase/_checkpoint")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          val delta = MergeOps.aggPartial(batch.toDF())
-          // fold onto the TRUE PREDECESSOR (latest version < batchId), not
-          // the global latest: a retried batch may find its own sealed
-          // v<batchId> and additive partials would double-count the delta
-          val prev = currentPartials(s, stateBase, beforeBatch = batchId)
-            .select(col("event_type"), col("n"),
-              col("sv").cast(DecimalType(38, 6)).as("sv"),
-              col("mn"), col("mx"))
-          val next = MergeOps.mergePartials(prev.unionByName(
-            delta.select(col("event_type"), col("n"),
-              col("sv").cast(DecimalType(38, 6)).as("sv"),
-              col("mn"), col("mx"))))
-          val dir = new java.io.File(stateBase, f"v$batchId%05d")
-          next.write.mode("overwrite").parquet(dir.toString)
-          new java.io.File(dir, "_GRAFT_OK").createNewFile(): Unit
-        }
+        if (!batch.isEmpty) processBatch(batch.toDF(), batchId, stateBase)
       }
       .start()
 }

@@ -463,6 +463,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want, s"streamed fold diverges:\n got=$got\nwant=$want")
   }
 
+  test("aggregate maintenance: an at-least-once RETRY of a sealed batch " +
+    "cannot double-count (folds onto the true predecessor)") {
+    import spark.implicits._
+    val stateBase = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "agg_retry").toString
+    val b0 = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("event_type", "value")
+    val b1 = Seq(("a", 10.0), ("c", 5.0)).toDF("event_type", "value")
+    graft.streaming.AggStream.processBatch(b0, 0L, stateBase)
+    graft.streaming.AggStream.processBatch(b1, 1L, stateBase)
+    val want = graft.streaming.AggStream.currentAggregate(spark, stateBase)
+      .collect().toSeq
+    // the failure mode ADVICE r12 flagged: batch 1 sealed v1, the offset
+    // commit was lost, and the stream REPLAYS batch 1 — the fold must read
+    // v0 (its true predecessor), not its own v1, or count/sum double
+    graft.streaming.AggStream.processBatch(b1, 1L, stateBase)
+    val afterRetry = graft.streaming.AggStream.currentAggregate(spark, stateBase)
+      .collect().toSeq
+    assert(afterRetry == want, s"retry double-counted:\n $afterRetry\nvs $want")
+    // replaying an OLDER batch rebuilds its version without disturbing
+    // the latest snapshot either
+    graft.streaming.AggStream.processBatch(b0, 0L, stateBase)
+    val afterOldReplay = graft.streaming.AggStream
+      .currentAggregate(spark, stateBase).collect().toSeq
+    assert(afterOldReplay == want)
+  }
+
   test("streaming cluster maintenance folds edge batches to the batch CC fixpoint") {
     import spark.implicits._
     val stateBase = java.nio.file.Files.createTempDirectory(
