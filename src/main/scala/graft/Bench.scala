@@ -46,7 +46,9 @@ object Bench {
     "q_cm_sketch", "q_retrieval_metrics", "q_zorder_values", "q_sq8_topk",
     "q_cm_join_est", "q_skew_profile",
     // round 13 additions
-    "q_planned_skew_join", "q_group_split", "q_token_budget_cap")
+    "q_planned_skew_join", "q_group_split", "q_token_budget_cap",
+    // round 14 additions
+    "q_planned_skew_agg")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

@@ -199,6 +199,8 @@ object SparkEntry {
     // X72 the closed planner loop: CM join estimate + skew profile DRIVE
     // a broadcast/salt/shuffle choice; routing invisible in the result
     "q_planned_skew_join"     -> (SkewOps.qPlannedSkewJoin _),
+    // X75 the aggregation mirror: skew profile drives salted/plain groupBy
+    "q_planned_skew_agg"      -> (SkewOps.qPlannedSkewAgg _),
     // X73/X74 leakage-safe group split + token-budget source cap
     "q_group_split"           -> (SampleOps.qGroupSplit _),
     "q_token_budget_cap"      -> (SampleOps.qTokenBudgetCap _)
@@ -1968,49 +1970,52 @@ object SparkEntry {
         |    AS hot_pct_of_mean
         |FROM c""".stripMargin,
     // X70 CM join-size estimation: the AMS/CM inner product, replayed
-    // exactly (same salted-md5 hash rows as q_cm_sketch); the exact side
-    // is the group-count product sum — no row-level join on either engine
+    // exactly — Carter–Wegman integer hash rows on the NATIVE long key
+    // (r14; lockstep constants from SketchOps.cmCwValuesSql), pure int64
+    // arithmetic on both engines; the exact side is the group-count
+    // product sum — no row-level join on either engine
     "q_cm_join_est" ->
-      """WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS token FROM lineitem),
-        |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS token FROM orders),
-        |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS v(j)),
+      s"""WITH la AS (SELECT l_orderkey AS k FROM lineitem),
+        |ob AS (SELECT o_orderkey AS k FROM orders),
+        |js AS (SELECT * FROM (VALUES ${graft.ops.SketchOps.cmCwValuesSql})
+        |  AS v(j, a, b)),
         |ska AS (SELECT j, cell, count(*) AS ca FROM (SELECT j,
-        |  CAST(CONCAT('0x', substring(md5('cm:' || token), 1 + 8 * j, 8)) AS BIGINT) % 2048 AS cell
+        |  ((k % 2147483647) * a + b) % 2147483647 % 2048 AS cell
         |  FROM la, js) GROUP BY j, cell),
         |skb AS (SELECT j, cell, count(*) AS cb FROM (SELECT j,
-        |  CAST(CONCAT('0x', substring(md5('cm:' || token), 1 + 8 * j, 8)) AS BIGINT) % 2048 AS cell
+        |  ((k % 2147483647) * a + b) % 2147483647 % 2048 AS cell
         |  FROM ob, js) GROUP BY j, cell),
         |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_n FROM (
         |  SELECT j, sum(ca * cb) AS ip FROM ska JOIN skb USING (j, cell)
         |  GROUP BY j)),
         |ex AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_n FROM
-        |  (SELECT token, count(*) AS na FROM la GROUP BY token) a
-        |  JOIN (SELECT token, count(*) AS nb FROM ob GROUP BY token) b
-        |  USING (token))
+        |  (SELECT k, count(*) AS na FROM la GROUP BY k) a
+        |  JOIN (SELECT k, count(*) AS nb FROM ob GROUP BY k) b
+        |  USING (k))
         |SELECT exact_n, est_n, est_n >= exact_n AS overestimate_ok,
         |  (est_n * 100) // greatest(exact_n, 1) AS ratio_pct
         |FROM ex CROSS JOIN est""".stripMargin,
     // X72 closed planner loop: DuckDB replays all three measurements
-    // (build count, hot-key percent, the salted-md5 CM join estimate —
-    // the q_cm_join_est hash rows), re-derives the SAME decision, and
-    // checks the routed join's aggregate against the plain equi-join —
-    // the decision column and the routing-invisibility are hash-gated
+    // (build count, hot-key percent, the Carter–Wegman long-key CM join
+    // estimate — the q_cm_join_est hash rows), re-derives the SAME
+    // decision, and checks the routed join's aggregate against the plain
+    // equi-join — the decision column and routing-invisibility are
+    // hash-gated
     "q_planned_skew_join" ->
-      """WITH ev AS (SELECT CASE WHEN event_type = 'view' THEN 0 ELSE user_id END
+      s"""WITH ev AS (SELECT CASE WHEN event_type = 'view' THEN 0 ELSE user_id END
         |    AS uid, value FROM events),
         |cu AS (SELECT c_custkey, c_mktsegment FROM customer),
         |bc AS (SELECT count(*) AS build_rows FROM cu),
         |prof AS (SELECT CAST(coalesce((max(n) * 100 * count(*)) // sum(n), 0)
         |    AS BIGINT) AS hot_pct
         |  FROM (SELECT uid, count(*) AS n FROM ev GROUP BY uid)),
-        |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS v(j)),
+        |js AS (SELECT * FROM (VALUES ${graft.ops.SketchOps.cmCwValuesSql})
+        |  AS v(j, a, b)),
         |ska AS (SELECT j, cell, count(*) AS ca FROM (SELECT j,
-        |  CAST(CONCAT('0x', substring(md5('cm:' ||
-        |    CAST(uid AS VARCHAR)), 1 + 8 * j, 8)) AS BIGINT) % 2048 AS cell
+        |  ((uid % 2147483647) * a + b) % 2147483647 % 2048 AS cell
         |  FROM ev, js) GROUP BY j, cell),
         |skb AS (SELECT j, cell, count(*) AS cb FROM (SELECT j,
-        |  CAST(CONCAT('0x', substring(md5('cm:' ||
-        |    CAST(c_custkey AS VARCHAR)), 1 + 8 * j, 8)) AS BIGINT) % 2048 AS cell
+        |  ((c_custkey % 2147483647) * a + b) % 2147483647 % 2048 AS cell
         |  FROM cu, js) GROUP BY j, cell),
         |est AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est_n FROM (
         |  SELECT j, sum(ca * cb) AS ip FROM ska JOIN skb USING (j, cell)
@@ -2027,6 +2032,26 @@ object SparkEntry {
         |FROM ev JOIN cu ON uid = c_custkey, dec
         |GROUP BY c_mktsegment, decision, build_rows, est_n, hot_pct
         |ORDER BY c_mktsegment""".stripMargin,
+    // X75 closed planner loop, aggregation mirror: DuckDB replays the
+    // 1-row skew profile (rows + hot-key percent), re-derives the SAME
+    // salted/plain decision, and checks the routed aggregate against the
+    // plain groupBy — two-phase salting must be invisible in the result
+    "q_planned_skew_agg" ->
+      """WITH ev AS (SELECT CASE WHEN event_type = 'view' THEN 0 ELSE user_id END
+        |    AS uid, value FROM events),
+        |prof AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+        |    CAST(coalesce((max(n) * 100 * count(*)) // sum(n), 0) AS BIGINT)
+        |      AS hot_pct
+        |  FROM (SELECT uid, count(*) AS n FROM ev GROUP BY uid)),
+        |agg AS (SELECT uid, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM ev GROUP BY uid)
+        |SELECT uid, n, sum_value,
+        |  CASE WHEN n_rows >= 5000 AND hot_pct >= 300 THEN 'salted'
+        |       ELSE 'plain' END AS decision,
+        |  n_rows, hot_pct AS hot_pct_of_mean
+        |FROM agg, prof
+        |ORDER BY n DESC, uid ASC LIMIT 10""".stripMargin,
     // X73 leakage-safe group split: DuckDB replays the salted-md5 split
     // draw over SOURCE and the leak-free equality verdict
     "q_group_split" ->

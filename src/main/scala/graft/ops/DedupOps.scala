@@ -550,12 +550,6 @@ object DedupOps {
     clusters
   }
 
-  /** Dedup clusters over the exact n-gram-Jaccard pair graph: connected
-    * components, reported per cluster (representative = min doc_id — the
-    * one a keep-one-per-cluster pass would retain). Oracle = DuckDB
-    * recursive-CTE transitive closure, so the fixpoint itself is
-    * hash-verified. Runs jobs during construction (iterative), like the
-    * ingest roundtrips. */
   /** True when every leaf of the frame's plan is a LocalRelation — the
     * shape [[connectedComponents]]' driver fast path returns. Such a frame
     * pins no executor storage and references no checkpointed RDD, so
@@ -566,6 +560,12 @@ object DedupOps {
       case _ => false
     }
 
+  /** Dedup clusters over the exact n-gram-Jaccard pair graph: connected
+    * components, reported per cluster (representative = min doc_id — the
+    * one a keep-one-per-cluster pass would retain). Oracle = DuckDB
+    * recursive-CTE transitive closure, so the fixpoint itself is
+    * hash-verified. Runs jobs during construction (iterative), like the
+    * ingest roundtrips. */
   def qDedupClusters(s: SparkSession, sf: String): DataFrame = {
     val pairs = qNgramJaccardPairs(s, sf).select(
       col("id_a").as("src"), col("id_b").as("dst"))

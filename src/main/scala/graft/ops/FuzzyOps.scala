@@ -39,11 +39,20 @@ object FuzzyOps {
   /** All pairs with levenshtein(name_a, name_b) ≤ 1, id_a < id_b: lossless
     * deletion-neighborhood blocking + bucket-local pair generation + exact
     * verify. Distance 0 (exact duplicates) is included by the semantics.
-    * Buckets carry only ids (a string payload in every bucket struct
-    * roughly triples the aggregation and pair-dedup volume — carrying ids
-    * only took the query 3.35→2.68 s median at sf0.1); names join back onto the
-    * DEDUPED candidate pairs for the verify, two id-keyed joins against
-    * the input table. */
+    *
+    * r14 shape (the previous pipeline was the most expensive headline
+    * query at sf0.1 yet FLAT to x16 — pure stage overhead): buckets carry
+    * (id, name) structs, pairs are generated AND levenshtein-verified
+    * inside the bucket projection, and only verified pairs reach the
+    * dedup aggregate — so the candidate `distinct` (which shuffled every
+    * candidate pair) shrinks to an OUTPUT-sized groupBy, and the two
+    * id-keyed name-lookup joins disappear entirely. Three exchanges
+    * total: bucket agg, pair dedup, final sort. The name payload widens
+    * the bucket shuffle ~3×, but it deletes two join exchanges plus a
+    * candidate-cardinality distinct — a net win at x1 and at scale. A
+    * pair that meets in several buckets (a substitution pair shares one
+    * deletion key, equal names also share the identity key) re-verifies
+    * per bucket: ≤ a small constant × output size, all map-side. */
   def fuzzyPairs(df: DataFrame): DataFrame = {
     // keys travel as 64-bit hashes through the bucket shuffle (8-byte
     // longs, not |s|-char strings — the dedup family's r12 trick). A
@@ -52,21 +61,29 @@ object FuzzyOps {
     // verify — so hashing is lossless for the result by construction (not
     // merely with high probability), while the blocking guarantee
     // (distance-≤1 ⇒ shared key ⇒ shared hash) is preserved exactly.
-    val cands = deletionKeys(df)
+    deletionKeys(df)
       .withColumn("key", xxhash64(col("key")))
       .groupBy("key")
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
-      .select(col("id_a"),
-        explode(slice(col("ids"), col("i") + lit(2),
-          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
-      .distinct()
-    cands
-      .join(df.select(col("id").as("id_a"), col("name").as("name_a")), Seq("id_a"))
-      .join(df.select(col("id").as("id_b"), col("name").as("name_b")), Seq("id_b"))
+      .agg(sort_array(collect_set(struct(col("id"), col("name")))).as("es"))
+      .filter(size(col("es")) >= 2)
+      // in-bucket combinations: sort_array ordered the structs by id, so
+      // emitting (es[i], es[j]) for j > i yields id_a < id_b directly
+      .select(explode(expr(
+        """flatten(transform(es, (a, i) ->
+          |  transform(slice(es, i + 2, size(es) - i - 1),
+          |    b -> struct(a.id AS id_a, a.name AS name_a,
+          |                b.id AS id_b, b.name AS name_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.name_a").as("name_a"),
+        col("p.id_b").as("id_b"), col("p.name_b").as("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 1)
+      // dedup pairs that met in several buckets — values per group are
+      // identical by construction (same ids carry the same names), so
+      // first() is deterministic here
+      .groupBy("id_a", "id_b")
+      .agg(first(col("name_a")).as("name_a"), first(col("name_b")).as("name_b"),
+        first(col("dist")).as("dist"))
       .select("id_a", "name_a", "id_b", "name_b", "dist")
   }
 

@@ -227,15 +227,51 @@ object SketchOps {
       .as(Seq("j", "cell")))
       .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
 
-  /** CM join-cardinality estimate between two PRE-AGGREGATED (token, wn)
+  /** Carter–Wegman hash rows for NATIVE LONG keys — the join-estimate
+    * path's hash (r14; the md5-hex `conv` tower it replaces was ~10× the
+    * arithmetic cost and made `q_cm_join_est` the suite's worst x16
+    * scaler). h_j(k) = ((k mod p)·a_j + b_j mod p) mod w with p = 2³¹−1
+    * (Mersenne prime) and fixed constants a_j, b_j < p: a 2-universal
+    * family (Carter & Wegman 1979), which is exactly the independence the
+    * CM guarantee needs (Cormode & Muthukrishnan 2005, Thm 1). Every
+    * intermediate fits int64 ((p−1)² + p < 2⁶³ — no ANSI overflow), so
+    * DuckDB replays the whole hash in plain integer arithmetic,
+    * bit-exactly. Keys here are row identifiers (orderkeys, user ids) —
+    * for string keys the md5-window rows above remain the hash. */
+  private val CwP = 2147483647L // 2^31 − 1
+  private val CwA = Array(1941293871L, 1117695901L, 2097157061L, 894712253L)
+  private val CwB = Array(722160293L, 1583031327L, 176114077L, 1909869133L)
+
+  private def cmCellKey(j: Int, k: org.apache.spark.sql.Column) =
+    pmod(pmod(pmod(k, lit(CwP)) * lit(CwA(j)) + lit(CwB(j)), lit(CwP)),
+      lit(CmW))
+
+  /** `(j, a_j, b_j)` rows for oracle `VALUES` lists, so the DuckDB replay
+    * — `((k % 2147483647) * a + b) % 2147483647 % 2048` joined against
+    * these rows — stays in lockstep with [[cmCellKey]]'s constants. */
+  private[graft] def cmCwValuesSql: String =
+    (0 until CmD).map(j => s"(${j}, ${CwA(j)}, ${CwB(j)})").mkString(", ")
+
+  /** Weighted sketch from a PRE-AGGREGATED (k: long, wn) key-frequency
+    * frame — [[cmSketchWeighted]]'s long-key twin, hashing with
+    * [[cmCellKey]]: d pure-arithmetic hashes per DISTINCT key, no string
+    * rendering, no md5. */
+  private[graft] def cmSketchWeightedKey(keyCounts: DataFrame): DataFrame =
+    keyCounts
+      .select(col("wn"), posexplode(
+        array((0 until CmD).map(j => cmCellKey(j, col("k"))): _*))
+      .as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(sum(col("wn")).as("cnt"))
+
+  /** CM join-cardinality estimate between two PRE-AGGREGATED (k: long, wn)
     * key-frequency frames, as a 1-row (est_n) frame — the planner-facing
     * primitive behind [[qCmJoinEst]] and the broadcast/salt/shuffle
     * decision in `SkewOps.qPlannedSkewJoin`. NULL est (no cell ever
     * collides — disjoint key sets on an empty corpus) is the caller's to
     * coalesce to 0. */
   private[graft] def cmJoinEstimate(aCnt: DataFrame, bCnt: DataFrame): DataFrame = {
-    val skA = cmSketchWeighted(aCnt).withColumnRenamed("cnt", "ca")
-    val skB = cmSketchWeighted(bCnt).withColumnRenamed("cnt", "cb")
+    val skA = cmSketchWeightedKey(aCnt).withColumnRenamed("cnt", "ca")
+    val skB = cmSketchWeightedKey(bCnt).withColumnRenamed("cnt", "cb")
     skA.join(skB, Seq("j", "cell"))
       .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
       .agg(min(col("ip")).as("est_n"))
@@ -295,18 +331,17 @@ object SketchOps {
     * no row-level join output ever exists. */
   def qCmJoinEst(s: SparkSession, sf: String): DataFrame = {
     // one keyed group-count per table, consumed twice (identical subtrees
-    // → one exchange, ReusedExchange). The exchange carries the NATIVE
-    // 8-byte long key; the string form md5 needs exists only AFTER the
-    // aggregation, on |distinct keys| rows — at 16× scale the string-keyed
-    // shuffle, not the hashing, dominated the query. The exact side joins
-    // on the long key for the same reason.
+    // → one exchange, ReusedExchange). Everything downstream of the
+    // aggregation stays on the NATIVE 8-byte long key: the sketch hashes
+    // with the Carter–Wegman integer rows ([[cmCellKey]]) — at 16× scale
+    // first the string-keyed shuffle (r13) and then the per-distinct-key
+    // md5 tower (r14) dominated this query; both are gone. The exact side
+    // joins on the same long key.
     val liCnt = t(s, sf, "lineitem")
       .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("wn"))
     val ordCnt = t(s, sf, "orders")
       .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("wn"))
-    def tok(c: DataFrame) =
-      c.select(col("k").cast("string").as("token"), col("wn"))
-    val est = cmJoinEstimate(tok(liCnt), tok(ordCnt))
+    val est = cmJoinEstimate(liCnt, ordCnt)
     val exact = liCnt.withColumnRenamed("wn", "na")
       .join(ordCnt.withColumnRenamed("wn", "nb"), "k")
       .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_n"))
@@ -323,10 +358,17 @@ object SketchOps {
 
   def qCmSketch(s: SparkSession, sf: String): DataFrame = {
     val docs = t(s, sf, "documents")
-    val toks = tokens(docs, "text")
+    // WEIGHTED build (r14): counter(j, cell) = Σ n over distinct tokens
+    // hashing there — identical counters to cmSketch over the raw token
+    // stream (so the oracle's raw-row replay is unchanged), but md5 runs
+    // once per DISTINCT token, and the token group-count subtree is the
+    // SAME subtree heavyHittersExact aggregates for the probe side, so
+    // the exchange is computed once (ReusedExchange)
+    val freq = tokens(docs, "text")
+      .groupBy("token").agg(count(lit(1)).as("wn"))
     val hh = heavyHittersExact(docs, "text")
       .select(col("token"), col("n").as("exact_n"))
-    cmEstimate(hh, cmSketch(toks))
+    cmEstimate(hh, cmSketchWeighted(freq))
       .select(col("token"), col("exact_n"), col("est_n"),
         (col("est_n") >= col("exact_n")).as("overestimate_ok"))
       .orderBy("token")

@@ -17,13 +17,13 @@ object SkewOps {
     * a hot key on one reducer. The salt is derived from a stable hash of the
     * whole row's value column so the plan stays deterministic. */
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
-      salts: Int = 16): DataFrame = {
+      salts: Int = 16, scale: Int = 4): DataFrame = {
     val salted = df.withColumn("__salt",
       pmod(xxhash64(col(valueCol)), lit(salts.toLong)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__pn"),
-        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("__psum"))
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, scale))).as("__psum"))
     partial
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__pn")).as("n"),
@@ -124,12 +124,14 @@ object SkewOps {
         .agg(expr("(max(n) * 100 * count(1)) div sum(n)").as("hot"))
         .collect()(0).getAs[java.lang.Long]("hot"))
       .map(_.longValue).getOrElse(0L)
-    // measurement 3: join cardinality priced from two 8 KB CM sketches
+    // measurement 3: join cardinality priced from two 8 KB CM sketches,
+    // built on the NATIVE long keys (Carter–Wegman integer hash rows —
+    // no string render, no md5; see SketchOps.cmCellKey)
     val estJoinRows = Option(SketchOps.cmJoinEstimate(
-        ev.select(col("uid").cast("string").as("token"))
-          .groupBy("token").agg(count(lit(1)).as("wn")),
-        cust.select(col("c_custkey").cast("string").as("token"))
-          .groupBy("token").agg(count(lit(1)).as("wn")))
+        ev.select(col("uid").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("wn")),
+        cust.select(col("c_custkey").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("wn")))
         .collect()(0).getAs[java.lang.Long]("est_n"))
       .map(_.longValue).getOrElse(0L)
     val decision =
@@ -148,6 +150,61 @@ object SkewOps {
         lit(decision).as("decision"), lit(buildRows).as("build_rows"),
         lit(estJoinRows).as("est_join_rows"), lit(hotPct).as("hot_pct_of_mean"))
       .orderBy("c_mktsegment")
+  }
+
+  /** X75 (r14): the closed planner loop for AGGREGATION skew — the
+    * [[qPlannedSkewJoin]] mirror on the groupBy side. [[qSkewProfile]]
+    * measures, this DECIDES and EXECUTES:
+    *
+    *   1. ONE group-count pass yields the 1-row profile (total rows,
+    *      hot-key-to-mean percent) — the same metadata-scale driver read
+    *      the join planner uses;
+    *   2. rows ≥ [[MinRowsForSaltedAgg]] (an aggregation small enough to
+    *      fit one reducer isn't worth a second pass) AND hot ratio ≥
+    *      [[SaltHotPct]] → `salted` ([[saltedCountSum]]: two-phase
+    *      (key, salt) partial agg + bare-key merge, so the hot key never
+    *      concentrates on one reducer); else → `plain` one-phase groupBy.
+    *
+    * The probe key is the same deliberately-skewed uid (anonymous views →
+    * user 0, ~20% of the corpus on one key). Both measurements are
+    * deterministic pure functions of the data, so the ORACLE replays
+    * measurement, decision, and the PLAIN aggregate: the two-phase
+    * routing must be invisible in the result (sum via exact decimal on
+    * both phases and both engines), and the decision column itself is
+    * hash-checked. The corpus lands on `salted` at sf0.01/sf0.1 and
+    * `plain` at sf0.001 (1000 rows < bar) — both branches exercised
+    * across the test SFs; ScaleOpsSpec asserts the salted physical shape
+    * (the two-level __salt aggregate) engages and equals the plain twin.
+    * Output is bounded: the top-10 keys by count — exactly the rows a
+    * skew report is about. */
+  private val MinRowsForSaltedAgg = 5000L
+
+  def qPlannedSkewAgg(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+      .select(when(col("event_type") === "view", lit(0L))
+        .otherwise(col("user_id")).as("uid"), col("value"))
+    // one group-count pass → 1-row profile (rows + hot-key percent)
+    val prof = ev.groupBy("uid").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("rows"),
+        expr("(max(n) * 100 * count(1)) div sum(n)").as("hot"))
+      .collect()(0)
+    val nRows = Option(prof.getAs[java.lang.Long]("rows"))
+      .map(_.longValue).getOrElse(0L)
+    val hotPct = Option(prof.getAs[java.lang.Long]("hot"))
+      .map(_.longValue).getOrElse(0L)
+    val decision =
+      if (nRows >= MinRowsForSaltedAgg && hotPct >= SaltHotPct) "salted"
+      else "plain"
+    val agg = decision match {
+      case "salted" => saltedCountSum(ev, Seq("uid"), "value", scale = 6)
+      case _ => ev.groupBy("uid")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value"), 6).as("sum_value"))
+    }
+    agg.select(col("uid"), col("n"), col("sum_value"),
+        lit(decision).as("decision"), lit(nRows).as("n_rows"),
+        lit(hotPct).as("hot_pct_of_mean"))
+      .orderBy(col("n").desc, col("uid").asc)
+      .limit(10)
   }
 
   /** Oracle-checked wiring: revenue per customer market segment through the

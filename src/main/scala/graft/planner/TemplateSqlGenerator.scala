@@ -77,7 +77,11 @@ object TemplateSqlGenerator extends SqlGenerator {
     }
     def keyLike(n: String): Boolean = {
       val s = strip(n.toLowerCase)
-      s.endsWith("key") || s.endsWith("id") || s == "id"
+      // "id" must match as a suffix TOKEN, not a raw endsWith: stems like
+      // "valid" or "paid" end in the letters 'id' without being keys, and
+      // ranking them key-like would prefer a shared flag column over the
+      // real join key (ADVICE r13)
+      s.endsWith("key") || s == "id" || s.endsWith("_id")
     }
     // sort key-like names first so join candidates that LOOK like keys win
     // over arbitrary shared columns (comments, flags) at both tiers

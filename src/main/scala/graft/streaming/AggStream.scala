@@ -76,6 +76,14 @@ object AggStream {
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       stateBase: String): Unit = {
     val s = batch.sparkSession
+    // RETRY IDEMPOTENCE without un-publishing: a retried batch that finds
+    // its own version already sealed skips the rewrite outright — the
+    // content is identical by construction (same delta folded onto the
+    // same predecessor), and mode("overwrite") would transiently delete
+    // _GRAFT_OK, silently demoting a concurrent currentAggregate reader
+    // to the predecessor snapshot during the rewrite window.
+    if (new java.io.File(new java.io.File(stateBase, f"v$batchId%05d"),
+        "_GRAFT_OK").exists()) return
     val delta = MergeOps.aggPartial(batch)
     // fold onto the TRUE PREDECESSOR (latest version < batchId), not
     // the global latest: a retried batch may find its own sealed

@@ -20,3 +20,11 @@ object GraftCheckpointUtils {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
 }
+
+/** Bridge to the `private[spark]` listener bus drain, so tests that count
+  * jobs through a SparkListener can wait for in-flight events instead of
+  * sleeping (listener delivery is asynchronous). */
+object GraftListenerBridge {
+  def waitUntilListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}

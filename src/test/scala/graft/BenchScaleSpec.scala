@@ -45,22 +45,42 @@ class BenchScaleSpec extends SparkTestBase {
 
   test("adaptive-geometry recall floors at replicated scale: banded, LSH, " +
     "and IVF faces all find planted near-dup twins (mult=4)") {
-    // adaptiveBandBits/adaptiveLshBits/adaptiveNlist change layout only
-    // ABOVE the testdata SFs, where no oracle runs — so adaptivity could
-    // silently trade recall for the x16 speed it bought. This pins it:
-    // a mult=4 replica of sf0.1 (8000 vectors) plus planted near-dup
-    // twins (multiplicative ±2% perturbation, cosine ≥ 0.9997, one per
-    // 10th vector) crosses the 8192-row threshold where the adaptive
-    // sizing engages (bandBits 8→9, lshBits 4→5, nlist ≈ 94), and every
-    // family must still recall ≥ 0.8 of the KNOWN true pairs. (Raw
-    // recall vs the 0.3-cosine exact pair set is not the right floor —
-    // this corpus has no organic pairs above 0.55, and banding is
-    // designed to pass weak pairs probabilistically; planted twins are
-    // the ground truth whose loss would mean adaptivity broke recall.
-    // Measured: all three faces at 1.0 here.)
+    twinRecallFloors(mult = 4, compressedFaces = false)
+  }
+
+  test("adaptive-geometry recall floors at mult=16: banded, LSH, IVF, " +
+    "SQ8 and IVF-PQ faces (gated behind SPARK_GRAFT_BENCH_MULT=16)") {
+    // the x16 wall-times are stamped every round but the adaptive layout
+    // shifts AGAIN between 8k and 32k vectors (nlist ~94→~181, band/LSH
+    // bits grow) — this runs the same planted-twin floors at that
+    // geometry, plus the compressed probes (SQ8 int8 codes, IVF-PQ ADC)
+    // whose artifacts re-train per corpus. Gated so `sbt test` stays
+    // fast; the bench session runs it with SPARK_GRAFT_BENCH_MULT=16.
+    assume(sys.env.get("SPARK_GRAFT_BENCH_MULT").contains("16"),
+      "set SPARK_GRAFT_BENCH_MULT=16 to run the x16 recall floors")
+    twinRecallFloors(mult = 16, compressedFaces = true)
+  }
+
+  /** The shared floor body: replicate sf0.1 by `mult`, plant deterministic
+    * near-dup twins, and assert every ANN/dedup face still finds them at
+    * the corpus-sized adaptive geometry.
+    *
+    * Rationale (r13): adaptiveBandBits/adaptiveLshBits/adaptiveNlist
+    * change layout only ABOVE the testdata SFs, where no oracle runs — so
+    * adaptivity could silently trade recall for the x16 speed it bought.
+    * A mult-replica of sf0.1 plus planted near-dup twins (multiplicative
+    * ±2% perturbation, cosine ≥ 0.9997, one per 10th vector) crosses the
+    * thresholds where the adaptive sizing engages, and every family must
+    * still recall ≥ 0.8 of the KNOWN true pairs. (Raw recall vs the
+    * 0.3-cosine exact pair set is not the right floor — this corpus has
+    * no organic pairs above 0.55, and banding is designed to pass weak
+    * pairs probabilistically; planted twins are the ground truth whose
+    * loss would mean adaptivity broke recall. Measured: every face at
+    * 1.0 at mult=4 and mult=16.) */
+  private def twinRecallFloors(mult: Int, compressedFaces: Boolean): Unit = {
     import graft.ops.VectorOps
-    val scaled4 = BenchScale.ensureScaled(spark, "/root/testdata/sf0.1", 4)
-    val e = graft.ops.Tables.t(spark, scaled4, "embeddings")
+    val scaledM = BenchScale.ensureScaled(spark, "/root/testdata/sf0.1", mult)
+    val e = graft.ops.Tables.t(spark, scaledM, "embeddings")
     val planted = e.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
         transform(col("embedding"), (x, i) =>
@@ -93,7 +113,8 @@ class BenchScaleSpec extends SparkTestBase {
     // trained-IVF batch face (adaptiveNlist = sqrt N): each query's twin
     // must surface in its top-5 — near-identical vectors must land in the
     // same probed list
-    val tdir = s"target/tmp_recall_floor/${java.lang.ProcessHandle.current.pid}"
+    val tdir = "target/tmp_recall_floor/" +
+      s"${java.lang.ProcessHandle.current.pid}_x$mult"
     corpus.write.mode("overwrite").parquet(s"$tdir/embeddings.parquet")
     val got = SparkEntry.queries("q_ivf_topk_batch")(spark, tdir)
       .select("query_id", "vec_id")
@@ -104,6 +125,21 @@ class BenchScaleSpec extends SparkTestBase {
     val annRecall = got.join(bothWays, Seq("query_id", "vec_id"), "left_semi")
       .count().toDouble / bothWays.count()
     assert(annRecall >= 0.8, s"IVF twin-in-top5 recall $annRecall < 0.8 at n=$n")
+    if (compressedFaces) {
+      // compressed probes retrain their artifacts on the twin corpus
+      // (fingerprint-keyed ensure*); vec 0's planted twin (1000000,
+      // cosine ≈ 0.9997 — far above any organic neighbor) must survive
+      // both the SQ8 int8-code shortlist and the IVF-PQ ADC shortlist
+      // into the exact-re-ranked top-10
+      val sq8Top = SparkEntry.queries("q_sq8_topk")(spark, tdir)
+        .select("vec_id").collect().map(_.getLong(0))
+      assert(sq8Top.contains(1000000L),
+        s"SQ8 probe lost the planted twin of vec 0 at n=$n: ${sq8Top.toSeq}")
+      val pqTop = SparkEntry.queries("q_ivfpq_topk")(spark, tdir)
+        .select("vec_id").collect().map(_.getLong(0))
+      assert(pqTop.contains(1000000L),
+        s"IVF-PQ probe lost the planted twin of vec 0 at n=$n: ${pqTop.toSeq}")
+    }
   }
 
   test("replica docs and embeddings are not near-dups of the originals") {

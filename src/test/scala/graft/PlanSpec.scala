@@ -307,19 +307,73 @@ class PlanSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.size >= 85)
   }
 
-  test("query functions never collect to the driver") {
-    // structural check: every wired query returns a lazy DataFrame whose
-    // plan materializes without an action having run; the ingest roundtrips
-    // are excluded because exporting + re-reading files is their semantics
-    val sideEffecting = Set("q_ingest_csv_roundtrip", "q_ingest_tsv_roundtrip",
-      "q_ingest_json_roundtrip", "q_ingest_orc_roundtrip", "q_partitioned_roundtrip",
-      // iterative fixpoints run jobs during construction
-      "q_dedup_clusters", "q_semantic_dedup")
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (!sideEffecting(name)) {
-        val df = fn(spark, sf)
-        assert(df.queryExecution.logical != null, s"$name produced no plan")
+  test("query functions never run jobs during construction") {
+    // BEHAVIORAL check (ADVICE r13: the old plan-non-null assertion could
+    // not detect construction-time actions at all): a SparkListener counts
+    // every job started while a query function builds its DataFrame — a
+    // collect/count smuggled into construction now fails the suite.
+    // Excluded, with the job each runs:
+    val sideEffecting = Set(
+      // exporting + re-reading files is their semantics
+      "q_ingest_csv_roundtrip", "q_ingest_tsv_roundtrip",
+      "q_ingest_json_roundtrip", "q_ingest_orc_roundtrip",
+      "q_partitioned_roundtrip",
+      // iterative fixpoints run checkpoint jobs during construction
+      "q_dedup_clusters", "q_dedup_clusters_incremental", "q_semantic_dedup",
+      "q_ngram_jaccard_pairs", // eager pair-checkpoint handoff
+      // AQE-style construction-time measurements drive the plan choice
+      // (build-side count, 1-row skew profile, 1-row CM estimate)
+      "q_planned_skew_join", "q_planned_skew_agg",
+      // bounded driver reads sized by data/metadata, not corpus
+      "q_retrieval_metrics",   // ≤300 distinct eval terms for `term IN` pushdown
+      "q_ivf_topk_batch",      // embeddings count() sizes adaptive nlist
+      "q_multifile_scan",      // file listing for the glob
+      "q_ntile",               // numPartitions-row range-offset collect
+      "q_rm3_rescore",         // bounded feedback terms from the first pass
+      "q_pruned_scan", "q_pruned_scan_rule", // footer-stats index build
+      "q_pack_sequences",      // bounded packing offsets
+      "q_bpe_encode",          // vocab-sized merge list drives the encode fold
+      "q_dedup_incremental_bloom", // bounded Bloom artifact build
+      "q_embed_neardup_lsh", "q_embed_neardup_pairs", // adaptive-bits count
+      // first-touch persisted-artifact builds (ensure* is build-if-absent;
+      // steady-state constructions run zero jobs once the artifact exists)
+      "q_bm25_index_topk", "q_hybrid_rrf_index", "q_phrase_match_index",
+      "q_phrase_match3_index",
+      "q_ivf_topk", "q_ivf_trained_topk", "q_pq_topk", "q_ivfpq_topk",
+      "q_sq8_topk", "q_bpe_merges", "q_bpe_vocab", "q_token_bpe")
+    val current = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val offenders = scala.collection.concurrent.TrieMap.empty[String, Int]
+    // a plain spark.read.parquet/orc launches one footer/schema-inference
+    // job at construction ("parquet at Tables.scala:…") — that's the read
+    // API's own metadata work, not a driver collect; only count jobs with
+    // some other stage (collect/count/checkpoint all name their call site)
+    def isReadMetadata(name: String): Boolean =
+      Seq("parquet at ", "orc at ", "json at ", "csv at ", "text at ")
+        .exists(name.startsWith)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val q = current.get()
+        if (q.nonEmpty && !js.stageInfos.forall(si => isReadMetadata(si.name)))
+          offenders.updateWith(q)(c => Some(c.getOrElse(0) + 1))
       }
     }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!sideEffecting(name)) {
+          org.apache.spark.sql.GraftListenerBridge
+            .waitUntilListenerBusEmpty(spark.sparkContext)
+          current.set(name)
+          val df = fn(spark, sf)
+          assert(df.queryExecution.logical != null, s"$name produced no plan")
+          org.apache.spark.sql.GraftListenerBridge
+            .waitUntilListenerBusEmpty(spark.sparkContext)
+          current.set("")
+        }
+      }
+      assert(offenders.isEmpty,
+        s"queries ran jobs during construction: ${offenders.toMap}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

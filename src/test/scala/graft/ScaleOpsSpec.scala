@@ -111,6 +111,33 @@ class ScaleOpsSpec extends SparkTestBase {
       "salted routing changed the join result")
   }
 
+  test("planned skew agg: the profile drives salted at sf0.01 and plain at " +
+    "sf0.001, the two-level __salt aggregate engages, routing invisible") {
+    val sf01 = "/root/testdata/sf0.01"
+    // sf0.01: 10k rows >= bar and hot key ~30x the mean -> salted, and the
+    // executed plan must carry the two-phase (key, salt) aggregate
+    val salted = SkewOps.qPlannedSkewAgg(spark, sf01)
+    val sRows = salted.collect()
+    assert(sRows.nonEmpty && sRows.forall(_.getAs[String]("decision") == "salted"),
+      s"expected salted decision at sf0.01: ${sRows.toSeq}")
+    val sp = salted.queryExecution.executedPlan.toString
+    assert(sp.contains("__salt"), s"salted agg keys missing from plan:\n$sp")
+    // sf0.001: 1000 rows < bar -> plain one-phase groupBy, no salt column
+    val plainSmall = SkewOps.qPlannedSkewAgg(spark, sf)
+    assert(plainSmall.collect().forall(_.getAs[String]("decision") == "plain"))
+    assert(!plainSmall.queryExecution.executedPlan.toString.contains("__salt"))
+    // routing invisible: the salted top-10 equals the plain groupBy top-10
+    val ev = Tables.events(spark, sf01).select(
+      when(col("event_type") === "view", lit(0L))
+        .otherwise(col("user_id")).as("uid"), col("value"))
+    val plain = ev.groupBy("uid")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value"), 6).as("sum_value"))
+      .orderBy(col("n").desc, col("uid").asc).limit(10)
+    val gotA = salted.select("uid", "n", "sum_value")
+    assert(gotA.exceptAll(plain).isEmpty && plain.exceptAll(gotA).isEmpty,
+      "salted routing changed the aggregate result")
+  }
+
   test("IVF top-k finds the true best hit and achieves high top-10 recall") {
     val e = Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
     val brute = VectorOps.qCosineTopk(spark, "/root/testdata/sf0.01")

@@ -477,12 +477,19 @@ class StreamingSpec extends SparkTestBase {
     // the failure mode ADVICE r12 flagged: batch 1 sealed v1, the offset
     // commit was lost, and the stream REPLAYS batch 1 — the fold must read
     // v0 (its true predecessor), not its own v1, or count/sum double
+    val v1Marker = new java.io.File(stateBase, "v00001/_GRAFT_OK")
+    val sealedAt = v1Marker.lastModified()
     graft.streaming.AggStream.processBatch(b1, 1L, stateBase)
     val afterRetry = graft.streaming.AggStream.currentAggregate(spark, stateBase)
       .collect().toSeq
     assert(afterRetry == want, s"retry double-counted:\n $afterRetry\nvs $want")
-    // replaying an OLDER batch rebuilds its version without disturbing
-    // the latest snapshot either
+    // and the sealed version was never rewritten (ADVICE r13: an overwrite
+    // would transiently delete _GRAFT_OK, un-publishing v1 for concurrent
+    // readers during the rewrite window) — the marker file is untouched
+    assert(v1Marker.exists() && v1Marker.lastModified() == sealedAt,
+      "retry rewrote an already-sealed version")
+    // replaying an OLDER batch leaves its sealed version alone too, so
+    // the latest snapshot is undisturbed
     graft.streaming.AggStream.processBatch(b0, 0L, stateBase)
     val afterOldReplay = graft.streaming.AggStream
       .currentAggregate(spark, stateBase).collect().toSeq
