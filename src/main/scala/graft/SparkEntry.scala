@@ -203,8 +203,36 @@ object SparkEntry {
     "q_planned_skew_agg"      -> (SkewOps.qPlannedSkewAgg _),
     // X73/X74 leakage-safe group split + token-budget source cap
     "q_group_split"           -> (SampleOps.qGroupSplit _),
-    "q_token_budget_cap"      -> (SampleOps.qTokenBudgetCap _)
+    "q_token_budget_cap"      -> (SampleOps.qTokenBudgetCap _),
+    // V9 driver faces (r14): the REAL NL→SQL front end over the warehouse
+    // catalog — each oracle below is the exact SQL the generator is
+    // proven (FuzzGrammarSpec) to emit for the question, so the driver's
+    // DuckDB gate certifies engine-parity of the generated dialect
+    "q_nl_count_group" ->
+      (nlQuery("how many orders and customer per orderstatus") _),
+    "q_nl_max_filter_group" ->
+      (nlQuery("highest totalprice per mktsegment for orders and customer " +
+        "where acctbal over 1000") _),
+    "q_nl_topk_group" ->
+      (nlQuery("how many orders and customer per orderpriority top 3") _)
   )
+
+  /** V9 end to end for the driver: profile the cataloged tables from the
+    * sf dir (the pipeline's own catalog builder), render SQL with the
+    * deterministic template generator, execute over temp views — the
+    * reference's NL→SQL→result loop (`langgraph_pipeline.py:461-492`)
+    * with the LLM seam bound to its deterministic default. Questions are
+    * chosen COUNT/MAX-only so every output value is exact (no double
+    * sums to drift between engines). */
+  private def nlQuery(question: String)(s: SparkSession, sfDir: String): DataFrame = {
+    val catalog = Seq("orders", "customer")
+      .map(CatalogOps.profileTable(s, sfDir, _))
+    catalog.foreach(e =>
+      s.read.parquet(e.parquetPath).createOrReplaceTempView(e.logicalName))
+    val text = catalog.map(_.describe).mkString("\n")
+    s.sql(graft.planner.TemplateSqlGenerator.generate(question, text)
+      .getOrElse(sys.error(s"template generator returned no SQL for: $question")))
+  }
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
 
@@ -2032,6 +2060,24 @@ object SparkEntry {
         |FROM ev JOIN cu ON uid = c_custkey, dec
         |GROUP BY c_mktsegment, decision, build_rows, est_n, hot_pct
         |ORDER BY c_mktsegment""".stripMargin,
+    // V9 NL front-end faces: the oracle IS the SQL the template generator
+    // emits for the question (FuzzGrammarSpec pins generator == this
+    // string) — DuckDB executing it checks the generated dialect's
+    // engine-parity; COUNT/MAX only, so values are exact
+    "q_nl_count_group" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin,
+    "q_nl_max_filter_group" ->
+      """SELECT c_mktsegment, MAX(o_totalprice) AS max_o_totalprice
+        |FROM customer JOIN orders ON customer.c_custkey = orders.o_custkey
+        |WHERE c_acctbal > 1000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin,
+    "q_nl_topk_group" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey
+        |GROUP BY o_orderpriority
+        |ORDER BY n DESC, o_orderpriority ASC LIMIT 3""".stripMargin,
     // X75 closed planner loop, aggregation mirror: DuckDB replays the
     // 1-row skew profile (rows + hot-key percent), re-derives the SAME
     // salted/plain decision, and checks the routed aggregate against the

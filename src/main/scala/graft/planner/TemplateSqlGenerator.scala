@@ -240,10 +240,23 @@ object TemplateSqlGenerator extends SqlGenerator {
         case _ => None
       })
 
+    // measure rule: the EARLIEST-mentioned numeric column wins (the
+    // measure phrase follows the aggregate verb at the head of the
+    // question; filter/sort mentions come later) — positional, because
+    // the old first-in-catalog-order rule made the measure depend on
+    // which table scored higher in a join chain ("average totalprice …
+    // where acctbal over 1000" must aggregate totalprice, not acctbal).
+    // Ties and non-consecutive mentions fall back to catalog order.
     val measure = agg match {
       case Some((_, true)) =>
-        tab.cols.find(c => c.numeric && !groupCol.contains(c) && mentioned(toks, c))
-          .orElse(tab.cols.find(c => c.numeric && !groupCol.contains(c)))
+        def firstPos(c: Col): Option[Int] =
+          toks.indices.find(i =>
+            toks.slice(i, i + c.parts.size) == c.parts ||
+              toks.slice(i, i + c.stripped.size) == c.stripped)
+        val cands = tab.cols.filter(c => c.numeric && !groupCol.contains(c))
+        val positioned = cands.flatMap(c => firstPos(c).map(p => (p, c)))
+        if (positioned.nonEmpty) Some(positioned.minBy(_._1)._2)
+        else cands.find(mentioned(toks, _)).orElse(cands.headOption)
       case _ => None
     }
 

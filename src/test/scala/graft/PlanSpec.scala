@@ -329,6 +329,8 @@ class PlanSpec extends SparkTestBase {
       "q_ivf_topk_batch",      // embeddings count() sizes adaptive nlist
       "q_multifile_scan",      // file listing for the glob
       "q_ntile",               // numPartitions-row range-offset collect
+      // NL faces profile the catalog (CatalogOps stats pass) up front
+      "q_nl_count_group", "q_nl_max_filter_group", "q_nl_topk_group",
       "q_rm3_rescore",         // bounded feedback terms from the first pass
       "q_pruned_scan", "q_pruned_scan_rule", // footer-stats index build
       "q_pack_sequences",      // bounded packing offsets
