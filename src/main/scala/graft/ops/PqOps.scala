@@ -32,7 +32,7 @@ import Tables._
   * better): raw ADC recall@10 ≈ 0.65, shortlist-50 + exact re-rank ≈
   * 1.0.
   *
-  * Determinism: codebook init is the same stride-sampled, RNG-free scheme
+  * Determinism: codebook init is the same hash-ordered, RNG-free sample
   * as the trained IVF (`VectorOps.trainIvf`); encode assignment is
   * argmin-L2 with ties to the LOWEST code id; per-(sub,code) ADC partials
   * collapse to micro-ints BEFORE the per-vector sum, so scores are
@@ -101,10 +101,11 @@ object PqOps {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("centroid"))
 
-  /** Train the M per-subspace codebooks: deterministic stride init (every
-    * (maxId+1)/KSUB-th vector's subvectors seed code vec_id/stride — no
-    * RNG, so the artifact stays content-addressed), then `iters` Lloyd
-    * rounds. Each round is two keyed shuffles over the subvector frame
+  /** Train the M per-subspace codebooks: deterministic hash-ordered init
+    * (the KSUB vectors with the smallest xxhash64(vec_id) seed the codes —
+    * no RNG, so the artifact stays content-addressed, and no density
+    * assumption on the id space), then `iters` Lloyd rounds. Each round
+    * is two keyed shuffles over the subvector frame
     * (assignment is a broadcast join; re-centering is keyed on
     * (sub, code, dim) — KSUB·M·DSUB groups). Returns the codebook frame
     * (sub, code, centroid), persisted via localCheckpoint; the caller
@@ -121,12 +122,20 @@ object PqOps {
         return sv.limit(0).select(col("sub"), lit(0).cast("int").as("code"),
           col("subvec").as("centroid")).localCheckpoint()
       }
-      val maxId = maxIdRow.getLong(0)
-      val stride = math.max(1L, (maxId + 1) / KSUB)
-      var books = sv
-        .filter(col("vec_id") % stride === 0 && (col("vec_id") / stride) < KSUB)
-        .select(col("sub"), (col("vec_id") / stride).cast("int").as("code"),
-          col("subvec").as("centroid"))
+      // INIT (r14): seed codes from the KSUB vectors with the smallest
+      // xxhash64(vec_id) — the same deterministic hash-ordered sample as
+      // VectorOps.trainIvf, for the same reason: the old stride-over-id-
+      // VALUES sample collapsed to one seed on sparse/offset id spaces
+      // (every code identical ⇒ flat ADC). TakeOrderedAndProject +
+      // a window over KSUB tiny rows.
+      val hw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("h"), col("vec_id"))
+      val seeds = e.select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(KSUB)
+        .select(col("vec_id"),
+          (row_number().over(hw) - 1).cast("int").as("code"))
+      var books = sv.join(broadcast(seeds), "vec_id")
+        .select(col("sub"), col("code"), col("subvec").as("centroid"))
         .localCheckpoint()
       (1 to iters).foreach { _ =>
         val next = recenter(sv, assignCodes(sv, books)).localCheckpoint()
@@ -184,7 +193,7 @@ object PqOps {
   def ensurePq(s: SparkSession, sf: String, iters: Int = 2): String = {
     val base = new java.io.File("target/pq")
     val src = new java.io.File(s"$sf/embeddings.parquet")
-    val fpTag = ArtifactStore.fingerprint(src, s"pq:$M:$KSUB:$iters:v1")
+    val fpTag = ArtifactStore.fingerprint(src, s"pq:$M:$KSUB:$iters:v2")
     val dir = new java.io.File(base,
       "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fpTag)
     def committed = new java.io.File(dir, "_GRAFT_OK").exists()

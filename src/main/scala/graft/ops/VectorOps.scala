@@ -513,9 +513,11 @@ object VectorOps {
     * each iteration two distributed passes: ASSIGN — argmax cosine against
     * the broadcast centroid table (O(nlist) work per row, no shuffle) —
     * and RE-CENTER — per-(list, dim) average (the `buildCentroids` shape,
-    * bounded-key agg). Init is a deterministic stride sample over the id
-    * space (no RNG: rebuilds are reproducible and the artifact cache stays
-    * content-addressed); a list that loses all members simply drops out.
+    * bounded-key agg). Init is the deterministic
+    * hash-ordered sample (nlist smallest xxhash64(vec_id) — no RNG, so
+    * rebuilds are reproducible and the artifact cache stays
+    * content-addressed, and no id-density assumption: sparse/offset id
+    * spaces seed fully); a list that loses all members simply drops out.
     * Per-round centroids are localCheckpoint'd (they are nlist tiny rows)
     * so iteration N+1 does not replay iteration N's full assign pass;
     * superseded rounds are freed immediately, and the caller frees the
@@ -534,11 +536,22 @@ object VectorOps {
         col("embedding").as("centroid"))
       return (empty.localCheckpoint(), assignLists(v, empty))
     }
-    val maxId = maxIdRow.getLong(0)
-    val stride = math.max(1L, (maxId + 1) / nlist)
+    // INIT (r14): the nlist vectors with the smallest xxhash64(vec_id) —
+    // a deterministic, RNG-free pseudo-random sample that lowers to
+    // TakeOrderedAndProject (per-partition heaps, no global sort). The
+    // previous stride-over-id-VALUES sample assumed DENSE ids: on a
+    // corpus whose ids are sparse or offset (deletes, unions, the
+    // planted-twin bench corpus with ids 0..35k ∪ 1M..1.004M) almost no
+    // sampled id existed, the init collapsed to one seed, and k-means
+    // degenerated to a single list. Hash-ordered seeds exist by
+    // construction. Labels = rank in hash order (a window over nlist
+    // tiny rows, one task).
+    val hw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h"), col("vec_id"))
     var centroids = v
-      .filter(col("vec_id") % stride === 0 && (col("vec_id") / stride) < nlist)
-      .select((col("vec_id") / stride).cast("int").as("label"),
+      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nlist)
+      .select((row_number().over(hw) - 1).cast("int").as("label"),
         col("embedding").as("centroid"))
       .localCheckpoint()
     (1 to iters).foreach { _ =>
@@ -571,7 +584,7 @@ object VectorOps {
       iters: Int = 2): String = {
     val base = new java.io.File("target/ivf_trained")
     val src = new java.io.File(s"$sf/embeddings.parquet")
-    val fpTag = ArtifactStore.fingerprint(src, s"$nlist:$iters:v2")
+    val fpTag = ArtifactStore.fingerprint(src, s"$nlist:$iters:v3")
     val dir = new java.io.File(base,
       "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fpTag)
     def committed = new java.io.File(dir, "_GRAFT_OK").exists()

@@ -319,11 +319,31 @@ class ScaleOpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     val brute = VectorOps.qCosineTopk(spark, sfDir).collect().map(_.getLong(0)).toSeq
     assert(full == brute, s"full probe must be exact: $full != $brute")
-    // partial probe: self-match found, useful top-10 recall
+    // partial probe: self-match found
     val ivf = VectorOps.qIvfTrainedTopk(spark, sfDir).collect().map(_.getLong(0)).toSeq
     assert(ivf.head == brute.head, "trained IVF must find the exact self-match")
-    val recall = (brute.toSet & ivf.toSet).size.toDouble / brute.size
-    assert(recall >= 0.5, s"top-10 recall too low: $recall (ivf=$ivf brute=$brute)")
+    // recall floor over an AGGREGATE of 25 queries — a single query's
+    // recall@10 on this near-uniform synthetic corpus swings 0.2-0.8 with
+    // seed placement (measured across init salts r14), so a one-query
+    // floor is a coin flip, not a property. Mean recall at nprobe=3/16
+    // measured 0.50 — 2.7× the 0.1875 probed-fraction random baseline;
+    // 0.35 is the regression floor.
+    val recalls = (0L until 500L by 20L).map { q =>
+      val qvq = e.filter(col("vec_id") === q).select(col("embedding").as("qv"))
+      val bq = e.crossJoin(broadcast(qvq))
+        .select(col("vec_id"),
+          round(Tables.cosineFast(col("embedding"), col("qv")) * 1000000, 0)
+            .cast("long").as("s"))
+        .orderBy(col("s").desc, col("vec_id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val gq = VectorOps.ivfTopk(centroids, ej, qvq, nprobe = 3, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      (bq & gq).size.toDouble / bq.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.35,
+      s"mean top-10 recall over ${recalls.size} queries too low: $mean " +
+        s"(probed-fraction baseline 0.1875)")
   }
 
   test("IVF append: frozen centroids + delta assignment == from-scratch; exact at full probe") {
