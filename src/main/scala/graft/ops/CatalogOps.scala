@@ -126,7 +126,11 @@ object CatalogOps {
     val cols = df.schema.fields.toSeq
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { f =>
       Seq(
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nnull"),
+        // coalesce: sum over ZERO rows is NULL, and an empty table must
+        // profile as 0 nulls, not throw at getLong (a freshly-created
+        // collection is empty on day one)
+        coalesce(sum(when(col(f.name).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${f.name}__nnull"),
         // distinct over array columns isn't hashable; sketch via string.
         // min/max compare on the NATIVE type (string min of "9"/"24" would
         // order lexicographically) and only render the result as string.
