@@ -58,6 +58,32 @@ object Bench {
     df.queryExecution.toRdd.count(): Unit
   }
 
+  /** DRIFT SENTINEL: a constant-plan, IO-free probe of the box itself.
+    * Quiet-bench totals have drifted ~15% between two passes of IDENTICAL
+    * code within one session (SCALE.md r13/r14) — an environmental tax,
+    * not a regression — and every cross-round comparison has needed a
+    * paragraph of provenance prose. The sentinel makes that drift a
+    * NUMBER: the same CPU-bound aggregation (xxhash64 + keyed sum over a
+    * cached 10M-row range — one shuffle, zero IO, plan independent of sf
+    * and mult) is timed at bench start, middle, and end, and written into
+    * every artifact. Cross-round per-query comparisons divide by the
+    * sentinel ratio first; within-run drift is end/start. */
+  private final class Sentinel(spark: SparkSession) {
+    import org.apache.spark.sql.functions._
+    private val base = spark.range(0, 10L * 1000 * 1000).toDF("id").cache()
+    force(base) // materialize the cache; sentinel runs never touch IO
+    private def probe(): Unit = force(
+      base.groupBy(pmod(col("id"), lit(1024)).as("g"))
+        .agg(sum(xxhash64(col("id"))).as("h"), count(lit(1)).as("n")))
+    probe() // untimed JIT/codegen warm of the sentinel's own plan
+    def time(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      probe()
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfBase = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -149,13 +175,17 @@ object Bench {
     run.foreach { name =>
       try force(fns(name)(spark, sfDir)) catch { case _: Throwable => () }
     }
+    val sentinel = new Sentinel(spark)
+    val sentinelStart = sentinel.time()
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     def passes(names: Seq[String], n: Int): Unit = (1 to n).foreach { _ =>
       System.gc()
       names.foreach(name => timedOne(name).foreach(t => samples(name) :+= t))
     }
-    passes(run, runsPerQuery)
+    passes(run, runsPerQuery / 2 + runsPerQuery % 2)
+    val sentinelMid = sentinel.time()
+    passes(run, runsPerQuery / 2)
     // adaptive re-sampling: queries whose spread exceeds 30% of their
     // median are noise-dominated — give them (and only them) a second
     // interleaved block of passes before trusting the stats
@@ -164,6 +194,7 @@ object Bench {
       s.nonEmpty && s.last - s.head > math.max(0.2, 0.3 * s(s.size / 2))
     }
     passes(noisy, runsPerQuery)
+    val sentinelEnd = sentinel.time()
     val results = run.map { name =>
       val sorted = samples(name).sorted
       if (sorted.isEmpty) (name, -1.0, -1.0, -1.0, 0)
@@ -177,6 +208,8 @@ object Bench {
       s""""queries":${jmap(_._2)},"min":${jmap(_._3)},"spread":${jmap(_._4)},""" +
       s""""runs":${results.map(r => "\"" + r._1 + "\":" + r._5)
         .mkString("{", ",", "}")},""" +
+      f""""sentinel":{"start":$sentinelStart%.3f,"mid":$sentinelMid%.3f,""" +
+      f""""end":$sentinelEnd%.3f},""" +
       s""""runs_per_query":$runsPerQuery,"mult":$mult,"sf":"$sfDir"}"""
     // durable copy of the full per-query stats: the one-line stdout JSON
     // has outgrown tail-capture windows twice (r7, r8), losing per-query
@@ -198,6 +231,8 @@ object Bench {
     val nOk = results.count(_._2 >= 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n_queries":${run.size},"n_ok":$nOk,""" +
+      f""""sentinel":{"start":$sentinelStart%.3f,"mid":$sentinelMid%.3f,""" +
+      f""""end":$sentinelEnd%.3f},""" +
       s""""runs_per_query":$runsPerQuery,"mult":$mult,"sf":"$sfDir"}""")
   }
 }

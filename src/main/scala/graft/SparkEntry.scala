@@ -214,7 +214,18 @@ object SparkEntry {
       (nlQuery("highest totalprice per mktsegment for orders and customer " +
         "where acctbal over 1000") _),
     "q_nl_topk_group" ->
-      (nlQuery("how many orders and customer per orderpriority top 3") _)
+      (nlQuery("how many orders and customer per orderpriority top 3") _),
+    // V9 grounding loop (r15): misspelled value → semantic retrieval →
+    // case-exact grounded WHERE → SQL answer, through QueryPipeline.run
+    "q_nl_semantic_ground"    -> (GroundOps.qNlSemanticGround _),
+    // V9 extended grammar faces (r15): HAVING and OR-disjunction reach
+    // the driver gate (FuzzGrammarSpec pins generator == oracle string)
+    "q_nl_having_group" ->
+      (nlQuery("how many orders and customer per orderstatus " +
+        "having count over 100") _),
+    "q_nl_or_filter" ->
+      (nlQuery("how many orders where totalprice under 5000 " +
+        "or totalprice over 100000") _)
   )
 
   /** V9 end to end for the driver: profile the cataloged tables from the
@@ -2008,10 +2019,10 @@ object SparkEntry {
         |js AS (SELECT * FROM (VALUES ${graft.ops.SketchOps.cmCwValuesSql})
         |  AS v(j, a, b)),
         |ska AS (SELECT j, cell, count(*) AS ca FROM (SELECT j,
-        |  ((k % 2147483647) * a + b) % 2147483647 % 2048 AS cell
+        |  (((k % 2147483647 + 2147483647) % 2147483647) * a + b) % 2147483647 % 2048 AS cell
         |  FROM la, js) GROUP BY j, cell),
         |skb AS (SELECT j, cell, count(*) AS cb FROM (SELECT j,
-        |  ((k % 2147483647) * a + b) % 2147483647 % 2048 AS cell
+        |  (((k % 2147483647 + 2147483647) % 2147483647) * a + b) % 2147483647 % 2048 AS cell
         |  FROM ob, js) GROUP BY j, cell),
         |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_n FROM (
         |  SELECT j, sum(ca * cb) AS ip FROM ska JOIN skb USING (j, cell)
@@ -2040,10 +2051,10 @@ object SparkEntry {
         |js AS (SELECT * FROM (VALUES ${graft.ops.SketchOps.cmCwValuesSql})
         |  AS v(j, a, b)),
         |ska AS (SELECT j, cell, count(*) AS ca FROM (SELECT j,
-        |  ((uid % 2147483647) * a + b) % 2147483647 % 2048 AS cell
+        |  (((uid % 2147483647 + 2147483647) % 2147483647) * a + b) % 2147483647 % 2048 AS cell
         |  FROM ev, js) GROUP BY j, cell),
         |skb AS (SELECT j, cell, count(*) AS cb FROM (SELECT j,
-        |  ((c_custkey % 2147483647) * a + b) % 2147483647 % 2048 AS cell
+        |  (((c_custkey % 2147483647 + 2147483647) % 2147483647) * a + b) % 2147483647 % 2048 AS cell
         |  FROM cu, js) GROUP BY j, cell),
         |est AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est_n FROM (
         |  SELECT j, sum(ca * cb) AS ip FROM ska JOIN skb USING (j, cell)
@@ -2078,6 +2089,16 @@ object SparkEntry {
         |FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey
         |GROUP BY o_orderpriority
         |ORDER BY n DESC, o_orderpriority ASC LIMIT 3""".stripMargin,
+    // r15 extended-grammar faces: HAVING and OR-disjunction; the oracle
+    // IS the generated SQL (FuzzGrammarSpec pins the strings)
+    "q_nl_having_group" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey
+        |GROUP BY o_orderstatus HAVING count(*) > 100
+        |ORDER BY o_orderstatus ASC""".stripMargin,
+    "q_nl_or_filter" ->
+      """SELECT count(*) AS n FROM orders
+        |WHERE (o_totalprice < 5000 OR o_totalprice > 100000)""".stripMargin,
     // X75 closed planner loop, aggregation mirror: DuckDB replays the
     // 1-row skew profile (rows + hot-key percent), re-derives the SAME
     // salted/plain decision, and checks the routed aggregate against the
@@ -2133,7 +2154,8 @@ object SparkEntry {
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // X69 SQ8 (r13): the probe replays from the PERSISTED code artifact
     // (the IVF pattern) — see sq8Oracle below
-  ) ++ bpeTrainOracles ++ bpeEncodeOracle ++ ivfOracles ++ pqOracles ++ sq8Oracle
+  ) ++ bpeTrainOracles ++ bpeEncodeOracle ++ ivfOracles ++ pqOracles ++
+    sq8Oracle ++ nlGroundOracle
 
   /** X69 oracle (artifact-replayed since r13): integer code dot over the
     * persisted SQ8 code table, top-50 shortlist, exact micro-int cosine
@@ -2141,6 +2163,33 @@ object SparkEntry {
     * passes live in the artifact (pure projections of the data), the
     * probe over it is exact. Codes are int8 in parquet; both engines
     * widen to 64-bit inside the dot. */
+  /** V9 grounding-loop oracle (r15): DuckDB re-scores EVERY persisted
+    * chunk against the persisted question vector with the bit-exact
+    * sequential-double cosine, re-derives the best-scoring top-10 hit
+    * whose text carries the grounded cell (`:NATION_14` — the chunker's
+    * own `col:value` serialization), and runs the grounded SQL the
+    * generator is pinned (QueryPipelineSpec) to emit — retrieval order,
+    * value provenance, and the final grounded answer in one hash. */
+  private def nlGroundOracle: Map[String, String] =
+    graft.ops.GroundOps.oracleGroundPath.map { p =>
+      val v = graft.ops.GroundOps.groundedValue
+      "q_nl_semantic_ground" ->
+        s"""WITH coll AS (SELECT chunk_id, text, embedding
+           |  FROM read_parquet('$p/chunks/*.parquet')),
+           |q AS (SELECT qv FROM read_parquet('$p/qvec/*.parquet')),
+           |scored AS (SELECT chunk_id, text,
+           |    ${e6(cosSql("embedding", "qv"))} AS score_e6
+           |  FROM coll CROSS JOIN q),
+           |top AS (SELECT * FROM scored
+           |  ORDER BY score_e6 DESC, chunk_id ASC LIMIT 10),
+           |ev AS (SELECT chunk_id, score_e6 FROM top
+           |  WHERE contains(text, ':$v')
+           |  ORDER BY score_e6 DESC, chunk_id ASC LIMIT 1)
+           |SELECT n.*, ev.chunk_id, ev.score_e6, '$v' AS grounded_value
+           |FROM (SELECT * FROM nation WHERE n_name = '$v' LIMIT 20) n
+           |CROSS JOIN ev""".stripMargin
+    }.toMap
+
   private def sq8Oracle: Map[String, String] =
     graft.ops.VectorOps.oracleSq8Path.map { p =>
       "q_sq8_topk" ->

@@ -491,8 +491,50 @@ object DedupOps {
     * how `qDedupClustersIncremental` gets the SAME recursive-CTE oracle as
     * the from-scratch query (MergeOpsSpec asserts equality on adversarial
     * merge shapes too). */
-  def incrementalComponents(prevLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+  def incrementalComponents(prevLabels: DataFrame, newEdges: DataFrame,
+      driverFastPathMax: Long = 20000L): DataFrame = {
     import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
+    // SMALL-DELTA FAST PATH (the connectedComponents probe, folded across
+    // the maintenance step): when yesterday's labels are already a
+    // driver-local relation (the common near-dup shape — label count ≪
+    // corpus) AND the delta fits the same bounded probe, the whole
+    // fold — contraction, delta fixpoint, re-expansion — is one
+    // union-find over (old label pairs ∪ new edges) in driver memory.
+    // Old labels are component minima and the union keeps the minimum
+    // root, so the output is IDENTICAL to the distributed fold (the same
+    // recursive-CTE oracle certifies it); what disappears is ~4 blocking
+    // jobs of fixed latency per maintenance call. Distributed route
+    // (below) remains for label tables that never collected and for
+    // cap-exceeding deltas — the 100 TB path.
+    if (isDriverLocal(prevLabels)) {
+      val cap = (driverFastPathMax / 2).toInt
+      val head = newEdges.select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(cap + 1).collect()
+      if (head.length <= cap) {
+        val s = prevLabels.sparkSession
+        import s.implicits._
+        val prev = prevLabels.select(col("node").cast("long"),
+          col("label").cast("long")).collect() // LocalTableScan: no job
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        def union(a0: Long, b0: Long): Unit = {
+          val (a, b) = (find(a0), find(b0))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        prev.foreach(r => union(r.getLong(0), r.getLong(1)))
+        head.foreach(r => union(r.getLong(0), r.getLong(1)))
+        val nodes = (prev.iterator.map(_.getLong(0)) ++
+          head.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1))))
+          .toSet[Long]
+        return nodes.toSeq.sorted.map(n => (n, find(n))).toDF("node", "label")
+      }
+    }
     val l = prevLabels.select(col("node"), col("label"))
     val contracted = newEdges.select(col("src"), col("dst"))
       .join(l.select(col("node").as("src"), col("label").as("ls")), Seq("src"), "left")
@@ -539,12 +581,15 @@ object DedupOps {
     val labels0 = connectedComponents(e0)
     val labels = incrementalComponents(labels0, e1)
     unpersistCheckpoint(labels0)
-    val clusters = labels
+    val summary = labels
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
       .filter(col("n_members") >= 2)
       .orderBy("cluster_rep")
-      .localCheckpoint()
+    // driver-local labels (the incremental fast path) pin no executor
+    // storage — the protective checkpoint would be pure fixed latency
+    // (the qDedupClusters rule)
+    val clusters = if (isDriverLocal(labels)) summary else summary.localCheckpoint()
     unpersistCheckpoint(labels)
     unpersistCheckpoint(pairs)
     clusters

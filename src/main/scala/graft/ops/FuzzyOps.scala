@@ -95,9 +95,11 @@ object FuzzyOps {
       .filter(col("id_a") < col("id_b"))
       // dedup pairs that met in several buckets (equal strings; repeated-
       // char deletions) — values per group are identical by construction
-      // (same ids carry the same names), so first() is deterministic
+      // (same ids carry the same names), and min() keeps the projection
+      // deterministic even if an input ever violated that id→name
+      // invariant (first() would silently pick a partition-order row)
       .groupBy("id_a", "id_b")
-      .agg(first(col("name_a")).as("name_a"), first(col("name_b")).as("name_b"))
+      .agg(min(col("name_a")).as("name_a"), min(col("name_b")).as("name_b"))
       // ONE exact DP per unique pair, AFTER the dedup: candidates ≈
       // results under position refinement, so this is output-sized work
       // (the position-free formulation ran it per candidate occurrence —

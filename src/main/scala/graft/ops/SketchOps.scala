@@ -242,6 +242,12 @@ object SketchOps {
   private val CwA = Array(1941293871L, 1117695901L, 2097157061L, 894712253L)
   private val CwB = Array(722160293L, 1583031327L, 176114077L, 1909869133L)
 
+  /** PRECONDITION: callers feed NON-NEGATIVE keys (row identifiers —
+    * orderkeys, custkeys, uids with a 0 default). Spark's pmod is always
+    * non-negative while the DuckDB oracle replay uses sign-of-dividend %;
+    * the oracle side is written sign-safe (`(k % p + p) % p`), but a
+    * negative key would still split a logical key across two cells versus
+    * intuition, so the domain is asserted where keys are derived. */
   private def cmCellKey(j: Int, k: org.apache.spark.sql.Column) =
     pmod(pmod(pmod(k, lit(CwP)) * lit(CwA(j)) + lit(CwB(j)), lit(CwP)),
       lit(CmW))

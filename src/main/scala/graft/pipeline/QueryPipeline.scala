@@ -26,7 +26,8 @@ object QueryPipeline {
       sqlGen: SqlGenerator = graft.planner.TemplateSqlGenerator)
 
   case class SubResult(subQuery: String, intent: Intent, tables: Seq[String],
-      result: DataFrame, error: Option[String], rowCount: Long)
+      result: DataFrame, error: Option[String], rowCount: Long,
+      grounding: Seq[graft.planner.Grounding.GroundedEq] = Nil)
 
   case class Answer(question: String, subResults: Seq[SubResult], summary: String)
 
@@ -95,17 +96,49 @@ object QueryPipeline {
       // expression is optimized away; counting the df's own compiled RDD
       // evaluates the full projection (still distributed, nothing collected).
       try {
-        val (df, err, intentOut) = intent match {
+        val (df, err, intentOut, grounding) = intent match {
           case SemanticSearch if collectionPath.isDefined =>
-            (semanticSearch(spark, collectionPath.get, sub), None, intent)
+            // THE GROUNDING LOOP (`langgraph_pipeline.py:429-437`,
+            // `:377-397`): semantic hits are context for SQL-gen, not the
+            // answer. (1) retrieve top-k chunks — ONE bounded k-row driver
+            // read; (2) NARROW the catalog to the hit collections (the
+            // reference reloads its parquet context from retrieved files);
+            // (3) fuzzy-align question tokens against exact column values
+            // parsed from the hit chunks; (4) if anything grounded,
+            // generate + run SQL with the case-exact equalities — the
+            // misspelled-user-string → grounded-WHERE move. Nothing
+            // grounded (or no SQL derivable) → the chunks themselves
+            // remain the answer, served from the already-collected rows.
+            val hitsDf = semanticSearch(spark, collectionPath.get, sub)
+            val hitRows = hitsDf.collect()
+            val hitTables = hitRows.map(_.getAs[String]("source_table")).distinct.toSeq
+            val narrowed0 = catalog.filter(e => hitTables.contains(e.logicalName))
+            val narrowed = if (narrowed0.nonEmpty) narrowed0 else catalog
+            val grounded = graft.planner.Grounding.ground(sub,
+              hitRows.toSeq.map(r => graft.planner.Grounding.Hit(
+                r.getAs[Long]("chunk_id"), r.getAs[Long]("score_e6"),
+                r.getAs[String]("text"))),
+              narrowed)
+            val narrowedText = narrowed.map(_.describe).mkString("\n")
+            val sqlOpt =
+              if (grounded.isEmpty) None
+              else hooks.sqlGen.generateGrounded(sub, narrowedText, grounded)
+            sqlOpt match {
+              case Some(sql) => (spark.sql(sql), None, intent, grounded)
+              case None =>
+                (spark.createDataFrame(
+                  java.util.Arrays.asList(hitRows: _*), hitsDf.schema),
+                  None, intent, Seq.empty[graft.planner.Grounding.GroundedEq])
+            }
           case _ =>
             hooks.sqlGen.generate(sub, catalogText) match {
-              case Some(sql) => (spark.sql(sql), None, SqlQuery)
+              case Some(sql) => (spark.sql(sql), None, SqlQuery, Nil)
               case None => (errorFrame(spark, s"no SQL generator bound for: $sub"),
-                Some("no_sql_generator"), SqlQuery)
+                Some("no_sql_generator"), SqlQuery, Nil)
             }
         }
-        SubResult(sub, intentOut, tables, df, err, df.queryExecution.toRdd.count())
+        SubResult(sub, intentOut, tables, df, err,
+          df.queryExecution.toRdd.count(), grounding)
       } catch {
         case e: Throwable =>
           SubResult(sub, intent, tables,

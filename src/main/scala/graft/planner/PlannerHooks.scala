@@ -49,6 +49,7 @@ object PlannerHooks {
       val matched = catalog.filter { e =>
         toks.contains(e.logicalName.toLowerCase) ||
           toks.contains(e.logicalName.toLowerCase.stripSuffix("s")) ||
+          toks.contains(e.logicalName.toLowerCase + "s") ||
           e.columns.exists(c => toks.contains(c.name.toLowerCase))
       }
       val names = matched.map(_.logicalName)
@@ -84,9 +85,18 @@ object PlannerHooks {
   }
 
   /** V9: text-to-SQL seam. The engine-side equivalent is executing SQL over
-    * registered temp views (`spark.sql`); generation itself is pluggable. */
+    * registered temp views (`spark.sql`); generation itself is pluggable.
+    *
+    * `generateGrounded` is the semantic-context entry (the reference's
+    * augmented SQL-gen prompt, `langgraph_pipeline.py:429-437`): grounded
+    * equalities extracted from retrieval hits arrive as exact-case
+    * (column, value) predicates, to be applied verbatim in WHERE clauses.
+    * The default ignores them, so a plain generator keeps working. */
   trait SqlGenerator {
     def generate(question: String, catalogText: String): Option[String]
+    def generateGrounded(question: String, catalogText: String,
+        grounded: Seq[Grounding.GroundedEq]): Option[String] =
+      generate(question, catalogText)
   }
   object NoOpSqlGenerator extends SqlGenerator {
     def generate(question: String, catalogText: String): Option[String] = None

@@ -21,9 +21,20 @@ import graft.planner.PlannerHooks.SqlGenerator
   *     node feeding its path map.
   *   - grouping: "per/by/each <column>".
   *   - filters: "<column> is/equals <value>" (string equality, quoted),
-  *     "<column> over/above/under/below/at least/at most <number>", or
-  *     "<column> between <a> and <b>"; multiple mentions AND-combine
-  *     (first predicate wins per column, question order preserved).
+  *     "<column> over/above/under/below/at least/at most <number>",
+  *     "<column> between <a> and <b>" / "<column> from <a> to <b>";
+  *     negation via "<column> is not <value>", "<column> not <value>",
+  *     or "excluding <column> [is] <value>" (all render <>); multiple
+  *     mentions AND-combine (first unit wins per column, question order
+  *     preserved), EXCEPT consecutive predicates linked by "or"
+  *     [optionally "or with"], which merge into one parenthesized
+  *     OR-disjunction unit (r15 — the reference prompt's disjunction
+  *     surface, `langgraph_pipeline.py:482-485`).
+  *   - having: "having (count | total/average/max/min <measure>)
+  *     over/above/under/below/at least/at most <number>" → a HAVING
+  *     clause on the grouped aggregate (masked from the main grammar so
+  *     its verb cannot hijack the aggregate rule); dropped when no
+  *     grouping is present or the measure does not resolve.
   *   - date ranges (the reference SQL-gen prompt guarantees date-range
   *     WHERE clauses, `langgraph_pipeline.py:482-485`): ISO dates are
   *     lifted to marker tokens before tokenization, then
@@ -80,7 +91,12 @@ object TemplateSqlGenerator extends SqlGenerator {
       // "id" must match as a suffix TOKEN, not a raw endsWith: stems like
       // "valid" or "paid" end in the letters 'id' without being keys, and
       // ranking them key-like would prefer a shared flag column over the
-      // real join key (ADVICE r13)
+      // real join key (ADVICE r13). KNOWN LIMIT (ADVICE r14): schemas that
+      // glue id on without an underscore (custid, orderid) lose the
+      // key preference and fall back to name order among shared columns —
+      // accepted, because un-tokenized 'id' suffixes cannot be told apart
+      // from English stems without a dictionary, and a wrong key
+      // preference is worse than name-order determinism.
       s.endsWith("key") || s == "id" || s.endsWith("_id")
     }
     // sort key-like names first so join candidates that LOOK like keys win
@@ -120,7 +136,29 @@ object TemplateSqlGenerator extends SqlGenerator {
     c.parts.forall(toks.contains) || toks.contains(c.name.toLowerCase) ||
       c.stripped.forall(toks.contains)
 
-  def generate(question: String, catalogText: String): Option[String] = {
+  def generate(question: String, catalogText: String): Option[String] =
+    generateImpl(question, catalogText, Nil)
+
+  /** Semantic-grounded entry (the reference's exact-value rule,
+    * `langgraph_pipeline.py:429-437`): each grounded predicate contributes
+    * `col = 'value'` with the value's EXACT case from the data, and the
+    * (possibly misspelled) question substring it was aligned from is
+    * removed before the grammar runs — so the typo can neither hijack the
+    * measure/filter rules nor emit a second, lowercased equality on the
+    * same column. Grounded predicates win over grammar-derived ones per
+    * column; predicates naming columns absent from the chosen table are
+    * dropped (the narrowing step upstream makes that rare). */
+  override def generateGrounded(question: String, catalogText: String,
+      grounded: Seq[Grounding.GroundedEq]): Option[String] = {
+    val cleaned = grounded.foldLeft(question) { (q, g) =>
+      val i = q.toLowerCase.indexOf(g.matchedText.toLowerCase)
+      if (i < 0) q else q.substring(0, i) + q.substring(i + g.matchedText.length)
+    }
+    generateImpl(cleaned, catalogText, grounded.map(g => (g.column, g.value)))
+  }
+
+  private def generateImpl(question: String, catalogText: String,
+      groundedEq: Seq[(String, String)]): Option[String] = {
     val catalog = parseCatalog(catalogText)
     if (catalog.isEmpty) return None
     // ISO dates would shatter under the \W+ tokenizer ("2024-01-15" →
@@ -131,18 +169,73 @@ object TemplateSqlGenerator extends SqlGenerator {
     val qMarked = dates.zipWithIndex.foldLeft(question) {
       case (acc, (d, i)) => acc.replaceFirst(d, s" graftdate$i ")
     }
-    val toks = tokens(qMarked)
+    val rawToks = tokens(qMarked)
     def dateOf(tok: String): Option[String] =
       if (tok.startsWith("graftdate"))
         tok.stripPrefix("graftdate").toIntOption.flatMap(dates.lift)
       else None
+
+    // HAVING clause (post-aggregate filter — the reference SQL-gen prompt
+    // guarantees HAVING when asked, `langgraph_pipeline.py:482-485`):
+    // "having (count | <verb> <measure words>) <cmp> <number>" is parsed
+    // and MASKED before everything else — its aggregate verb and numeric
+    // comparison would otherwise leak into the main aggregate/filter
+    // rules ("having count over 100" must not turn the query into a
+    // COUNT). Resolution of the measure words to a column happens later,
+    // against the chosen table.
+    val havingVerb = Map("count" -> "COUNT", "total" -> "SUM", "sum" -> "SUM",
+      "average" -> "AVG", "avg" -> "AVG", "mean" -> "AVG",
+      "max" -> "MAX", "maximum" -> "MAX", "highest" -> "MAX",
+      "min" -> "MIN", "minimum" -> "MIN", "lowest" -> "MIN")
+    val havingCmp = Map("over" -> ">", "above" -> ">", "under" -> "<",
+      "below" -> "<", "least" -> ">=", "most" -> "<=")
+    val numRe = "\\d+(\\.\\d+)?"
+    val (havingRaw, toks): (Option[(String, Seq[String], String, String)], Seq[String]) = {
+      val hi = rawToks.indexOf("having")
+      if (hi < 0 || hi + 2 >= rawToks.length) (None, rawToks)
+      else rawToks(hi + 1) match {
+        case v if havingVerb.contains(v) =>
+          val fn = havingVerb(v)
+          // measure words: everything up to the comparison word (≤ 3)
+          val restAll = rawToks.drop(hi + 2)
+          val cmpAt = restAll.indexWhere(w => havingCmp.contains(w) || w == "at")
+          if (cmpAt < 0 || cmpAt > 3) (None, rawToks)
+          else {
+            val mwords = restAll.take(cmpAt)
+            val afterM = restAll.drop(cmpAt)
+            val parsed = afterM match {
+              case op +: n +: _ if havingCmp.contains(op) && n.matches(numRe) =>
+                Some((havingCmp(op), n, 2))
+              case "at" +: op +: n +: _
+                if havingCmp.contains(op) && n.matches(numRe) =>
+                Some((havingCmp(op), n, 3))
+              case _ => None
+            }
+            parsed match {
+              case Some(_) if fn == "COUNT" && mwords.nonEmpty =>
+                (None, rawToks) // count takes no measure words
+              case Some((op, n, cmpLen)) =>
+                val end = hi + 2 + cmpAt + cmpLen
+                (Some((fn, mwords, op, n)),
+                  rawToks.take(hi) ++ rawToks.drop(end))
+              case None => (None, rawToks)
+            }
+          }
+        case _ => (None, rawToks)
+      }
+    }
     val q = toks.mkString(" ")
 
-    // table choice: most name/column mentions, catalog order on ties
+    // table choice: most name/column mentions, catalog order on ties.
+    // Plurals match BOTH ways: question "orders" names table "order" and
+    // question "nations" names table "nation" (r15 — singular table names
+    // previously only matched their own exact token)
+    def namesTable(t: Tab): Boolean =
+      toks.contains(t.name.toLowerCase) ||
+        toks.contains(t.name.toLowerCase.stripSuffix("s")) ||
+        toks.contains(t.name.toLowerCase + "s")
     val scored = catalog.map { t =>
-      val nameHit =
-        if (toks.contains(t.name.toLowerCase) ||
-          toks.contains(t.name.toLowerCase.stripSuffix("s"))) 2 else 0
+      val nameHit = if (namesTable(t)) 2 else 0
       (t, nameHit + t.cols.count(mentioned(toks, _)))
     }
     val best = scored.maxBy(_._2)
@@ -159,10 +252,7 @@ object TemplateSqlGenerator extends SqlGenerator {
     // one). A named table with no key into the joined set is skipped, the
     // same treatment the previous 2-table form gave tables beyond the
     // first pair. No joinable pair at all → single-table fallback.
-    val named = scored.filter { case (t, _) =>
-      toks.contains(t.name.toLowerCase) ||
-        toks.contains(t.name.toLowerCase.stripSuffix("s"))
-    }
+    val named = scored.filter { case (t, _) => namesTable(t) }
     val chain: Option[(Seq[Tab], String)] =
       if (named.size < 2) None
       else {
@@ -261,63 +351,136 @@ object TemplateSqlGenerator extends SqlGenerator {
     }
 
     // filters: "<col> is|equals <word>", "<col> over|above|... <number>",
-    // "<col> between <a> and <b>" — every mention contributes, combined
-    // with AND (first predicate wins per column, question order preserved)
+    // "<col> between <a> and <b>" / "<col> from <a> to <b>", negation
+    // ("<col> is not <v>", "<col> not <v>", "excluding <col> [is] <v>").
+    // Every mention contributes; consecutive predicates linked by "or"
+    // form a parenthesized OR-group (the disjunction surface the
+    // reference prompt allows); groups/lone predicates AND-combine, and
+    // the first unit touching a column claims it (question order).
     val cmpOps = Map("over" -> ">", "above" -> ">", "under" -> "<",
       "below" -> "<", "least" -> ">=", "most" -> "<=")
     val dateCmp = Map("after" -> ">", "since" -> ">=", "from" -> ">=",
       "before" -> "<", "until" -> "<=", "through" -> "<=")
     val num = "\\d+(\\.\\d+)?"
-    val allFilters = toks.zipWithIndex.flatMap { case (_, i) =>
-      tab.cols.find(c => toks.slice(i, i + c.parts.size) == c.parts ||
-        toks.slice(i, i + c.stripped.size) == c.stripped).flatMap { c =>
-        val matchedLen =
-          if (toks.slice(i, i + c.parts.size) == c.parts) c.parts.size
-          else c.stripped.size
-        val rest = toks.drop(i + matchedLen)
-        // a date-typed column compares against DATE literals; string-typed
-        // date columns (the reference's date-as-string shape, FIXTURES §A)
-        // compare lexicographically — exact for ISO yyyy-mm-dd
-        def dlit(d: String): String = {
-          val t = c.dataType.toLowerCase
-          if (t.contains("date") || t.contains("timestamp")) s"DATE '$d'"
-          else s"'$d'"
-        }
-        val nullWords = Set("null", "missing", "empty", "blank")
-        val pred = rest match {
-          case "between" +: a +: "and" +: b +: _
-            if a.matches(num) && b.matches(num) =>
-            Some(s"${ref(c.name)} BETWEEN $a AND $b")
-          case "between" +: a +: "and" +: b +: _
-            if dateOf(a).isDefined && dateOf(b).isDefined =>
-            Some(s"${ref(c.name)} BETWEEN ${dlit(dateOf(a).get)} AND ${dlit(dateOf(b).get)}")
-          case op +: v +: _ if dateCmp.contains(op) && dateOf(v).isDefined =>
-            Some(s"${ref(c.name)} ${dateCmp(op)} ${dlit(dateOf(v).get)}")
-          case op +: v +: _ if cmpOps.contains(op) && v.matches(num) =>
-            Some(s"${ref(c.name)} ${cmpOps(op)} $v")
-          case "at" +: op +: v +: _ if cmpOps.contains(op) && v.matches(num) =>
-            Some(s"${ref(c.name)} ${cmpOps(op)} $v")
-          case "is" +: "not" +: w +: _ if nullWords.contains(w) =>
-            Some(s"${ref(c.name)} IS NOT NULL")
-          case "is" +: w +: _ if nullWords.contains(w) =>
-            Some(s"${ref(c.name)} IS NULL")
-          case rel +: v +: _ if Set("is", "equals").contains(rel) =>
-            if (v.matches(num)) Some(s"${ref(c.name)} = $v")
-            else if (dateOf(v).isDefined) Some(s"${ref(c.name)} = ${dlit(dateOf(v).get)}")
+    // (column, predicate SQL, first token idx, one-past-last token idx)
+    val allFilters: Seq[(String, String, Int, Int)] =
+      toks.zipWithIndex.flatMap { case (_, i) =>
+        tab.cols.find(c => toks.slice(i, i + c.parts.size) == c.parts ||
+          toks.slice(i, i + c.stripped.size) == c.stripped).flatMap { c =>
+          val matchedLen =
+            if (toks.slice(i, i + c.parts.size) == c.parts) c.parts.size
+            else c.stripped.size
+          val rest = toks.drop(i + matchedLen)
+          // a date-typed column compares against DATE literals; string-typed
+          // date columns (the reference's date-as-string shape, FIXTURES §A)
+          // compare lexicographically — exact for ISO yyyy-mm-dd
+          def dlit(d: String): String = {
+            val t = c.dataType.toLowerCase
+            if (t.contains("date") || t.contains("timestamp")) s"DATE '$d'"
+            else s"'$d'"
+          }
+          val nullWords = Set("null", "missing", "empty", "blank")
+          // "excluding <col> [is] <v>" flips the equality built below
+          val excluded = i > 0 && toks(i - 1) == "excluding"
+          def eqPred(v: String, neg: Boolean): Option[String] = {
+            val op = if (neg) "<>" else "="
+            if (v.matches(num)) Some(s"${ref(c.name)} $op $v")
+            else if (dateOf(v).isDefined)
+              Some(s"${ref(c.name)} $op ${dlit(dateOf(v).get)}")
             else if (c.numeric) None
-            else Some(s"${ref(c.name)} = '${v.replace("'", "''")}'")
-          case _ => None
+            else Some(s"${ref(c.name)} $op '${v.replace("'", "''")}'")
+          }
+          // (predicate, tokens consumed AFTER the column mention)
+          val pred: Option[(String, Int)] = rest match {
+            case "between" +: a +: "and" +: b +: _
+              if a.matches(num) && b.matches(num) =>
+              Some((s"${ref(c.name)} BETWEEN $a AND $b", 4))
+            case "between" +: a +: "and" +: b +: _
+              if dateOf(a).isDefined && dateOf(b).isDefined =>
+              Some((s"${ref(c.name)} BETWEEN ${dlit(dateOf(a).get)} AND " +
+                s"${dlit(dateOf(b).get)}", 4))
+            // "from <a> to <b>" is a closed range — matched before the
+            // one-sided "from <a>" (>=) rule below
+            case "from" +: a +: "to" +: b +: _
+              if a.matches(num) && b.matches(num) =>
+              Some((s"${ref(c.name)} BETWEEN $a AND $b", 4))
+            case "from" +: a +: "to" +: b +: _
+              if dateOf(a).isDefined && dateOf(b).isDefined =>
+              Some((s"${ref(c.name)} BETWEEN ${dlit(dateOf(a).get)} AND " +
+                s"${dlit(dateOf(b).get)}", 4))
+            case op +: v +: _ if dateCmp.contains(op) && dateOf(v).isDefined =>
+              Some((s"${ref(c.name)} ${dateCmp(op)} ${dlit(dateOf(v).get)}", 2))
+            case op +: v +: _ if cmpOps.contains(op) && v.matches(num) =>
+              Some((s"${ref(c.name)} ${cmpOps(op)} $v", 2))
+            case "at" +: op +: v +: _ if cmpOps.contains(op) && v.matches(num) =>
+              Some((s"${ref(c.name)} ${cmpOps(op)} $v", 3))
+            case "is" +: "not" +: w +: _ if nullWords.contains(w) =>
+              Some((s"${ref(c.name)} IS NOT NULL", 3))
+            case "is" +: w +: _ if nullWords.contains(w) =>
+              Some((s"${ref(c.name)} IS NULL", 2))
+            case "is" +: "not" +: v +: _ =>
+              eqPred(v, neg = true).map((_, 3))
+            case "not" +: v +: _ =>
+              eqPred(v, neg = true).map((_, 2))
+            case rel +: v +: _ if Set("is", "equals").contains(rel) =>
+              eqPred(v, neg = excluded).map((_, 2))
+            case v +: _ if excluded =>
+              eqPred(v, neg = true).map((_, 1))
+            case _ => None
+          }
+          pred.map { case (p, consumed) =>
+            (c.name, p, if (excluded) i - 1 else i, i + matchedLen + consumed)
+          }
         }
-        pred.map(p => (c.name, p))
       }
-    }
     val filter = {
-      val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      allFilters.foreach { case (cn, p) => if (!seen.contains(cn)) seen(cn) = p }
-      if (seen.isEmpty) None else Some(seen.values.mkString(" AND "))
+      // OR-grouping: predicates whose spans are joined by exactly "or"
+      // (optionally "or with") merge into one parenthesized disjunction
+      val units = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[String], Seq[String])] // (columns, predicates)
+      var lastFilterEnd = -1
+      allFilters.foreach { case (cn, p, start, end) =>
+        val joinsPrev = units.nonEmpty && {
+          val prevEnd = lastFilterEnd
+          val gap = toks.slice(prevEnd, start)
+          gap == Seq("or") || gap == Seq("or", "with")
+        }
+        if (joinsPrev) {
+          val (cs, ps) = units.remove(units.size - 1)
+          units += ((cs :+ cn, ps :+ p))
+        } else units += ((Seq(cn), Seq(p)))
+        lastFilterEnd = end
+      }
+      val seenCols = scala.collection.mutable.Set.empty[String]
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      // grounded equalities first: exact-case values from retrieval hits
+      // take the per-column slot before any grammar-derived predicate
+      groundedEq.foreach { case (cn, v) =>
+        if (tab.cols.exists(_.name == cn) && seenCols.add(cn))
+          kept += s"${ref(cn)} = '${v.replace("'", "''")}'"
+      }
+      units.foreach { case (cs, ps) =>
+        if (cs.forall(!seenCols.contains(_))) {
+          cs.foreach(seenCols.add)
+          kept += (if (ps.size == 1) ps.head
+          else ps.mkString("(", " OR ", ")"))
+        }
+      }
+      if (kept.isEmpty) None else Some(kept.mkString(" AND "))
     }
 
     val topK = "\\btop (\\d+)\\b".r.findFirstMatchIn(q).map(_.group(1).toInt)
+
+    // resolve the masked HAVING phrase against the chosen table: COUNT
+    // needs no measure; other verbs need their measure words to name one
+    // numeric column exactly (no resolution → the clause is dropped, the
+    // degrade-don't-crash contract)
+    val having: Option[String] = havingRaw.flatMap { case (fn, mwords, op, n) =>
+      if (fn == "COUNT") Some(s"count(*) $op $n")
+      else tab.cols.find(c => c.numeric &&
+          (c.parts == mwords || c.stripped == mwords))
+        .map(c => s"$fn(${ref(c.name)}) $op $n")
+    }
 
     val (selectAgg, aggAlias) = agg match {
       case Some(("COUNT", _)) => (Some("count(*) AS n"), Some("n"))
@@ -349,7 +512,8 @@ object TemplateSqlGenerator extends SqlGenerator {
             .getOrElse(s" ORDER BY ${ref(g.name)} ASC"))
         Some(s"SELECT ${ref(g.name)}, $a FROM $fromClause" +
           filter.map(f => s" WHERE $f").getOrElse("") +
-          s" GROUP BY ${ref(g.name)}$order")
+          s" GROUP BY ${ref(g.name)}" +
+          having.map(h => s" HAVING $h").getOrElse("") + order)
       case (Some(a), None) =>
         Some(s"SELECT $a FROM $fromClause" +
           filter.map(f => s" WHERE $f").getOrElse(""))

@@ -343,6 +343,258 @@ class FuzzGrammarSpec extends SparkTestBase {
       s"unbalanced sampling: filter=$withFilter sort=$withSort topk=$withTopK")
   }
 
+  // ---- r15 extended grammar: OR-disjunction, negation, HAVING, from-to --
+
+  /** One extended filter unit: NL phrase, SQL fragment (possibly an OR
+    * group), the columns it claims, and the independent Column cond. */
+  private case class ExtUnit(cols: Set[String], phrase: String, sql: String,
+      cond: org.apache.spark.sql.Column)
+
+  private def extUnitPool(rnd: scala.util.Random): Seq[ExtUnit] = {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    def n3(base: Int) = base + 100 * rnd.nextInt(3)
+    val a = n3(200)
+    val (lo, hi) = (n3(100), n3(600))
+    val st = Seq("active", "closed", "late")(rnd.nextInt(3))
+    val st2 = Seq("active", "closed", "late")((rnd.nextInt(2) + 1 +
+      Seq("active", "closed", "late").indexOf(st)) % 3) // distinct from st
+    val rg = Seq("west", "east", "north", "south")(rnd.nextInt(4))
+    val t = Seq(24, 36, 48)(rnd.nextInt(3))
+    val d1 = Seq("2020-02-10", "2021-03-15")(rnd.nextInt(2))
+    val d2 = "2023-08-01"
+    def d(s: String) = to_date(lit(s))
+    val orWith = if (rnd.nextBoolean()) "or" else "or with"
+    Seq(
+      // negation family
+      ExtUnit(Set("status"), s"status is not $st", s"status <> '$st'",
+        col("status") =!= st),
+      ExtUnit(Set("region"), s"region not $rg", s"region <> '$rg'",
+        col("region") =!= rg),
+      ExtUnit(Set("status"), s"excluding status $st", s"status <> '$st'",
+        col("status") =!= st),
+      ExtUnit(Set("term_months"), s"term months is not $t",
+        s"term_months <> $t", col("term_months") =!= t),
+      // closed ranges via from-to
+      ExtUnit(Set("amount"), s"amount from $lo to $hi",
+        s"amount BETWEEN $lo AND $hi", col("amount").between(lo, hi)),
+      ExtUnit(Set("issue_date"), s"issue date from $d1 to $d2",
+        s"issue_date BETWEEN DATE '$d1' AND DATE '$d2'",
+        col("issue_date").between(d(d1), d(d2))),
+      // OR groups: same-column disjunction and cross-column disjunction
+      ExtUnit(Set("status"), s"status is $st $orWith status is $st2",
+        s"(status = '$st' OR status = '$st2')",
+        col("status") === st || col("status") === st2),
+      ExtUnit(Set("amount", "status"),
+        s"amount over $a $orWith status is $st",
+        s"(amount > $a OR status = '$st')",
+        col("amount") > a || col("status") === st),
+      ExtUnit(Set("amount"), s"amount under $lo $orWith amount over $hi",
+        s"(amount < $lo OR amount > $hi)",
+        col("amount") < lo || col("amount") > hi),
+      ExtUnit(Set("region", "term_months"),
+        s"region equals $rg $orWith term months over $t",
+        s"(region = '$rg' OR term_months > $t)",
+        col("region") === rg || col("term_months") > t))
+  }
+
+  /** HAVING production: (NL phrase, SQL aggregate expr, DataFrame agg). */
+  private def extHaving(rnd: scala.util.Random): (String, String,
+      org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    val n = 1 + rnd.nextInt(4)
+    val amt = 200 + 100 * rnd.nextInt(20)
+    val (cmpPhrase, cmpSql) = Seq(("over", ">"), ("under", "<"),
+      ("at least", ">="), ("at most", "<="))(rnd.nextInt(4))
+    rnd.nextInt(4) match {
+      case 0 => (s"having count $cmpPhrase $n", s"count(*) $cmpSql $n",
+        when(expr(s"count(1) $cmpSql $n"), true).otherwise(false))
+      case 1 => (s"having total amount $cmpPhrase $amt",
+        s"SUM(amount) $cmpSql $amt",
+        when(expr(s"sum(amount) $cmpSql $amt"), true).otherwise(false))
+      case 2 => (s"having highest amount $cmpPhrase $amt",
+        s"MAX(amount) $cmpSql $amt",
+        when(expr(s"max(amount) $cmpSql $amt"), true).otherwise(false))
+      case _ => (s"having average amount $cmpPhrase $amt",
+        s"AVG(amount) $cmpSql $amt",
+        when(expr(s"avg(amount) $cmpSql $amt"), true).otherwise(false))
+    }
+  }
+
+  test("170 extended-grammar questions: OR-disjunction, negation, HAVING " +
+    "and from-to ranges match intent in schema and rows") {
+    registered
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(150915)
+    var nOr, nNeg, nHaving, nFromTo = 0
+    (0 until 170).foreach { idx =>
+      val agg = Seq(None, Some("COUNT"), Some("SUM"), Some("AVG"),
+        Some("MAX"), Some("MIN"))(rnd.nextInt(6))
+      val measure = agg.filter(_ != "COUNT")
+        .map(_ => Seq("amount", "term_months")(rnd.nextInt(2)))
+      val group = if (agg.isDefined && rnd.nextInt(3) > 0)
+        Some(Seq("status", "region")(rnd.nextInt(2))) else None
+      val having = if (group.isDefined && rnd.nextBoolean())
+        Some(extHaving(rnd)) else None
+      // filter units with disjoint column sets, question order preserved
+      val pool = rnd.shuffle(extUnitPool(rnd))
+      val units = pool.take(1 + rnd.nextInt(2))
+        .foldLeft(Vector.empty[ExtUnit]) { (acc, u) =>
+          if (acc.exists(p => (p.cols & u.cols).nonEmpty)) acc else acc :+ u
+        }
+      val topK = if (rnd.nextInt(4) == 0) Some(3 + rnd.nextInt(5)) else None
+
+      // render NL
+      val sb = new StringBuilder
+      agg match {
+        case Some("COUNT") => sb ++= "how many loans"
+        case Some(fn) => sb ++= Map("SUM" -> "total", "AVG" -> "average",
+          "MAX" -> "highest", "MIN" -> "lowest")(fn) += ' ' ++=
+          measureWords(measure.get)
+        case None => sb ++= "show loans"
+      }
+      group.foreach(g => sb ++= s" per $g")
+      sb ++= " for loans"
+      if (units.nonEmpty)
+        sb ++= units.map(_.phrase).mkString(" where ", " and with ", "")
+      having.foreach { case (ph, _, _) => sb ++= s" $ph" }
+      topK.foreach(k => sb ++= s" top $k")
+      val q = sb.toString
+
+      // expected SQL (the documented assembly)
+      val where = if (units.isEmpty) ""
+        else units.map(_.sql).mkString(" WHERE ", " AND ", "")
+      val (selectAgg, alias) = agg match {
+        case Some("COUNT") => (Some("count(*) AS n"), Some("n"))
+        case Some(fn) =>
+          val m = measure.get
+          (Some(s"$fn($m) AS ${fn.toLowerCase}_$m"),
+            Some(s"${fn.toLowerCase}_$m"))
+        case None => (None, None)
+      }
+      val exp = (selectAgg, group) match {
+        case (Some(a), Some(g)) =>
+          val hav = having.map { case (_, h, _) => s" HAVING $h" }.getOrElse("")
+          val order = topK
+            .map(k => s" ORDER BY ${alias.get} DESC, $g ASC LIMIT $k")
+            .getOrElse(s" ORDER BY $g ASC")
+          s"SELECT $g, $a FROM loans$where GROUP BY $g$hav$order"
+        case (Some(a), None) => s"SELECT $a FROM loans$where"
+        case (None, _) =>
+          // row-select picks up ORDER BY <numeric> DESC when the filters
+          // mention a numeric column (the measureOrderCol rule)
+          val toksQ = q.toLowerCase.split("\\W+").filter(_.nonEmpty).toSet
+          val ord = numericCols
+            .find(c => c.split("_").forall(toksQ.contains))
+            .map(c => s" ORDER BY $c DESC").getOrElse("")
+          s"SELECT * FROM loans$where$ord LIMIT ${topK.getOrElse(20)}"
+      }
+      val gen = TemplateSqlGenerator.generate(q, loansCatalog)
+        .getOrElse(fail(s"[ext case $idx] generator returned None for <$q>"))
+      assert(gen == exp, s"[ext case $idx] SQL mismatch for <$q>\n gen: " +
+        s"$gen\n exp: $exp")
+
+      // independent DataFrame evaluation (shares nothing with the SQL text)
+      val df = loansDf(spark)
+      val base = if (units.isEmpty) df
+        else df.where(units.map(_.cond).reduce(_ && _))
+      val want: Option[(org.apache.spark.sql.DataFrame, Boolean)] = agg match {
+        case Some(fn) =>
+          val al = alias.get
+          val aggCol = fn match {
+            case "COUNT" => count(lit(1)).as(al)
+            case "SUM" => sum(col(measure.get)).as(al)
+            case "AVG" => avg(col(measure.get)).as(al)
+            case "MAX" => max(col(measure.get)).as(al)
+            case "MIN" => min(col(measure.get)).as(al)
+          }
+          group match {
+            case Some(g) =>
+              val grouped = having match {
+                case Some((_, _, hc)) =>
+                  base.groupBy(g).agg(aggCol, hc.as("__h"))
+                    .where(col("__h")).select(col(g), col(al))
+                case None => base.groupBy(g).agg(aggCol)
+              }
+              val ord = if (topK.isDefined) Seq(col(al).desc, col(g).asc)
+                else Seq(col(g).asc)
+              val sorted = grouped.orderBy(ord: _*)
+              Some((topK.map(sorted.limit).getOrElse(sorted), true))
+            case None => Some((base.agg(aggCol), false))
+          }
+        case None =>
+          val lim = topK.getOrElse(20)
+          val toksQ = q.toLowerCase.split("\\W+").filter(_.nonEmpty).toSet
+          numericCols.find(c => c.split("_").forall(toksQ.contains)) match {
+            case Some("amount") => // unique column → total order
+              Some((base.orderBy(col("amount").desc).limit(lim), true))
+            case _ => // non-unique/no ordering: comparable when LIMIT can't truncate
+              if (base.count() <= lim) Some((base, false)) else None
+          }
+      }
+      want.foreach { case (w, ordered) => assertRowParity(idx, q, gen, w, ordered) }
+
+      if (units.exists(_.sql.contains(" OR "))) nOr += 1
+      if (units.exists(_.sql.contains("<>"))) nNeg += 1
+      if (having.isDefined) nHaving += 1
+      if (units.exists(u => u.phrase.contains(" from "))) nFromTo += 1
+    }
+    assert(nOr >= 40 && nNeg >= 40 && nHaving >= 25 && nFromTo >= 20,
+      s"unbalanced ext sampling: or=$nOr neg=$nNeg having=$nHaving fromto=$nFromTo")
+  }
+
+  test("join chain crossed with date ranges, OR groups and HAVING " +
+    "(pinned, incl. the r15 q_nl_* faces)") {
+    registered
+    val catalog = Seq(
+      "orders (1500 rows): o_orderkey bigint, o_custkey bigint, " +
+        "o_orderstatus string, o_totalprice double, o_orderdate timestamp, " +
+        "o_orderpriority string",
+      "customer (150 rows): c_custkey bigint, c_name string, " +
+        "c_nationkey int, c_acctbal double, c_mktsegment string")
+      .mkString("\n")
+    val from = "orders JOIN customer ON orders.o_custkey = customer.c_custkey"
+    val cases = Seq(
+      // join chain × date range — the cross the r14 grammar never exercised
+      ("how many orders and customer per orderstatus " +
+        "where orderdate after 1995-06-01",
+        s"SELECT o_orderstatus, count(*) AS n FROM $from " +
+          s"WHERE o_orderdate > DATE '1995-06-01' " +
+          s"GROUP BY o_orderstatus ORDER BY o_orderstatus ASC"),
+      ("total totalprice per mktsegment for orders and customer " +
+        "where orderdate between 1994-01-01 and 1996-12-31",
+        s"SELECT c_mktsegment, SUM(o_totalprice) AS sum_o_totalprice " +
+          s"FROM $from WHERE o_orderdate BETWEEN DATE '1994-01-01' AND " +
+          s"DATE '1996-12-31' GROUP BY c_mktsegment ORDER BY c_mktsegment ASC"),
+      // join chain × HAVING (the q_nl_having_group driver face — must stay
+      // in lockstep with SparkEntry.oracleSql)
+      ("how many orders and customer per orderstatus having count over 100",
+        s"SELECT o_orderstatus, count(*) AS n FROM $from " +
+          s"GROUP BY o_orderstatus HAVING count(*) > 100 " +
+          s"ORDER BY o_orderstatus ASC"),
+      // single-table OR group (the q_nl_or_filter driver face)
+      ("how many orders where totalprice under 5000 or totalprice over 100000",
+        "SELECT count(*) AS n FROM orders WHERE (o_totalprice < 5000 OR " +
+          "o_totalprice > 100000)"),
+      // join chain × OR across tables' columns
+      ("how many orders and customer per orderstatus where acctbal over " +
+        "9000 or totalprice over 100000",
+        s"SELECT o_orderstatus, count(*) AS n FROM $from " +
+          s"WHERE (c_acctbal > 9000 OR o_totalprice > 100000) " +
+          s"GROUP BY o_orderstatus ORDER BY o_orderstatus ASC"),
+      // join chain × negation
+      ("how many orders and customer per orderstatus excluding mktsegment " +
+        "BUILDING",
+        s"SELECT o_orderstatus, count(*) AS n FROM $from " +
+          s"WHERE c_mktsegment <> 'building' " +
+          s"GROUP BY o_orderstatus ORDER BY o_orderstatus ASC"))
+    cases.zipWithIndex.foreach { case ((q, exp), idx) =>
+      val gen = TemplateSqlGenerator.generate(q, catalog)
+        .getOrElse(fail(s"[ext join case $idx] None for <$q>"))
+      assert(gen == exp, s"[ext join case $idx] <$q>\n gen: $gen\n exp: $exp")
+      assert(spark.sql(gen).collect() != null, s"[ext join case $idx] failed to run")
+    }
+  }
+
   test("multi-table join chain: generated SQL joins orders to customer on " +
     "the inferred key across agg/filter/group variants") {
     registered

@@ -124,6 +124,24 @@ class MergeOpsSpec extends SparkTestBase {
     assert(got(30L) == 1L && got(11L) == 1L && got(20L) == 20L && got(41L) == 40L)
   }
 
+  test("incrementalComponents distributed fold equals the driver fast path") {
+    // same adversarial shapes, both routes forced: the r15 small-delta
+    // driver fast path must be result-identical to the distributed
+    // contraction → delta-fixpoint → re-expansion fold
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    val delta = Seq((3L, 10L), (11L, 30L), (40L, 41L)).toDF("src", "dst")
+    val prevDist = graft.ops.DedupOps.connectedComponents(
+      oldEdges, driverFastPathMax = 0L)
+    val gotDist = graft.ops.DedupOps.incrementalComponents(
+        prevDist, delta, driverFastPathMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prevLocal = graft.ops.DedupOps.connectedComponents(oldEdges)
+    val gotFast = graft.ops.DedupOps.incrementalComponents(prevLocal, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == gotFast, s"routes diverged: dist=$gotDist fast=$gotFast")
+    assert(gotFast(30L) == 1L && gotFast(41L) == 40L && gotFast(20L) == 20L)
+  }
+
   test("connectedComponents throws instead of returning truncated labels") {
     // chain 1-2-3-4-5 needs 4 propagation rounds + 1 confirming round;
     // maxIter=3 must fail loudly, not hand back wrong clusters

@@ -345,6 +345,83 @@ class QueryPipelineSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 
+  test("grounding: edit distance counts adjacent transposition as one edit") {
+    import graft.planner.Grounding
+    assert(Grounding.editDistance("jhon", "john") == 1)
+    assert(Grounding.editDistance("natoin_14", "nation_14") == 1)
+    assert(Grounding.editDistance("frans", "france") == 2)
+    assert(Grounding.editDistance("same", "same") == 0)
+  }
+
+  test("grounding: chunk text parses back into column/value cells") {
+    import graft.planner.Grounding
+    val text = "[index 0] n_nationkey:0 | n_name:NATION_0 | n_regionkey:0\n" +
+      "[index 1] n_nationkey:1 | n_name:NATION_1 | n_regionkey:1"
+    val cells = Grounding.parseChunkValues(text)
+    assert(cells.contains(("n_name", "NATION_0")))
+    assert(cells.contains(("n_nationkey", "1")))
+    assert(cells.size == 6)
+  }
+
+  test("misspelled NL value answers correctly ONLY via grounding") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.ops.GroundOps.ensureGroundCollection(spark, sf)
+    val catalog = Seq(CatalogOps.profileTable(spark, sf, "nation"))
+
+    // WITHOUT the collection there is nothing to ground against: the
+    // template grammar cannot see data values, so the typo degrades to an
+    // unfiltered row-select — NOT the answer the user wanted
+    val blind = QueryPipeline.run(spark, graft.ops.GroundOps.question, catalog)
+    assert(blind.subResults.head.grounding.isEmpty)
+    assert(blind.subResults.head.rowCount == 20L) // all of nation, capped
+
+    // WITH the loop closed: retrieve → align "natoin_14" → NATION_14 →
+    // grounded case-exact WHERE → exactly the one intended row
+    val ans = QueryPipeline.run(spark, graft.ops.GroundOps.question, catalog,
+      collectionPath = Some(s"$dir/chunks"))
+    val leg = ans.subResults.head
+    assert(leg.intent == PlannerHooks.SemanticSearch && leg.error.isEmpty)
+    val g = leg.grounding
+    assert(g.map(x => (x.column, x.value, x.matchedText)) ==
+      Seq(("n_name", "NATION_14", "natoin_14")))
+    val rows = leg.result.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("n_name") == "NATION_14")
+
+    // the generator's grounded SQL is pinned — the oracle replays this
+    // exact string (SparkEntry.nlGroundOracle)
+    val text = catalog.map(_.describe).mkString("\n")
+    assert(graft.planner.TemplateSqlGenerator.generateGrounded(
+      graft.ops.GroundOps.question, text, g) ==
+      Some("SELECT * FROM nation WHERE n_name = 'NATION_14' LIMIT 20"))
+  }
+
+  test("grounding corrects case even when the value is spelled right") {
+    // the reference's rule is CASE-SENSITIVE exact values
+    // (langgraph_pipeline.py:436: "EXACT values ... case-sensitive"): a
+    // correctly spelled but lowercased user value must still ground,
+    // because the plain grammar would emit a lowercased (no-match) literal
+    val dir = graft.ops.GroundOps.ensureGroundCollection(spark, sf)
+    val catalog = Seq(CatalogOps.profileTable(spark, sf, "nation"))
+    val ans = QueryPipeline.run(spark, "nations like nation_7", catalog,
+      collectionPath = Some(s"$dir/chunks"))
+    val leg = ans.subResults.head
+    assert(leg.grounding.map(x => (x.column, x.value)) ==
+      Seq(("n_name", "NATION_7")))
+    val rows = leg.result.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("n_name") == "NATION_7")
+  }
+
+  test("q_nl_semantic_ground face carries the evidence chunk and grounded row") {
+    val df = graft.ops.GroundOps.qNlSemanticGround(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("n_name") == "NATION_14")
+    assert(r.getAs[String]("grounded_value") == "NATION_14")
+    assert(r.getAs[Long]("score_e6") != 0L)
+  }
+
   test("markdown renderer matches the reference's context shape") {
     import spark.implicits._
     val md = QueryPipeline.renderMarkdown(

@@ -550,4 +550,120 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want,
       s"stream/batch diverged: only-stream=${(got -- want).take(5)}, only-batch=${(want -- got).take(5)}")
   }
+
+  // ---- crash-restart audit (r15): stop a query mid-stream, restart a NEW
+  // query from the same checkpoint directory, and prove the recovered
+  // state equals a from-scratch batch recompute with every published
+  // version marker-complete. MemoryStream offsets die with the query, so
+  // these use a FILE source — the durable-offset recovery path a real
+  // deployment exercises. The "crash" is a stop() racing freshly-arrived
+  // files: whether the in-flight batch completed, half-wrote its version
+  // dir, or never started is deliberately nondeterministic — recovery
+  // must land on the same final state in all three interleavings.
+
+  private def restartHarness[A](tag: String)(
+      writeRows: (String, Int) => Unit, // (srcDir, part) => append one file
+      start: String => org.apache.spark.sql.streaming.StreamingQuery)
+      : String = {
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), tag).toString
+    val src = s"$tmp/src"
+    writeRows(src, 0)
+    val q1 = start(tmp)
+    q1.processAllAvailable()
+    writeRows(src, 1) // lands as the crash happens — may be half-processed
+    try q1.stop() catch { case _: Throwable => () }
+    writeRows(src, 2) // arrives while the maintainer is down
+    val q2 = start(tmp) // restart from the SAME checkpoint dir
+    try q2.processAllAvailable() finally q2.stop()
+    tmp
+  }
+
+  private def allSealed(dir: String, prefix: String): Boolean = {
+    val vs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+    vs.nonEmpty && vs.forall(d => new java.io.File(d, "_GRAFT_OK").exists())
+  }
+
+  test("crash-restart: aggregate maintenance recovers from its checkpoint " +
+    "to the exact batch recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val all = graft.ops.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val parts = Seq(all.take(all.size / 3),
+      all.slice(all.size / 3, 2 * all.size / 3), all.drop(2 * all.size / 3))
+    val sch = StructType(Seq(StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val tmp = restartHarness("agg_restart")(
+      (src, i) => parts(i).toDF("event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src),
+      base => graft.streaming.AggStream.maintainAggregates(
+        spark.readStream.schema(sch).parquet(s"$base/src"), s"$base/state"))
+    val got = graft.streaming.AggStream
+      .currentAggregate(spark, s"$tmp/state").collect().toSeq
+    val want = graft.ops.MergeOps.finishPartials(graft.ops.MergeOps.aggPartial(
+      all.toDF("event_type", "value"))).collect().toSeq
+    assert(got == want, s"recovered fold diverges:\n got=$got\nwant=$want")
+    assert(allSealed(s"$tmp/state", "v"), "an unsealed version was published")
+  }
+
+  test("crash-restart: cluster maintenance recovers from its checkpoint " +
+    "to the batch CC fixpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val parts = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((3L, 10L), (11L, 30L)),
+      Seq((40L, 41L), (41L, 30L), (50L, 51L)))
+    val sch = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    val tmp = restartHarness("dedup_restart")(
+      (src, i) => parts(i).toDF("src", "dst")
+        .coalesce(1).write.mode("append").parquet(src),
+      base => graft.streaming.DedupStream.maintainClusters(
+        spark.readStream.schema(sch).parquet(s"$base/src"), s"$base/state"))
+    val got = graft.streaming.DedupStream.currentLabels(spark, s"$tmp/state")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ops.DedupOps.connectedComponents(
+        parts.flatten.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"recovered labels diverge: got=$got want=$want")
+    assert(got(30L) == 1L && got(50L) == 50L)
+    assert(allSealed(s"$tmp/state", "v"), "an unsealed version was published")
+  }
+
+  test("crash-restart: index segment sealing recovers from its checkpoint; " +
+    "compaction equals the from-scratch build") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.ops.SearchOps
+    import graft.streaming.IndexStream
+    val parts = Seq(
+      Seq((0L, "fast vector join"), (1L, "hash join fast table")),
+      Seq((2L, "vector vector scan"), (3L, "sort merge join vector")),
+      Seq((4L, "hash table probe"), (5L, "join vector hash")))
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val tmp = restartHarness("lex_restart")(
+      (src, i) => parts(i).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src),
+      base => IndexStream.sealSegments(
+        spark.readStream.schema(sch).parquet(s"$base/src"), s"$base/segs"))
+    assert(allSealed(s"$tmp/segs", "seg-"), "an unsealed segment was published")
+    IndexStream.compact(spark, s"$tmp/segs", s"$tmp/merged")
+    SearchOps.buildLexIndexFrom(
+      parts.flatten.toDF("doc_id", "text"), s"$tmp/full")
+    def scores(d: String) =
+      SearchOps.bm25IndexScoresAt(spark, d, SearchOps.queryTerms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val streamed = scores(s"$tmp/merged")
+    assert(streamed.nonEmpty && streamed == scores(s"$tmp/full"),
+      "recovered-then-compacted index must equal the batch build")
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).head
+    assert(stats(s"$tmp/merged") == stats(s"$tmp/full"))
+  }
 }
