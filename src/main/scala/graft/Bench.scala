@@ -74,7 +74,9 @@ object Bench {
     force(base) // materialize the cache; sentinel runs never touch IO
     private def probe(): Unit = force(
       base.groupBy(pmod(col("id"), lit(1024)).as("g"))
-        .agg(sum(xxhash64(col("id"))).as("h"), count(lit(1)).as("n")))
+        // pmod bounds each term (raw 64-bit hashes overflow an ANSI sum)
+        .agg(sum(pmod(xxhash64(col("id")), lit(1000000L))).as("h"),
+          count(lit(1)).as("n")))
     probe() // untimed JIT/codegen warm of the sentinel's own plan
     def time(): Double = {
       System.gc()

@@ -85,13 +85,21 @@ object GroundOps {
       collectionPath = Some(s"$dir/chunks"))
     val sub = ans.subResults.head
     require(sub.error.isEmpty, s"grounding pipeline errored: ${sub.error}")
-    val g = sub.grounding.headOption.getOrElse(
-      sys.error(s"question did not ground: $question"))
-    require(g.value == groundedValue,
-      s"grounded to unexpected value ${g.value} (oracle pins $groundedValue)")
     import s.implicits._
-    val ev = Seq((g.chunkId, g.scoreE6, g.value))
-      .toDF("chunk_id", "score_e6", "grounded_value")
-    sub.result.crossJoin(broadcast(ev))
+    sub.grounding.headOption match {
+      case Some(g) =>
+        require(g.value == groundedValue,
+          s"grounded to unexpected value ${g.value} (oracle pins $groundedValue)")
+        val ev = Seq((g.chunkId, g.scoreE6, g.value))
+          .toDF("chunk_id", "score_e6", "grounded_value")
+        sub.result.crossJoin(broadcast(ev))
+      case None =>
+        // empty corpus (the empty-input contract): nothing retrieved →
+        // nothing grounded → an empty frame in the face's exact shape
+        s.read.parquet(s"$sf/nation.parquet").limit(0)
+          .withColumn("chunk_id", lit(0L))
+          .withColumn("score_e6", lit(0L))
+          .withColumn("grounded_value", lit(""))
+    }
   }
 }

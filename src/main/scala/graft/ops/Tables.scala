@@ -18,9 +18,26 @@ object Tables {
     * [[graft.plans.StatsPruneRule.registerIndex]] — the optimizer rule
     * rewrites filtered scans to list only files whose min/max range can
     * match, fail-open, with no per-call opt-in here. */
+  /** Schema cache: parquet schema inference costs one footer-read JOB per
+    * `spark.read.parquet` call — a pure fixed tax on every query
+    * CONSTRUCTION (benched: ~0.03-0.2 s each). Testdata and artifact
+    * datasets are immutable within a JVM, so the first read's inferred
+    * schema is reused; the key carries the dataset's mtime so a rewritten
+    * path (fixture overwrite in tests) re-infers instead of serving a
+    * stale layout. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else {
+      val p = s"$sfDir/$name.parquet"
+      val key = s"$p:${new java.io.File(p).lastModified}"
+      val sch = schemaCache.computeIfAbsent(key,
+        _ => spark.read.parquet(p).schema)
+      spark.read.schema(sch).parquet(p)
+    }
 
   /** The events table's `ts` column has shipped in two on-disk layouts:
     * int64 TIMESTAMP(NANOS) — which Spark's parquet reader rejects

@@ -331,6 +331,10 @@ class PlanSpec extends SparkTestBase {
       "q_ntile",               // numPartitions-row range-offset collect
       // NL faces profile the catalog (CatalogOps stats pass) up front
       "q_nl_count_group", "q_nl_max_filter_group", "q_nl_topk_group",
+      "q_nl_having_group", "q_nl_or_filter",
+      // the grounding face runs the whole retrieve→ground→SQL pipeline
+      // (bounded k-row reads) and builds its collection artifact
+      "q_nl_semantic_ground",
       "q_rm3_rescore",         // bounded feedback terms from the first pass
       "q_pruned_scan", "q_pruned_scan_rule", // footer-stats index build
       "q_pack_sequences",      // bounded packing offsets
