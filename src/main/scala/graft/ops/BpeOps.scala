@@ -141,7 +141,7 @@ object BpeOps {
     if (!committed) {
       val tmp = new java.io.File(base,
         s"${dir.getName}.tmp.${java.util.UUID.randomUUID}")
-      val (merges, vocab) = learnBpe(t(s, sf, "documents"), "text", nMerges)
+      val (merges, vocab) = learnBpe(tWide(s, sf, "documents"), "text", nMerges)
       import s.implicits._
       merges.toDF("rank", "left", "right", "n")
         .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
@@ -205,7 +205,7 @@ object BpeOps {
     * independent engine's replay of the same algorithm. (Since r13 the
     * TRAINING loop is hash-checked too — SparkEntry.bpeTrainOracles.) */
   def qBpeEncode(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
     val merges = loadMerges(s, sf, 20)
     val words = wordVocab(docs, "text")
     val w = words.select("word").orderBy("word").limit(10)
@@ -230,7 +230,7 @@ object BpeOps {
     * no training-state checkpoint are re-run per query. */
   def qBpeVocab(s: SparkSession, sf: String): DataFrame = {
     val merges = loadMerges(s, sf, 20)
-    val vocab = wordVocab(t(s, sf, "documents"), "text")
+    val vocab = wordVocab(tWide(s, sf, "documents"), "text")
     encodeWords(vocab, merges)
       .select(col("freq"), explode(col("pieces")).as("token"))
       .groupBy("token").agg(sum(col("freq")).as("n"))

@@ -22,7 +22,7 @@ object CorpusOps {
     * document length (the HOF mode-of-array alternative is O(len²) per doc).
     */
   def qRepetition(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
     val base = docs
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
@@ -77,7 +77,7 @@ object CorpusOps {
       lit(" call +1-555-"), (col("doc_id") % 10000).cast("string"),
       lit(" from 10."), (col("doc_id") % 256).cast("string"),
       lit("."), ((col("doc_id") * 3) % 256).cast("string"), lit(".4"))
-    t(s, sf, "documents")
+    tWide(s, sf, "documents")
       .select(col("doc_id"), aug.as("aug"))
       .select(
         col("doc_id"),
@@ -118,7 +118,7 @@ object CorpusOps {
     * threshold is engine-mirrorable; at 100 TB the approximate sketch is
     * the drop-in when the threshold needs no oracle. */
   def qQualityFilter(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
     val scored = TextOps.qualityPerDoc(docs)
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
     val medians = scored.groupBy("lang")
@@ -185,7 +185,7 @@ object CorpusOps {
     * still just partitions the join (broadcast is an optimization when it
     * fits, not a requirement). Exact and oracle-checked per source. */
   def qContamination(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
     val benchKeys = DedupOps.withShingles(docs.filter(col("doc_id") % 97 === 0))
       .select(explode(col("sh")).as("key")).distinct()
     val contaminated = DedupOps.withShingles(docs.filter(col("doc_id") % 97 =!= 0))
@@ -214,11 +214,11 @@ object CorpusOps {
     * full release pipeline runs as ONE lazy plan (stage flags never
     * materialize per-doc intermediates to the driver). */
   def qCurationFunnel(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents").filter(col("doc_id") % 97 =!= 0)
+    val docs = tWide(s, sf, "documents").filter(col("doc_id") % 97 =!= 0)
     val keepDedup = docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val benchKeys = DedupOps.withShingles(
-        t(s, sf, "documents").filter(col("doc_id") % 97 === 0))
+        tWide(s, sf, "documents").filter(col("doc_id") % 97 === 0))
       .select(explode(col("sh")).as("key")).distinct()
     val contaminated = DedupOps.withShingles(docs)
       .select(col("doc_id"), explode(col("sh")).as("key"))
@@ -257,7 +257,7 @@ object CorpusOps {
     * BEFORE the join, so the joined frame is collocation-sized. Top-30 by
     * (pmi, pair) under a total order. */
   def qPmiCollocations(s: SparkSession, sf: String): DataFrame = {
-    val toks = t(s, sf, "documents").select(
+    val toks = tWide(s, sf, "documents").select(
       split(trim(lower(col("text"))), "\\s+").as("tk"))
     val uni = toks.select(explode(col("tk")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("n"))
@@ -291,11 +291,11 @@ object CorpusOps {
     * funnel costs — linear in corpus tokens, one output row per raw doc,
     * and the per-doc reasons are ORACLE-HASHED, not just counted. */
   def qDropReasons(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents").filter(col("doc_id") % 97 =!= 0)
+    val docs = tWide(s, sf, "documents").filter(col("doc_id") % 97 =!= 0)
     val keepDedup = docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val benchKeys = DedupOps.withShingles(
-        t(s, sf, "documents").filter(col("doc_id") % 97 === 0))
+        tWide(s, sf, "documents").filter(col("doc_id") % 97 === 0))
       .select(explode(col("sh")).as("key")).distinct()
     val contaminated = DedupOps.withShingles(docs)
       .select(col("doc_id"), explode(col("sh")).as("key"))
@@ -326,7 +326,7 @@ object CorpusOps {
     * shingles against the dup-key set on the same key. Never doc×doc, and
     * no driver-side state, so the shape holds at 100 TB. */
   def qDupNgramSpans(s: SparkSession, sf: String): DataFrame = {
-    val sh = DedupOps.withShingles(t(s, sf, "documents"))
+    val sh = DedupOps.withShingles(tWide(s, sf, "documents"))
       .select(col("doc_id"), explode(col("sh")).as("key"))
     val dupKeys = sh.groupBy("key")
       .agg(countDistinct(col("doc_id")).as("df"))

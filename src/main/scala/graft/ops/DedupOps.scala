@@ -151,7 +151,7 @@ object DedupOps {
   def ngramCandidatePairs(s: SparkSession, sf: String,
       threshold: Double): DataFrame =
     candidatePairs(
-      freqOrderedShingles(withShingles(t(s, sf, "documents"), "source")),
+      freqOrderedShingles(withShingles(tWide(s, sf, "documents"), "source")),
       threshold)
 
   /** Candidate pairs from a freq-ordered shingle table (doc_id, source, sh).
@@ -203,7 +203,10 @@ object DedupOps {
 
   def qNgramJaccardPairs(s: SparkSession, sf: String): DataFrame = {
     val threshold = 0.4
-    val docs = t(s, sf, "documents")
+    // tWide: the shingle kernel is the pipeline's CPU-heavy head; a small
+    // corpus otherwise runs it single-task (profiled: 2× 0.3-0.8 s of the
+    // pair build was ONE core shingling while 31 idled)
+    val docs = tWide(s, sf, "documents")
     // ONE corpus-scale materialization: the freq-ordered shingle table
     // serves the prefix side AND both verify sides (array_intersect is
     // order-blind, so the canonical order costs the verify nothing and the
@@ -659,7 +662,7 @@ object DedupOps {
     * glance. Cross-source candidates (which source blocking excludes by
     * design) remain available via [[minhashCandidates]]. */
   def qMinhashNeardup(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
     val shingled = withShingles(docs, "source")
     val sigs = minhashSignatures(shingled.select("doc_id", "sh"), k = 64)
     val cands = minhashCandidates(sigs, k = 64, bands = 16)

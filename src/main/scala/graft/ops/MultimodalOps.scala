@@ -307,7 +307,7 @@ object MultimodalOps {
     * for media bytes): byte length + md5 digest — oracle-checkable since
     * both engines hash the same UTF-8 bytes. */
   def qBinaryMeta(s: SparkSession, sf: String): DataFrame =
-    t(s, sf, "documents")
+    tWide(s, sf, "documents")
       .select(
         col("doc_id"),
         length(col("text").cast("binary")).cast("long").as("n_bytes"),
@@ -354,7 +354,7 @@ object MultimodalOps {
     * of the comparison (bounded-verdict only); MultimodalSpec pins it to
     * fixtures. */
   def qMediaDecode(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
       .select(col("doc_id"), wavFromBytes(col("text").cast("binary")).as("payload"))
     decodeFeatures(docs)
       .select(col("doc_id"), col("format"), col("n_bytes"), col("content_sum"),

@@ -325,7 +325,7 @@ object Relational {
     * return "" for a no-match extract. Pure projection — codegen'd, no
     * shuffle beyond the output sort. */
   def qRegexFuncs(s: SparkSession, sf: String): DataFrame =
-    t(s, sf, "documents").select(col("doc_id"),
+    tWide(s, sf, "documents").select(col("doc_id"),
       regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
       length(regexp_replace(col("text"), "[0-9]", "#")).cast("long")
         .as("len_masked"),
@@ -341,7 +341,7 @@ object Relational {
     * matches the BM25 family's split for established parity. */
   def qArrayFuncs(s: SparkSession, sf: String): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
-    t(s, sf, "documents").select(col("doc_id"), toks.as("toks"))
+    tWide(s, sf, "documents").select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),

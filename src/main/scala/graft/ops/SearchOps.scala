@@ -49,7 +49,7 @@ object SearchOps {
     * broadcast; the posting explode is filtered to `terms` before the tf
     * aggregation, and the tiny per-term df table broadcasts back. */
   private def bm25PerTerm(s: SparkSession, sf: String, terms: Seq[String]): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val stats = docs.agg(
@@ -105,7 +105,7 @@ object SearchOps {
     * `bm25Scores` on any corpus. `sum_dl` (exact integer) is carried so
     * segment merges can recombine avgdl exactly (weighted means drift). */
   def buildLexIndex(s: SparkSession, sf: String, outDir: String): Unit =
-    buildLexIndexFrom(t(s, sf, "documents"), outDir)
+    buildLexIndexFrom(tWide(s, sf, "documents"), outDir)
 
   /** Index tables are written with SMALL row groups (512 KB vs parquet's
     * 128 MB default): the postings are term-sorted, so small row groups
@@ -338,7 +338,7 @@ object SearchOps {
     import s.implicits._
     val queries = batchQueries.toDF("query_id", "term")
     val terms   = queries.select("term").distinct()
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val stats = docs.agg(
@@ -495,7 +495,7 @@ object SearchOps {
     * range/nested-loop fallback). Output: per-source count of docs
     * containing the phrase. */
   def phraseMatchDocs(s: SparkSession, sf: String, ph: Seq[String]): DataFrame = {
-    val pos = t(s, sf, "documents")
+    val pos = tWide(s, sf, "documents")
       .select(col("doc_id"), col("source"),
         posexplode(toks(col("text"))).as(Seq("pos", "term")))
     val first = pos.filter(col("term") === ph.head)
@@ -623,7 +623,7 @@ object SearchOps {
   def tfidfKeywords(s: SparkSession, sf: String, docPred: Column,
       topN: Int): DataFrame = {
     val stop = stopWords
-    val tokens = t(s, sf, "documents")
+    val tokens = tWide(s, sf, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(!col("term").isin(stop: _*))
     val stats = tokens.agg(countDistinct("doc_id").as("n_docs"))
@@ -691,7 +691,7 @@ object SearchOps {
       .orderBy(col("bm25_e6").desc, col("doc_id").asc)
       .limit(fbDocs)
       .select(col("doc_id"), col("bm25_e6"))
-    t(s, sf, "documents")
+    tWide(s, sf, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .join(broadcast(fb), "doc_id")
       .filter(!col("term").isin((terms ++ stopWords): _*))
@@ -707,7 +707,7 @@ object SearchOps {
     * identical to `bm25PerTerm`. */
   private def bm25PerTermDf(s: SparkSession, sf: String,
       termsDf: DataFrame): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val stats = docs.agg(
@@ -777,7 +777,7 @@ object SearchOps {
     * same keys; per-bigram log-probs collapse to micro-ints before the
     * per-doc integer sum, so results are reduction-order independent. */
   def qBigramLm(s: SparkSession, sf: String): DataFrame =
-    bigramDocLp(t(s, sf, "documents"))
+    bigramDocLp(tWide(s, sf, "documents"))
       .withColumn("avg_lp_e6",
         col("sum_lp_e6").cast("double") / col("n_bigrams"))
       .orderBy("doc_id")
@@ -836,7 +836,7 @@ object SearchOps {
     * integers. */
   def qPerplexityFilter(s: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
     val scored = bigramDocLp(docs)
       .withColumn("score_e6",
         round(col("sum_lp_e6").cast("double") / col("n_bigrams"), 0).cast("long"))

@@ -101,11 +101,11 @@ object SketchOps {
   }
 
   def qHeavyHitters(s: SparkSession, sf: String): DataFrame =
-    heavyHittersExact(t(s, sf, "documents"), "text")
+    heavyHittersExact(tWide(s, sf, "documents"), "text")
       .orderBy(col("n").desc, col("token").asc)
 
   def qHeavyHittersMg(s: SparkSession, sf: String): DataFrame =
-    heavyHittersMG(t(s, sf, "documents"), "text")
+    heavyHittersMG(tWide(s, sf, "documents"), "text")
       .orderBy(col("n").desc, col("token").asc)
 
   /** X52b: per-window distinct-user sketches as a CHECKED CONTRACT — the
@@ -363,7 +363,7 @@ object SketchOps {
   }
 
   def qCmSketch(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
     // WEIGHTED build (r14): counter(j, cell) = Σ n over distinct tokens
     // hashing there — identical counters to cmSketch over the raw token
     // stream (so the oracle's raw-row replay is unchanged), but md5 runs

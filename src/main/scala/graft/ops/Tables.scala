@@ -39,6 +39,45 @@ object Tables {
       spark.read.schema(sch).parquet(p)
     }
 
+  /** Like [[t]], but with a KERNEL-PARALLELISM FLOOR for CPU-heavy per-row
+    * work (shingling, tokenization, n-gram explodes): a small table is one
+    * parquet file with one row group, so the scan arrives as ONE input
+    * split — and every downstream map-side kernel serializes on a single
+    * task no matter how many cores the executor has (profiled at sf0.1:
+    * the 5k-document shingle pass ran 0.3-0.8 s single-threaded, twice per
+    * dedup-pair build, on a 32-core box). When the split count is below
+    * the default parallelism, one round-robin exchange of the (small by
+    * construction — few splits ⇔ few bytes) table spreads the kernel
+    * across the executor; the shuffle moves the table once and the kernel
+    * gain repays it ~cores-fold. At scale the gate is the identity: a
+    * 100 TB table scans as tens of thousands of splits, so `parts >=
+    * target` and NO reshuffle is ever planned. Filters/pruning still reach
+    * the scan — Catalyst pushes predicates and column pruning through
+    * Repartition. */
+  def tWide(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = t(spark, sfDir, name)
+    // Gate on on-disk bytes, not split count: a small parquet file holds
+    // ONE row group, and byte-range splitting cannot parallelize inside a
+    // row group (extra splits would simply be empty) — so "small bytes" IS
+    // "serial kernel". File/dir status is a local stat call; the plan-side
+    // alternative (toRdd.getNumPartitions) costs a full physical planning
+    // pass per query construction.
+    val f = new java.io.File(s"$sfDir/$name.parquet")
+    val parts =
+      if (f.isDirectory) f.listFiles.count(_.getName.endsWith(".parquet"))
+      else 1
+    val bytes =
+      if (f.isDirectory)
+        f.listFiles.iterator.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      else f.length
+    val target = spark.sparkContext.defaultParallelism
+    // a multi-part dataset (e.g. the bench's replicated copies) is already
+    // kernel-parallel across its files; only few-file small data reshuffles
+    if (bytes > 0 && bytes < 64L * 1024 * 1024 && parts * 2 < target)
+      df.repartition(target)
+    else df
+  }
+
   /** The events table's `ts` column has shipped in two on-disk layouts:
     * int64 TIMESTAMP(NANOS) — which Spark's parquet reader rejects
     * (PARQUET_TYPE_ILLEGAL) unless read as raw longs — and plain

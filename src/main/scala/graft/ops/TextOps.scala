@@ -35,7 +35,7 @@ object TextOps {
     val budget = 1000 // chars — reference `max_tokens_per_chunk` (chroma_ingestion_util.py:225)
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, sf, "documents")
+    tWide(s, sf, "documents")
       .select(col("source"), col("doc_id"), rowText.as("row_text"))
       .withColumn("len", length(col("row_text")).cast("long"))
       .withColumn("chunk_id",
@@ -78,7 +78,7 @@ object TextOps {
   /** V12: per-language token/length statistics (BASELINE north star;
     * `documents.parquet`). */
   def qTextTokens(s: SparkSession, sf: String): DataFrame =
-    t(s, sf, "documents")
+    tWide(s, sf, "documents")
       .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
       .groupBy("lang")
       .agg(
@@ -93,7 +93,7 @@ object TextOps {
     * units via the regex `[a-z]+|[0-9]+|[^a-z0-9\s]` (letter runs, digit
     * runs, single punctuation — the shape BPE pre-tokenizers use). */
   def qTokenBpe(s: SparkSession, sf: String): DataFrame =
-    t(s, sf, "documents")
+    tWide(s, sf, "documents")
       .withColumn("ws_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
       .withColumn("bpe_tok",
         size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
@@ -137,13 +137,13 @@ object TextOps {
   }
 
   def qQualityScore(s: SparkSession, sf: String): DataFrame =
-    qualityPerDoc(t(s, sf, "documents")).orderBy("doc_id")
+    qualityPerDoc(tWide(s, sf, "documents")).orderBy("doc_id")
 
   /** Document fingerprinting: md5 of whitespace-normalized lowercase text,
     * plus a 64-char-prefix fingerprint (near-dup blocking key). */
   def qDocFingerprint(s: SparkSession, sf: String): DataFrame = {
     val norm = lower(regexp_replace(col("text"), "\\s+", " "))
-    t(s, sf, "documents")
+    tWide(s, sf, "documents")
       .select(
         col("doc_id"),
         md5(norm).as("fp"),
@@ -155,7 +155,7 @@ object TextOps {
   /** V13 (exact): duplicate-text detection per source via hash-groupBy —
     * `has_duplicates` profiling (`ingestion_pipeline_langgraph.py:466`). */
   def qExactDedup(s: SparkSession, sf: String): DataFrame =
-    t(s, sf, "documents")
+    tWide(s, sf, "documents")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -188,7 +188,7 @@ object TextOps {
         lit(lg).as("lang"))
     }
     val best = array_max(array(scores: _*))
-    t(s, sf, "documents")
+    tWide(s, sf, "documents")
       .select(col("doc_id"), col("lang").as("label_lang"),
         best.getField("lang").as("pred_lang"),
         best.getField("hits").as("n_marker_hits"),
@@ -264,7 +264,7 @@ object TextOps {
     * training, scoring, and the (score, lang) argmax exactly — this moved
     * from rows-only to hash-verified with no change to the model. */
   def qLangIdNb(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
     val train = docs.filter(col("doc_id") % 10 < 8)
     val test = docs.filter(col("doc_id") % 10 >= 8)
     classifyLang(test, trainLangProfiles(train))
@@ -292,7 +292,7 @@ object TextOps {
   }
 
   def qVocabTop(s: SparkSession, sf: String): DataFrame =
-    buildVocab(t(s, sf, "documents"), "text", topN = 100)
+    buildVocab(tWide(s, sf, "documents"), "text", topN = 100)
       .orderBy("token_id")
 
   /** SimHash (64-bit) per document: xxhash64 per token, bitwise
@@ -344,7 +344,7 @@ object TextOps {
     * distributed formulation against a per-row reference the same way
     * q_ntile/q_ntile_scalable share one oracle. */
   def qSimhash(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
     val dist = simhash(docs, "text")
     docs.select(col("doc_id"),
         size(array_distinct(split(trim(lower(col("text"))), "\\s+")))
@@ -395,7 +395,7 @@ object TextOps {
     * The full hamming ≤ 3 pair face (engine-specific signature values)
     * stays available via [[simhashNeardupPairs]], spec-covered in OpsSpec. */
   def qSimhashNeardup(s: SparkSession, sf: String): DataFrame = {
-    val docs = t(s, sf, "documents")
+    val docs = tWide(s, sf, "documents")
     val found = simhashNeardupPairs(simhash(docs, "text"), maxHamming = 3)
     val keyed = docs.select(col("doc_id"),
       array_sort(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("ts"))
@@ -440,7 +440,7 @@ object TextOps {
     import org.apache.spark.sql.GraftColumnBridge
     def fp(w: Int) = GraftColumnBridge.column(graft.functions.Winnow(
       GraftColumnBridge.expression(col("text")), 12, w))
-    t(s, sf, "documents")
+    tWide(s, sf, "documents")
       .select(col("doc_id"), fp(8).as("sel"), fp(1).as("all_kg"))
       .select(col("doc_id"),
         size(col("all_kg")).cast("long").as("n_distinct_kgrams"),
