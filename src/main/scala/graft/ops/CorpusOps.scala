@@ -218,7 +218,7 @@ object CorpusOps {
     val keepDedup = docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val benchKeys = DedupOps.withShingles(
-        tWide(s, sf, "documents").filter(col("doc_id") % 97 === 0))
+        t(s, sf, "documents").filter(col("doc_id") % 97 === 0))
       .select(explode(col("sh")).as("key")).distinct()
     val contaminated = DedupOps.withShingles(docs)
       .select(col("doc_id"), explode(col("sh")).as("key"))
@@ -295,7 +295,7 @@ object CorpusOps {
     val keepDedup = docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val benchKeys = DedupOps.withShingles(
-        tWide(s, sf, "documents").filter(col("doc_id") % 97 === 0))
+        t(s, sf, "documents").filter(col("doc_id") % 97 === 0))
       .select(explode(col("sh")).as("key")).distinct()
     val contaminated = DedupOps.withShingles(docs)
       .select(col("doc_id"), explode(col("sh")).as("key"))

@@ -115,7 +115,9 @@ object FuzzyOps {
     * names are synthetic id-stamped strings, so single-digit substitutions
     * produce a rich distance-1 pair graph — the entity-resolution shape. */
   def qFuzzyJoin(s: SparkSession, sf: String): DataFrame =
-    fuzzyPairs(t(s, sf, "customer")
+    // tWide: variant generation emits ~2(|s|+1) rows per name — the
+    // kernel-parallelism floor keeps that explode off a single scan task
+    fuzzyPairs(tWide(s, sf, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name")))
       .orderBy("id_a", "id_b")
 }

@@ -90,7 +90,14 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // same footer-read-per-construction tax as t(); cache under the same
+    // (path, mtime) key (nanosAsLong is set before either branch, so the
+    // inferred schema is stable across calls)
+    val p = s"$sfDir/events.parquet"
+    val key = s"$p:${new java.io.File(p).lastModified}"
+    val sch = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(p).schema)
+    val raw = spark.read.schema(sch).parquet(p)
     val ts = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
       case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")

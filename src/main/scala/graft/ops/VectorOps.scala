@@ -14,7 +14,7 @@ object VectorOps {
 
   /** Query vector = the embedding of `vec_id = 0` (a 1-row broadcast). */
   private def withQueryVec(s: SparkSession, sf: String): DataFrame = {
-    val e = t(s, sf, "embeddings")
+    val e = tWide(s, sf, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.crossJoin(broadcast(q))
   }
@@ -669,7 +669,7 @@ object VectorOps {
   }
 
   def qEmbedNeardupLsh(s: SparkSession, sf: String): DataFrame = {
-    val e = t(s, sf, "embeddings")
+    val e = tWide(s, sf, "embeddings")
     lshCandidatePairs(e, bits = 4 * adaptiveLshBits(e.count()), bands = 4)
       .select(col("id_a"), col("id_b"),
         microScore(cosineFast(col("va"), col("vb"))).as("sim_e6"))
@@ -719,7 +719,7 @@ object VectorOps {
     * stay linear, and the centroid table (labels × dims) is broadcast
     * back. Hash-exact vs a DuckDB oracle that rebuilds the same sums. */
   def qLabelCentroids(s: SparkSession, sf: String): DataFrame = {
-    val e = t(s, sf, "embeddings").select(col("vec_id"), col("label"),
+    val e = tWide(s, sf, "embeddings").select(col("vec_id"), col("label"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1000000, 0).cast("long")).as("v"))
     val cent = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "value")))
