@@ -71,9 +71,14 @@ object Tables {
         f.listFiles.iterator.filter(_.getName.endsWith(".parquet")).map(_.length).sum
       else f.length
     val target = spark.sparkContext.defaultParallelism
-    // a multi-part dataset (e.g. the bench's replicated copies) is already
-    // kernel-parallel across its files; only few-file small data reshuffles
-    if (bytes > 0 && bytes < 64L * 1024 * 1024 && parts * 2 < target)
+    // Engage ONLY for a truly serial scan (one file, one row group): that
+    // is the profiled failure mode. A multi-part dataset is already
+    // kernel-parallel, and measured at 4 parts the residual widening gain
+    // did not repay the exchanges it costs — column pruning specializes
+    // each consumer's subtree, so the repartition materializes once PER
+    // CONSUMER (bigram-LM family at x4: three ~10 MB text exchanges,
+    // +1.1 s) while the serial-scan case it cures no longer exists.
+    if (bytes > 0 && bytes < 64L * 1024 * 1024 && parts == 1 && target > 2)
       df.repartition(target)
     else df
   }
