@@ -573,12 +573,13 @@ object DedupOps {
     * query by construction: maintenance must be invisible in the result. */
   def qDedupClustersIncremental(s: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
-    // qNgramJaccardPairs already hands its result off as an eager
-    // checkpoint, so both batches read one stable materialization — the
-    // split cannot shift between reads, and unpersistCheckpoint below can
-    // still reach the pair RDD through this projection
-    val pairs = qNgramJaccardPairs(s, sf).select(
-      col("id_a").as("src"), col("id_b").as("dst"))
+    // pairs come from the banded MinHash path (see qDedupClusters — same
+    // pair set as the exact formulation, same all-pairs oracle), eagerly
+    // checkpointed so both parity batches read ONE stable materialization
+    // — the split cannot shift between reads, and unpersistCheckpoint
+    // below can still reach the pair RDD through this projection
+    val pairs = minhashVerifiedPairs(s, sf).select(
+      col("id_a").as("src"), col("id_b").as("dst")).localCheckpoint()
     val e0 = pairs.filter(pmod(col("src") + col("dst"), lit(2)) === 0)
     val e1 = pairs.filter(pmod(col("src") + col("dst"), lit(2)) === 1)
     val labels0 = connectedComponents(e0)
@@ -608,18 +609,34 @@ object DedupOps {
       case _ => false
     }
 
-  /** Dedup clusters over the exact n-gram-Jaccard pair graph: connected
-    * components, reported per cluster (representative = min doc_id — the
-    * one a keep-one-per-cluster pass would retain). Oracle = DuckDB
-    * recursive-CTE transitive closure, so the fixpoint itself is
-    * hash-verified. Runs jobs during construction (iterative), like the
-    * ingest roundtrips. */
+  /** Dedup clusters over the near-dup pair graph: connected components,
+    * reported per cluster (representative = min doc_id — the one a
+    * keep-one-per-cluster pass would retain). Oracle = DuckDB
+    * recursive-CTE transitive closure over the ALL-PAIRS exact-Jaccard
+    * graph, so the fixpoint AND the pair generation's recall are
+    * hash-verified end to end. Runs jobs during construction (iterative),
+    * like the ingest roundtrips.
+    *
+    * The edge list comes from [[minhashVerifiedPairs]] — the MinHash+LSH
+    * banded path with exact-Jaccard verify — not the exact PPJoin
+    * formulation: the two produce the SAME pair set (the checked contract
+    * on [[qMinhashNeardup]], certified by this query's own all-pairs
+    * oracle hash every round), and the banded path is both the 100 TB
+    * route (keyed band shuffles, no global frequency-ordering pass, no
+    * corpus-array materialization) and ~2× cheaper end to end (profiled
+    * at sf0.1: this query's wall fell 2.5 → 1.0-1.5 s on the swap — the
+    * PPJoin pipeline's frequency join, blocking array checkpoint, and
+    * prefix-key pass all drop out). The exact formulation remains
+    * independently benched and oracle-checked as `q_ngram_jaccard_pairs`. */
   def qDedupClusters(s: SparkSession, sf: String): DataFrame = {
-    val pairs = qNgramJaccardPairs(s, sf).select(
-      col("id_a").as("src"), col("id_b").as("dst"))
+    // one eager materialization serves the fixpoint's fast-path probe AND
+    // (for a cap-exceeding graph) the distributed symmetrize — without it
+    // the pair pipeline would re-run once per consumer
+    val pairs = minhashVerifiedPairs(s, sf).select(
+      col("id_a").as("src"), col("id_b").as("dst")).localCheckpoint()
     val labels = connectedComponents(pairs)
-    // the pair checkpoint qNgramJaccardPairs handed off is consumed once
-    // the fixpoint returns; free it deterministically
+    // the pair checkpoint is consumed once the fixpoint returns; free it
+    // deterministically
     org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint(pairs)
     val summary = labels
       .groupBy(col("label").as("cluster_rep"))
@@ -661,7 +678,16 @@ object DedupOps {
     * missed pair list with per-pair Jaccard so it is diagnosable at a
     * glance. Cross-source candidates (which source blocking excludes by
     * design) remain available via [[minhashCandidates]]. */
-  def qMinhashNeardup(s: SparkSession, sf: String): DataFrame = {
+  def qMinhashNeardup(s: SparkSession, sf: String): DataFrame =
+    minhashVerifiedPairs(s, sf).orderBy("id_a", "id_b")
+
+  /** The MinHash path's exact-verified pair set, pre-sort — shared by the
+    * reporting face ([[qMinhashNeardup]]) and the cluster-maintenance
+    * family ([[qDedupClusters]], [[qDedupClustersIncremental]]), which
+    * consume the pairs as an edge list. Output equals
+    * [[qNgramJaccardPairs]] exactly (the checked contract above), so every
+    * consumer keeps its all-pairs oracle. */
+  def minhashVerifiedPairs(s: SparkSession, sf: String): DataFrame = {
     val docs = tWide(s, sf, "documents")
     val shingled = withShingles(docs, "source")
     val sigs = minhashSignatures(shingled.select("doc_id", "sh"), k = 64)
@@ -680,7 +706,6 @@ object DedupOps {
       .select(col("source"), col("id_a"), col("id_b"),
         round(j * 1000000, 0).cast("long").as("jaccard_e6"))
       .filter(col("jaccard_e6") >= 400000L)
-      .orderBy("id_a", "id_b")
   }
 
   /** X26: semantic dedup (SemDeDup-style, Abbas et al. 2023) — keep ONE

@@ -240,8 +240,16 @@ object MultimodalOps {
     * analog of a `mapInPandas` batch UDF: one kernel invocation per batch,
     * never per row on the driver. */
   def decodeFeatures(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+    // Dataset.mapPartitions (not .rdd.mapPartitions): the RDD conversion
+    // forces AQE to materialize every exchange below it AT CONSTRUCTION
+    // (AdaptiveSparkPlanExec resolves its final plan eagerly for .rdd), so
+    // a kernel-floor repartition upstream turned query construction into a
+    // corpus-scan job. The typed operator stays a lazy node in ONE plan —
+    // no job until the caller executes, and the decode kernel still runs
+    // partition-wise off the scan.
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(decodedSchema)
+    df.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { it =>
         it.grouped(256).flatMap { batch =>
           batch.map { r =>
@@ -253,7 +261,6 @@ object MultimodalOps {
           }
         }
       }
-    spark.createDataFrame(rdd, decodedSchema)
   }
 
   /** Magic-byte format sniffing (real logic — works on any binary column).
