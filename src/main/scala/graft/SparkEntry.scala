@@ -225,7 +225,21 @@ object SparkEntry {
         "having count over 100") _),
     "q_nl_or_filter" ->
       (nlQuery("how many orders where totalprice under 5000 " +
-        "or totalprice over 100000") _)
+        "or totalprice over 100000") _),
+    // ... and the other two r15 grammar rules, negation + closed ranges
+    // negation on a numeric value: the grammar's tokens are lowercased, so
+    // a string value's case is only recoverable via the grounding loop
+    // (q_nl_semantic_ground) — the plain-grammar face stays numeric-exact
+    "q_nl_not_filter" ->
+      (nlQuery("how many orders where custkey is not 1") _),
+    "q_nl_range_filter" ->
+      (nlQuery("how many orders where totalprice from 1000 to 5000") _),
+    // network family (r15): S6 streamed-GET URL source, V2 executor-side
+    // batch-POST embedder, S9 streamed-PUT blob sink — real wire code
+    // against the in-process loopback fixture (ops/NetOps.scala)
+    "q_url_ingest"            -> (NetOps.qUrlIngest _),
+    "q_http_embed"            -> (NetOps.qHttpEmbed _),
+    "q_blob_put_roundtrip"    -> (NetOps.qBlobPutRoundtrip _)
   )
 
   /** V9 end to end for the driver: profile the cataloged tables from the
@@ -957,6 +971,30 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |count(DISTINCT o_orderstatus) AS n_status FROM orders""".stripMargin,
+    // S6: the table went over real HTTP (loopback) and back — the oracle
+    // is the same aggregate over the original table it was served from
+    "q_url_ingest" ->
+      """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |count(DISTINCT o_orderstatus) AS n_status FROM orders""".stripMargin,
+    // V2: the loopback endpoint's vectors are a pinned integer formula of
+    // the embedded text (= doc_id rendered as a string); the constants are
+    // emitted from the ONE Scala source of truth (NetOps.LoopbackHttp), and
+    // doc_id >= 0 keeps Spark's floorMod and DuckDB's % aligned (the
+    // cmCellKey non-negative-key precondition, ADVICE r14)
+    "q_http_embed" -> {
+      import graft.ops.NetOps.LoopbackHttp._
+      s"""SELECT doc_id, $Dim AS n_dims,
+         |CAST(list_sum(list_transform(range($Dim),
+         |  i -> (doc_id * $A + i * $B) % $P - $OFF)) AS BIGINT) AS vsum
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // S9: the aggregate's parquet artifact was PUT to the blob store and
+    // fetched back; matching the aggregate certifies a byte-true roundtrip
+    "q_blob_put_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_token_bpe" ->
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
@@ -2099,6 +2137,11 @@ object SparkEntry {
     "q_nl_or_filter" ->
       """SELECT count(*) AS n FROM orders
         |WHERE (o_totalprice < 5000 OR o_totalprice > 100000)""".stripMargin,
+    "q_nl_not_filter" ->
+      """SELECT count(*) AS n FROM orders WHERE o_custkey <> 1""",
+    "q_nl_range_filter" ->
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_totalprice BETWEEN 1000 AND 5000""".stripMargin,
     // X75 closed planner loop, aggregation mirror: DuckDB replays the
     // 1-row skew profile (rows + hot-key percent), re-derives the SAME
     // salted/plain decision, and checks the routed aggregate against the

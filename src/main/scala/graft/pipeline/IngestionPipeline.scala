@@ -26,7 +26,11 @@ object IngestionPipeline {
     * temp file (`download_file_from_url`,
     * `ingestion_pipeline_langgraph.py:138-155`); plain paths pass through. */
   def fetch(url: String, workDir: String): String =
-    if (url.contains("://")) {
+    if (url.startsWith("http://") || url.startsWith("https://"))
+      // S6: the real HTTP path — streamed GET, redirects, raise-for-status,
+      // transient retry (sources/UrlSource; NetIngestSpec)
+      graft.sources.UrlSource.download(url, workDir)
+    else if (url.contains("://")) {
       val name = url.split("/").last
       val dest = Paths.get(workDir, name)
       Files.createDirectories(dest.getParent)
@@ -128,10 +132,17 @@ object IngestionPipeline {
     * (`data_source_<base>`, `chroma_ingestion_util.py:190-205`), written as
     * a parquet table of chunks + embeddings + metadata, overwrite =
     * delete-then-recreate freshness (`:267-327`). */
-  def writeCollection(chunks: DataFrame, table: String, outDir: String, dim: Int = 64): String = {
+  def writeCollection(chunks: DataFrame, table: String, outDir: String, dim: Int = 64,
+      embedder: Option[Embedder] = None): String = {
     val path = s"$outDir/collections/data_source_$table.parquet"
-    chunks
-      .withColumn("embedding", stubEmbed(dim)(col("text")))
+    // V2 seam: a bound embedder routes every chunk batch through the real
+    // executor-side HTTP path (Embedder.embedColumn); the default stays the
+    // deterministic stub so collections are hermetic and oracle-replayable
+    val embedded = embedder match {
+      case Some(e) => Embedder.embedColumn(chunks, "text", e)
+      case None => chunks.withColumn("embedding", stubEmbed(dim)(col("text")))
+    }
+    embedded
       .withColumn("source_table", lit(table))
       .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
     path

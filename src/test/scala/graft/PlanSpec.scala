@@ -318,6 +318,9 @@ class PlanSpec extends SparkTestBase {
       "q_ingest_csv_roundtrip", "q_ingest_tsv_roundtrip",
       "q_ingest_json_roundtrip", "q_ingest_orc_roundtrip",
       "q_partitioned_roundtrip",
+      // network roundtrips: write/upload/download at construction is their
+      // semantics (the ingest-roundtrip pattern over the loopback fixture)
+      "q_blob_put_roundtrip", "q_url_ingest",
       // iterative fixpoints run checkpoint jobs during construction
       "q_dedup_clusters", "q_dedup_clusters_incremental", "q_semantic_dedup",
       "q_ngram_jaccard_pairs", // eager pair-checkpoint handoff
@@ -331,7 +334,8 @@ class PlanSpec extends SparkTestBase {
       "q_ntile",               // numPartitions-row range-offset collect
       // NL faces profile the catalog (CatalogOps stats pass) up front
       "q_nl_count_group", "q_nl_max_filter_group", "q_nl_topk_group",
-      "q_nl_having_group", "q_nl_or_filter",
+      "q_nl_having_group", "q_nl_or_filter", "q_nl_not_filter",
+      "q_nl_range_filter",
       // the grounding face runs the whole retrieve→ground→SQL pipeline
       // (bounded k-row reads) and builds its collection artifact
       "q_nl_semantic_ground",
