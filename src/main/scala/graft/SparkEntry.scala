@@ -239,7 +239,10 @@ object SparkEntry {
     // against the in-process loopback fixture (ops/NetOps.scala)
     "q_url_ingest"            -> (NetOps.qUrlIngest _),
     "q_http_embed"            -> (NetOps.qHttpEmbed _),
-    "q_blob_put_roundtrip"    -> (NetOps.qBlobPutRoundtrip _)
+    "q_blob_put_roundtrip"    -> (NetOps.qBlobPutRoundtrip _),
+    // X77 delta embedding refresh: re-embed only changed chunks, reuse
+    // persisted vectors, drop vanished rows — fingerprint-decided
+    "q_embed_delta_refresh"   -> (EmbedMaintOps.qEmbedDeltaRefresh _)
   )
 
   /** V9 end to end for the driver: profile the cataloged tables from the
@@ -995,6 +998,20 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // X77: the reused/embedded/dropped partition of the key space is
+    // decided by md5 content fingerprints — bit-replayable in DuckDB
+    "q_embed_delta_refresh" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |fresh AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN n.doc_id IS NULL THEN 'dropped'
+        |         WHEN o.doc_id IS NULL OR o.fp <> n.fp THEN 'embedded'
+        |         ELSE 'reused' END AS action
+        |  FROM old o FULL OUTER JOIN fresh n ON o.doc_id = n.doc_id)
+        |SELECT action, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM j GROUP BY action ORDER BY action""".stripMargin,
     "q_token_bpe" ->
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
