@@ -48,7 +48,10 @@ object Bench {
     // round 13 additions
     "q_planned_skew_join", "q_group_split", "q_token_budget_cap",
     // round 14 additions
-    "q_planned_skew_agg")
+    "q_planned_skew_agg",
+    // round 15 additions (the network faces stay out of the headline —
+    // they are loopback-IO-bound by design, not engine work)
+    "q_embed_delta_refresh")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

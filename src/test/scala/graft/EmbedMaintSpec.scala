@@ -38,8 +38,7 @@ class EmbedMaintSpec extends SparkTestBase {
     // key 1 unchanged, key 2 edited, key 3 dropped, key 5 new
     val fresh = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta"), (5L, "epsilon"))
       .toDF("key", "text")
-    val out = EmbedMaintOps.deltaRefresh(oldCollection, fresh,
-        ch => Embedder.embedColumn(ch, "text", new CountingEmbedder))
+    val out = EmbedMaintOps.deltaRefresh(oldCollection, fresh, new CountingEmbedder)
       .select("key", "action").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "reused", 2L -> "embedded", 3L -> "dropped",
       4L -> "reused", 5L -> "embedded"))
@@ -49,8 +48,7 @@ class EmbedMaintSpec extends SparkTestBase {
     val fresh = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta"), (5L, "epsilon"))
       .toDF("key", "text")
     CountingEmbedder.calls.set(0)
-    val rows = EmbedMaintOps.deltaRefresh(oldCollection, fresh,
-        ch => Embedder.embedColumn(ch, "text", new CountingEmbedder))
+    val rows = EmbedMaintOps.deltaRefresh(oldCollection, fresh, new CountingEmbedder)
       .select("key", "action", "embedding").collect()
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.getSeq[Float](2))))
       .toMap
