@@ -666,4 +666,84 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).head
     assert(stats(s"$tmp/merged") == stats(s"$tmp/full"))
   }
+
+  test("crash-restart: CM counter maintenance recovers to the exact batch " +
+    "sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val all = (1 to 60).map(i => s"tok${i % 9}") ++ Seq.fill(25)("hot")
+    val parts = Seq(all.take(30), all.slice(30, 60), all.drop(60))
+    val sch = StructType(Seq(StructField("token", StringType)))
+    val tmp = restartHarness("cm_restart")(
+      (src, i) => parts(i).toDF("token")
+        .coalesce(1).write.mode("append").parquet(src),
+      base => graft.streaming.SketchStream.cmSketchStream(
+          spark.readStream.schema(sch).parquet(s"$base/src"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        // Complete mode re-emits the WHOLE bounded counter table per
+        // batch; overwrite keeps exactly the latest snapshot, and a
+        // replayed batch after recovery just rewrites the same rows
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$base/snap")
+        }.start())
+    val got = spark.read.parquet(s"$tmp/snap")
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    val want = graft.ops.SketchOps.cmSketch(all.toDF("token"))
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(got == want,
+      "the recovered CM snapshot must BIT-equal the batch sketch")
+  }
+
+  test("crash-restart: MG candidate maintenance recovers its per-shard " +
+    "counters; the frequency guarantee holds through the crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val k = 4
+    val shards = 2
+    // two heavies drowning a rotating tail — each heavy exceeds its
+    // shard total / k no matter how the hash splits the tail
+    val all = Seq.fill(40)("alpha") ++ Seq.fill(40)("omega") ++
+      (1 to 24).map(i => s"t$i")
+    val parts = Seq(all.take(35), all.slice(35, 70), all.drop(70))
+    val sch = StructType(Seq(StructField("token", StringType)))
+    val tmp = restartHarness("mg_restart")(
+      (src, i) => new scala.util.Random(i).shuffle(parts(i)).toDF("token")
+        .coalesce(1).write.mode("append").parquet(src),
+      base => graft.streaming.SketchStream.mgCandidatesStream(
+          spark.readStream.schema(sch).parquet(s"$base/src"), k, shards)
+        .toDF("shard", "version", "token")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        // append sink: a batch replayed after the crash may double-write
+        // its rows — the snapshot read below takes max(version) per shard,
+        // which is replay-immune by construction
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$base/out")
+        }.start())
+    val emitted = spark.read.parquet(s"$tmp/out")
+    val latest = emitted.groupBy("shard").agg(max("version").as("version"))
+    val candidates = emitted.join(latest, Seq("shard", "version"))
+      .select("shard", "token").distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // replay the shard assignment in batch and check the MG guarantee:
+    // any token with total frequency > (shard total)/k MUST have survived
+    val shardCounts = all.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(shards)).cast("int").as("shard"),
+        col("token"))
+      .groupBy("shard", "token").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    val totals = shardCounts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val mustSurvive = shardCounts.collect {
+      case ((sh, tok), n) if n > totals(sh).toDouble / k => (sh, tok)
+    }.toSet
+    assert(mustSurvive.nonEmpty, "fixture lost its heavy hitters")
+    assert(mustSurvive.subsetOf(candidates),
+      s"MG guarantee broken through the crash: missing ${mustSurvive -- candidates}")
+    // versions advanced across the restart (state recovered, not reset):
+    // the recovered query continues the pre-crash version counter
+    val maxV = emitted.agg(max("version")).head.getLong(0)
+    assert(maxV >= 2, s"versions did not advance across restart (max=$maxV)")
+  }
 }
