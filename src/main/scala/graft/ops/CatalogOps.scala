@@ -107,6 +107,24 @@ object CatalogOps {
   private def q(s: String) =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** Parse a `TableEntry.toJson` document back. The ingestion-resume marker
+    * (IngestionPipeline) stores per-table entries so a resumed run re-emits
+    * the catalog without re-profiling the data — at backfill scale the
+    * profile pass per table is exactly the work resume exists to skip. */
+  def entryFromJson(json: String): TableEntry = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val n = mapper.readTree(json)
+    val colsNode = n.get("columns")
+    val cols = (0 until colsNode.size).map { i =>
+      val c = colsNode.get(i)
+      ColumnMeta(c.get("name").asText, c.get("type").asText,
+        c.get("n_nulls").asLong, c.get("n_distinct").asLong,
+        Option(c.get("min")).map(_.asText), Option(c.get("max")).map(_.asText))
+    }
+    TableEntry(n.get("table").asText, n.get("path").asText,
+      n.get("row_count").asLong, cols)
+  }
+
   /** Profile one table in a single aggregation pass (never per-column scans).
     *
     * Distinct counts are HLL++ sketches (`approx_count_distinct`), not exact:
@@ -154,23 +172,43 @@ object CatalogOps {
       tables: Seq[String]): String =
     tables.map(profileTable(spark, sfDir, _).toJson).mkString("[", ",", "]")
 
+  /** The reference's outer output envelope, shared by the healthy and the
+    * degraded/error paths (`generate_output_node`,
+    * `ingestion_pipeline_langgraph.py:1088-1101`; `error_handler_node`,
+    * `:1147-1186`). One renderer so `successful_files`/`failed_files` are
+    * always the REAL counts threaded from the pipeline, never literals.
+    * `failedFiles` carries the input file paths, exactly like the
+    * reference's `failed_files` list (`process_and_convert_file_wrapper`
+    * returns the failing `file_path`, `:640-685`); `error` is present only
+    * on the reference's error branches. `success` follows the reference
+    * rule: true iff at least one catalog entry was produced. */
+  def envelope(entries: Seq[String], failedFiles: Seq[String],
+      totalFilesProcessed: Int, vectorStatus: String,
+      sessionId: String, timestamp: String,
+      error: Option[String] = None): String = {
+    val failedJson = failedFiles.map(q).mkString("[", ",", "]")
+    val errField = error.map(e => s""","error":${q(e)}""").getOrElse("")
+    s"""{"success":${entries.nonEmpty},"session_id":${q(sessionId)},""" +
+      s""""processing_summary":{"total_files_processed":$totalFilesProcessed,""" +
+      s""""successful_files":${entries.size},"failed_files":${failedFiles.size},""" +
+      s""""vector_ingestion_status":${q(vectorStatus)},""" +
+      s""""processing_completed_at":${q(timestamp)}},""" +
+      s""""failed_files":$failedJson,"catalog":${entries.mkString("[", ",", "]")}$errField}"""
+  }
+
   /** The reference's complete output document — outer envelope
     * (`ingestion_pipeline_langgraph.py:1088-1101`: success flag,
     * processing_summary, failed_files, catalog) wrapping one full
     * `toCatalogEntryJson` entry per table. A consumer that parses the
     * reference pipeline's output JSON can parse this verbatim. */
   def buildFullCatalog(spark: SparkSession, sfDir: String, tables: Seq[String],
-      sessionId: String = "graft", timestamp: String = ""): String = {
+      sessionId: String = "graft", timestamp: String = "",
+      failedFiles: Seq[String] = Nil): String = {
     val entries = tables.zipWithIndex.map { case (name, idx) =>
       profileTable(spark, sfDir, name).toCatalogEntryJson(idx, sessionId,
         timestamp = timestamp)
     }
-    s"""{"success":${entries.nonEmpty},"session_id":${q(sessionId)},""" +
-      s""""processing_summary":{"total_files_processed":${tables.size},""" +
-      s""""successful_files":${entries.size},"failed_files":0,""" +
-      s""""vector_ingestion_status":"completed",""" +
-      s""""processing_completed_at":${q(timestamp)}},""" +
-      s""""failed_files":[],"catalog":${entries.mkString("[", ",", "]")}}"""
+    envelope(entries, failedFiles, tables.size, "completed", sessionId, timestamp)
   }
 
   val allTables: Seq[String] = Seq("region", "nation", "customer", "supplier",

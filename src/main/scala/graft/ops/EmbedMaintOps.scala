@@ -54,8 +54,11 @@ object EmbedMaintOps {
         coalesce(col("n_fp"), col("o_fp")).as("fp"),
         col("text"),
         col("o_embedding"),
+        // null-safe <=>: a row whose content changed TO null must re-embed,
+        // not fall through to 'reused' via a NULL =!= comparison
         when(col("n_key").isNull, "dropped")
-          .when(col("o_key").isNull || col("o_fp") =!= col("n_fp"), "embedded")
+          .when(col("o_key").isNull || !(col("o_fp") <=> col("n_fp")),
+            "embedded")
           .otherwise("reused").as("action"))
     val outSchema = new StructType()
       .add("key", fresh.schema("key").dataType)

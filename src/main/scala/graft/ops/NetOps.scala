@@ -145,8 +145,12 @@ object NetOps {
     // contract is one-file-per-URL, like the reference's one ingest URL
     val src = new File(s"$sf/orders.parquet") match {
       case d if d.isDirectory =>
-        d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .minBy(_.getName)
+        val parts = d.listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"one-file-per-URL contract: ${d.getPath} holds ${parts.length} " +
+            "part files; a multi-part table must fail loudly, not serve a subset")
+        parts.head
       case f => f
     }
     val url = LoopbackHttp.serveFile(s"orders_${tag(sf)}.parquet", src)

@@ -38,9 +38,13 @@ final case class HttpEmbedder(endpoint: String, model: String, dim: Int,
       attempt += 1
       try return postOnce(texts)
       catch {
-        case _: java.io.IOException if attempt < maxAttempts =>
+        // NonFatal, not just IOException: a malformed server response
+        // (short data array, bad index, missing field) must retry and then
+        // degrade exactly like a transport failure — the degrade contract
+        // covers the whole wire exchange, not only the socket
+        case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
           Thread.sleep(backoffMs); backoffMs *= 2
-        case _: java.io.IOException =>
+        case scala.util.control.NonFatal(_) =>
           // degrade, don't throw: `return [[]] * len(chunk_texts)`
           return Seq.fill(texts.size)(Array.empty[Float])
       }
@@ -106,6 +110,9 @@ object Embedder {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { rows =>
         val vecs = embedder.embedBatch(rows.map(_.getString(idx)))
+        require(vecs.size == rows.size,
+          s"embedder returned ${vecs.size} vectors for ${rows.size} texts; " +
+            "a short batch would silently drop rows via zip truncation")
         rows.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toSeq))
       }
     }(Encoders.row(schema))

@@ -20,7 +20,13 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object IngestionPipeline {
 
   case class FileResult(input: String, table: String, parquetPath: String, rows: Long)
-  case class PipelineResult(files: Seq[FileResult], catalogJson: String)
+  /** One failed input (the reference records the failing `file_path`,
+    * `process_and_convert_file_wrapper` `ingestion_pipeline_langgraph.py:
+    * 640-685`; the error detail is ours — the envelope renders paths only,
+    * matching the reference's `failed_files` list shape). */
+  case class FailedFile(input: String, error: String)
+  case class PipelineResult(files: Seq[FileResult], failed: Seq[FailedFile],
+      catalogJson: String, envelopeJson: String)
 
   /** S6: URL fetch — streams `http(s)://` or `file://` sources to a local
     * temp file (`download_file_from_url`,
@@ -74,13 +80,17 @@ object IngestionPipeline {
     * invariant — PipelineSpec asserts both). Inputs that fit one block are
     * bit-identical to the single-window formulation. */
   def chunkTable(df: DataFrame, orderCol: String, budget: Int,
-      rowsPerBlock: Int = 65536): DataFrame = {
+      rowsPerBlock: Int = 65536, rowHint: Option[Long] = None): DataFrame = {
     val cols = df.columns.toSeq
     val body = cols.map(c =>
       concat(lit(s"$c:"), coalesce(col(c).cast("string"), lit("NULL"))))
     val rowText = concat(lit("[index "), col(orderCol), lit("] "),
       concat_ws(" | ", body: _*))
-    val nBlocks = math.max(1L, (df.count() + rowsPerBlock - 1L) / rowsPerBlock).toInt
+    // rowHint: callers that already counted the table (the pipeline profiles
+    // it in the same breath) pass the count in, so block sizing doesn't cost
+    // an extra full pass per ingested table
+    val total = rowHint.getOrElse(df.count())
+    val nBlocks = math.max(1L, (total + rowsPerBlock - 1L) / rowsPerBlock).toInt
     val rows = df.select(col(orderCol).as("__idx"), rowText.as("row_text"))
       .withColumn("len", length(col("row_text")).cast("long"))
     // works for any orderable key (including string ids): blocks are range
@@ -148,39 +158,163 @@ object IngestionPipeline {
     path
   }
 
-  /** Full run: inputs → parquet tables + catalog JSON + chunk collections. */
-  def run(spark: SparkSession, inputs: Seq[String], outDir: String,
-      chunkBudget: Int = 1000): PipelineResult = {
-    Files.createDirectories(Paths.get(s"$outDir/parquet_files"))
-    val files = inputs.flatMap { url =>
-      val local = fetch(url, s"$outDir/downloads")
-      readTables(spark, local).map { case (table, df) =>
+  /** One aggregation pass over a freshly-written table: row count + per-
+    * column null/distinct stats (HLL++ sketches, not exact countDistinct —
+    * see CatalogOps.profileTable for the 100-TB argument). The count this
+    * returns also sizes chunkTable's blocks, so profiling and chunk layout
+    * share the single pass. */
+  private def profileEntry(df: DataFrame, table: String,
+      parquetPath: String): CatalogOps.TableEntry = {
+    val cols = df.schema.fields.toSeq
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { fld =>
+      Seq(sum(when(col(fld.name).isNull, 1L).otherwise(0L)).as(s"${fld.name}__nnull"),
+        approx_count_distinct(col(fld.name).cast("string"), 0.01).as(s"${fld.name}__ndist"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    CatalogOps.TableEntry(table, parquetPath, row.getLong(0),
+      cols.zipWithIndex.map { case (fld, i) =>
+        CatalogOps.ColumnMeta(fld.name, ProfileOps.duckTypeName(fld.dataType),
+          row.getLong(1 + 2 * i), row.getLong(2 + 2 * i))
+      })
+  }
+
+  // ---- resume markers ------------------------------------------------
+  // The reference checkpoints pipeline state (`MemorySaver`,
+  // `ingestion_pipeline_langgraph.py:1222-1223`) so a resumed graph skips
+  // completed nodes. The Spark analog: after ALL outputs of one input file
+  // (parquet tables + collections) are fully written, an atomic per-input
+  // marker records the input's content fingerprint plus every produced
+  // table (path, rows, catalog entry). A re-run skips inputs whose marker
+  // fingerprint still matches and whose outputs exist — a killed 100-TB
+  // backfill resumes from the last completed file instead of from zero,
+  // and completed inputs are never re-read (the marker even replays the
+  // catalog entry, so no re-profiling pass either). A kill mid-file leaves
+  // partial outputs WITHOUT a marker; the re-run overwrites them.
+
+  private def markerFile(outDir: String, url: String): java.io.File = {
+    val stem = CleanColumns.cleanName(url.split("/").last.takeRight(64))
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(url.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    new java.io.File(s"$outDir/markers", s"${stem}_$h.json")
+  }
+
+  private def writeMarker(marker: java.io.File, url: String, fp: String,
+      done: Seq[(FileResult, CatalogOps.TableEntry)]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.createObjectNode()
+    root.put("input", url)
+    root.put("fp", fp)
+    val arr = root.putArray("files")
+    done.foreach { case (fr, te) =>
+      val n = arr.addObject()
+      n.put("table", fr.table)
+      n.put("parquet", fr.parquetPath)
+      n.put("rows", fr.rows)
+      // explicit type param: set's generic return would otherwise be
+      // inferred from an ascription and CCE at runtime
+      n.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "entry", mapper.readTree(te.toJson))
+    }
+    marker.getParentFile.mkdirs()
+    val tmp = new java.io.File(marker.getParentFile, marker.getName + ".tmp")
+    Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
+    Files.move(tmp.toPath, marker.toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** A marker is honored only if its fingerprint matches the CURRENT input
+    * content and every recorded output still exists — a changed input or a
+    * vanished output falls through to reprocessing. */
+  private def readMarker(marker: java.io.File, url: String, fp: String,
+      outDir: String): Option[Seq[(FileResult, CatalogOps.TableEntry)]] =
+    if (!marker.exists()) None
+    else scala.util.Try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(Files.readString(marker.toPath))
+      require(root.get("fp").asText == fp, "input content changed")
+      val arr = root.get("files")
+      (0 until arr.size).map { i =>
+        val n = arr.get(i)
+        val table = n.get("table").asText
+        val pq = n.get("parquet").asText
+        require(new java.io.File(pq).exists(), s"missing parquet $pq")
+        require(new java.io.File(
+          s"$outDir/collections/data_source_$table.parquet").exists(),
+          s"missing collection for $table")
+        (FileResult(url, table, pq, n.get("rows").asLong),
+          CatalogOps.entryFromJson(mapper.writeValueAsString(n.get("entry"))))
+      }
+    }.toOption
+
+  /** Process ONE input file end-to-end (fetch → tables → parquet →
+    * chunk collections → catalog entries), honoring a matching resume
+    * marker. Throws on any failure — `run` owns the per-file degrade. */
+  private def processOne(spark: SparkSession, url: String, outDir: String,
+      chunkBudget: Int, resume: Boolean): Seq[(FileResult, CatalogOps.TableEntry)] = {
+    val local = fetch(url, s"$outDir/downloads")
+    val localFile = new java.io.File(local)
+    if (!localFile.exists())
+      throw new java.io.FileNotFoundException(s"Local file not found: $local")
+    val fp = graft.ops.ArtifactStore.fingerprint(localFile, s"ingest:v1:$chunkBudget")
+    val marker = markerFile(outDir, url)
+    val resumed = if (resume) readMarker(marker, url, fp, outDir) else None
+    resumed.getOrElse {
+      val done = readTables(spark, local).map { case (table, df) =>
         val pq = s"$outDir/parquet_files/$table.parquet"
         IngestOps.writeParquetZstd(df, pq)
         val persisted = spark.read.parquet(pq)
-        val orderCol = persisted.columns.head
-        val chunks = chunkTable(persisted, orderCol, chunkBudget)
+        val entry = profileEntry(persisted, table, pq)
+        val chunks = chunkTable(persisted, persisted.columns.head, chunkBudget,
+          rowHint = Some(entry.rowCount))
         writeCollection(chunks, table, outDir)
-        FileResult(url, table, pq, persisted.count())
+        (FileResult(url, table, pq, entry.rowCount), entry)
+      }
+      if (resume) writeMarker(marker, url, fp, done)
+      done
+    }
+  }
+
+  /** Full run: inputs → parquet tables + catalog envelope + chunk
+    * collections, with the reference's per-file degrade contract: a corrupt
+    * or unreadable input is recorded in `failed` and the batch CONTINUES
+    * (`process_and_convert_file_wrapper` catches per-file exceptions and
+    * returns the failing path, `ingestion_pipeline_langgraph.py:640-685`).
+    * The output document is the reference envelope with REAL
+    * successful/failed counts; when no input survives, it is the
+    * `error_handler_node` envelope (`:1147-1186`) — success=false, zero
+    * counts, `vector_ingestion_status:"not_started"`, the canonical error
+    * string. `resume=true` (default) also makes the run idempotent via
+    * per-input markers (see above). */
+  def run(spark: SparkSession, inputs: Seq[String], outDir: String,
+      chunkBudget: Int = 1000, sessionId: String = "graft",
+      timestamp: String = "", resume: Boolean = true): PipelineResult = {
+    require(inputs.nonEmpty, "No input files provided") // validate_inputs_node
+    Files.createDirectories(Paths.get(s"$outDir/parquet_files"))
+    val outcomes = inputs.map { url =>
+      try Right(processOne(spark, url, outDir, chunkBudget, resume))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(FailedFile(url, s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("")))
       }
     }
-    val catalogEntries = files.map { f =>
-      val df = spark.read.parquet(f.parquetPath)
-      val cols = df.schema.fields.toSeq
-      // HLL++ sketches, not exact countDistinct — see CatalogOps.profileTable
-      val aggs = count(lit(1)).as("__n") +: cols.flatMap { fld =>
-        Seq(sum(when(col(fld.name).isNull, 1L).otherwise(0L)).as(s"${fld.name}__nnull"),
-          approx_count_distinct(col(fld.name).cast("string"), 0.01).as(s"${fld.name}__ndist"))
+    val done = outcomes.collect { case Right(d) => d }.flatten
+    val failed = outcomes.collect { case Left(f) => f }
+    val files = done.map(_._1)
+    val catalogJson = done.map(_._2.toJson).mkString("[", ",", "]")
+    val env =
+      if (files.isEmpty)
+        CatalogOps.envelope(Nil, failed.map(_.input), 0, "not_started",
+          sessionId, timestamp,
+          Some("No Parquet files were successfully created."))
+      else {
+        val entriesFull = done.map(_._2).zipWithIndex.map { case (te, i) =>
+          te.toCatalogEntryJson(i, sessionId, timestamp = timestamp)
+        }
+        CatalogOps.envelope(entriesFull, failed.map(_.input), files.size,
+          "completed", sessionId, timestamp)
       }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
-      CatalogOps.TableEntry(f.table, f.parquetPath, row.getLong(0),
-        cols.zipWithIndex.map { case (fld, i) =>
-          CatalogOps.ColumnMeta(fld.name, ProfileOps.duckTypeName(fld.dataType),
-            row.getLong(1 + 2 * i), row.getLong(2 + 2 * i))
-        })
-    }
-    val json = catalogEntries.map(_.toJson).mkString("[", ",", "]")
-    Files.writeString(Paths.get(s"$outDir/catalog.json"), json)
-    PipelineResult(files, json)
+    Files.writeString(Paths.get(s"$outDir/catalog.json"), env)
+    PipelineResult(files, failed, catalogJson, env)
   }
 }

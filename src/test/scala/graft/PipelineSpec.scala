@@ -22,6 +22,7 @@ class PipelineSpec extends SparkTestBase {
     val res = IngestionPipeline.run(spark,
       Seq("/root/reference/loan.xlsx", s"file://$csvFile"), out)
 
+    assert(res.failed.isEmpty, s"unexpected failures: ${res.failed}")
     assert(res.files.size == 2)
     val loan = res.files.find(_.table == "loan_data").get
     assert(loan.rows == 1000)
@@ -107,5 +108,105 @@ class PipelineSpec extends SparkTestBase {
         assert(r.getString(1).split("\n", -1).length == r.getSeq[Long](2).size)
       }
     }
+  }
+
+  private def stageCsv(dir: String, name: String, rows: Seq[String]): String = {
+    val d = new java.io.File(dir); d.mkdirs()
+    val f = new java.io.File(d, name)
+    java.nio.file.Files.writeString(f.toPath, rows.mkString("\n"))
+    f.getPath
+  }
+
+  test("per-file failure isolation: a poisoned workbook degrades, the batch continues") {
+    val out = "target/pipeline_degrade_mix"
+    graft.ops.VectorOps.deleteRecursively(new java.io.File(out))
+    // a structurally-broken xlsx (not a zip at all) between two good inputs
+    val poison = stageCsv(s"$out/in", "poison.xlsx", Seq("this is not a zip"))
+    val good = stageCsv(s"$out/in", "good_rows.csv",
+      Seq("id,seg,bal", "1,BUILDING,10.5", "2,AUTO,20.25", "3,BUILDING,30.0"))
+
+    val res = IngestionPipeline.run(spark,
+      Seq("/root/reference/loan.xlsx", poison, good), out,
+      sessionId = "mixsess", resume = false)
+
+    // the reference contract: two tables produced, one failure RECORDED
+    assert(res.files.map(_.table).sorted == Seq("good_rows", "loan_data"))
+    assert(res.failed.map(_.input) == Seq(poison))
+    assert(res.failed.head.error.nonEmpty)
+
+    // envelope: real counts, failed path listed, success stays true
+    val env = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(res.envelopeJson)
+    assert(env.get("success").asBoolean)
+    val summary = env.get("processing_summary")
+    assert(summary.get("total_files_processed").asInt == 2)
+    assert(summary.get("successful_files").asInt == 2)
+    assert(summary.get("failed_files").asInt == 1)
+    assert(summary.get("vector_ingestion_status").asText == "completed")
+    assert(env.get("failed_files").size == 1 &&
+      env.get("failed_files").get(0).asText == poison)
+    assert(env.get("catalog").size == 2)
+    // catalog.json on disk carries the SAME envelope (the reference writes
+    // its final_json to output_json_path)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/catalog.json")) == res.envelopeJson)
+  }
+
+  test("all inputs failing yields the reference error envelope byte-for-byte") {
+    val out = "target/pipeline_degrade"
+    graft.ops.VectorOps.deleteRecursively(new java.io.File(out))
+    val poison = stageCsv(out, "poison.xlsx", Seq("still not a zip"))
+    assert(poison == "target/pipeline_degrade/poison.xlsx")
+
+    val res = IngestionPipeline.run(spark, Seq(poison), out,
+      sessionId = "degradesess", resume = false)
+    assert(res.files.isEmpty && res.failed.size == 1)
+    val golden = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "src/test/resources/error_envelope.golden.json")).trim
+    assert(res.envelopeJson == golden,
+      s"error envelope drifted.\nACTUAL:\n${res.envelopeJson}\nGOLDEN:\n$golden")
+  }
+
+  test("resume: completed inputs are skipped without re-reading them") {
+    val out = "target/pipeline_resume"
+    graft.ops.VectorOps.deleteRecursively(new java.io.File(out))
+    val in = new java.io.File(s"$out/in"); in.mkdirs()
+    val f1 = new java.io.File(in, "wb.xlsx")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/loan.xlsx"), f1.toPath)
+
+    val r1 = IngestionPipeline.run(spark, Seq(f1.getPath), out)
+    assert(r1.files.map(_.table) == Seq("wb_data") && r1.failed.isEmpty)
+    val pqDir = new java.io.File(r1.files.head.parquetPath)
+    def mtimes(d: java.io.File) = d.listFiles().map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes(pqDir)
+
+    // overwrite the INPUT with same-size garbage at the same mtime: the
+    // content fingerprint is unchanged, so resume must skip it — and if the
+    // pipeline re-read the file, the garbage would fail the xlsx parser.
+    val size = f1.length(); val mt = f1.lastModified()
+    java.nio.file.Files.write(f1.toPath, Array.fill(size.toInt)('x'.toByte))
+    assert(f1.setLastModified(mt))
+
+    val f2 = stageCsv(s"$out/in", "extra.csv", Seq("k,v", "1,a", "2,b"))
+    val r2 = IngestionPipeline.run(spark, Seq(f1.getPath, f2), out)
+    assert(r2.failed.isEmpty, s"resume re-read a completed input: ${r2.failed}")
+    assert(r2.files.map(_.table).sorted == Seq("extra", "wb_data"))
+    assert(r2.files.find(_.table == "wb_data").get.rows == 1000)
+    // outputs of the completed input were not rewritten
+    assert(mtimes(pqDir) == before)
+    // catalog entries replay from the marker — same stats as the clean run
+    assert(r2.catalogJson.contains("\"table\":\"wb_data\"") &&
+      r2.catalogJson.contains("\"row_count\":1000"))
+
+    // without its marker the same input IS re-read — and the garbage fails,
+    // which proves the marker (not luck) was doing the skipping
+    val markers = new java.io.File(s"$out/markers").listFiles()
+      .filter(_.getName.startsWith("wb_xlsx"))
+    assert(markers.nonEmpty)
+    markers.foreach(m => assert(m.delete()))
+    val r3 = IngestionPipeline.run(spark, Seq(f1.getPath, f2), out)
+    assert(r3.failed.map(_.input) == Seq(f1.getPath))
+    assert(r3.files.map(_.table) == Seq("extra"))
   }
 }
