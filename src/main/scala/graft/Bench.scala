@@ -175,6 +175,8 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.ops.BpeOps.ensureBpe(spark, sfDir): Unit
     catch { case _: Throwable => () }
+    try graft.ops.SearchOps.ensureBigramLm(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     // untimed warmup pass at the TARGET sf: first-touch page cache, JIT at
     // the real data shapes — doubles as the round-robin's pass 0
     run.foreach { name =>

@@ -93,6 +93,37 @@ class SearchOpsSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("n_bigrams") == 1L)
   }
 
+  test("bigram lm artifact: reuse on second call, fingerprint bump on corpus change") {
+    val dir = writeDocs(Seq(
+      (1L, "a b a b", "en", "s0", 1L),
+      (2L, "c d e f", "en", "s0", 1L)))
+    val d1 = SearchOps.ensureBigramLm(spark, dir)
+    val marker = new java.io.File(d1, "_GRAFT_OK")
+    assert(marker.exists())
+    val stamp = marker.lastModified()
+    val before = SearchOps.qBigramLm(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sum_lp_e6")).toMap
+
+    // reuse: same corpus → same dir, no rebuild
+    val d2 = SearchOps.ensureBigramLm(spark, dir)
+    assert(d2 == d1 && marker.lastModified() == stamp, "no rebuild on reuse")
+
+    // fingerprint bump: regenerate the SAME corpus path with new content →
+    // new artifact dir, and scores reflect the new corpus (a stale LM
+    // would leave doc 1's score unchanged)
+    Thread.sleep(1100) // mtime granularity can be 1 s
+    Seq((1L, "a b a b", "en", "s0", 1L), (3L, "a b x y", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d3 = SearchOps.ensureBigramLm(spark, dir)
+    assert(d3 != d1, "changed corpus content must map to a new artifact dir")
+    val after = SearchOps.qBigramLm(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sum_lp_e6")).toMap
+    assert(after.keySet == Set(1L, 3L))
+    assert(after(1L) != before(1L),
+      "doc 1 scores under the NEW corpus LM (vocab/counts changed)")
+  }
+
   test("bm25 batch: query 0 of the batch reproduces the single-query top-5 exactly") {
     val single = SearchOps.qBm25Topk(spark, sf).limit(5)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bm25_e6"))).toSeq
