@@ -51,7 +51,9 @@ object Bench {
     "q_planned_skew_agg",
     // round 15 additions (the network faces stay out of the headline —
     // they are loopback-IO-bound by design, not engine work)
-    "q_embed_delta_refresh")
+    "q_embed_delta_refresh",
+    // round 16 additions
+    "q_dedup_spans")
 
   /** Force FULL materialization. A plain `df.count()` re-plans and lets
     * Catalyst prune unconsumed projections (and whole Window nodes), so a

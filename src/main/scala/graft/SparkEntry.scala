@@ -97,6 +97,7 @@ object SparkEntry {
     "q_dedup_clusters_incremental" -> (DedupOps.qDedupClustersIncremental _),
     "q_semantic_dedup"        -> (DedupOps.qSemanticDedup _),
     "q_dup_ngram_spans"       -> (CorpusOps.qDupNgramSpans _),
+    "q_dedup_spans"           -> (CorpusOps.qDedupSpans _),
     "q_curation_funnel"       -> (CorpusOps.qCurationFunnel _),
     "q_drop_reasons"          -> (CorpusOps.qDropReasons _),
     "q_pmi_collocations"      -> (CorpusOps.qPmiCollocations _),
@@ -1169,6 +1170,41 @@ object SparkEntry {
         |CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_shingles,
         |CAST(round(CAST(COALESCE(pd.n_dup, 0) AS DOUBLE) / ns.n_shingles * 1000000, 0) AS BIGINT) AS dup_frac_e6
         |FROM ns LEFT JOIN pd ON ns.doc_id = pd.doc_id ORDER BY ns.doc_id""".stripMargin,
+    // X78: span-level duplicate removal — full replay of the positional
+    // chain: positional 3-shingles, min-doc_id keep rule, gaps-and-islands
+    // run merge (runs >= 5 shingles), interval union, word surgery
+    "q_dedup_spans" ->
+      """WITH t0 AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |t1 AS (SELECT doc_id, list_transform(toks, w -> lower(w)) AS lt
+        |  FROM t0 WHERE len(toks) >= 3),
+        |e2 AS (SELECT doc_id, u['p'] AS p, u['k'] AS key FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(lt) - 2), i ->
+        |    {'p': i, 'k': lt[i+1] || ' ' || lt[i+2] || ' ' || lt[i+3]})) AS u
+        |  FROM t1)),
+        |dk AS (SELECT key, min(doc_id) AS keeper, count(DISTINCT doc_id) AS df
+        |  FROM e2 GROUP BY key),
+        |fl AS (SELECT e2.doc_id, e2.p FROM e2 JOIN dk ON e2.key = dk.key
+        |  WHERE dk.df >= 2 AND e2.doc_id > dk.keeper),
+        |rn AS (SELECT doc_id, p,
+        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM fl),
+        |runs AS (SELECT doc_id, min(p) AS s, max(p) + 2 AS e FROM rn
+        |  GROUP BY doc_id, grp HAVING count(*) >= 5),
+        |iv AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s, e) AS ivs,
+        |  count(*) AS n_spans FROM runs GROUP BY doc_id),
+        |o AS (SELECT t0.doc_id, len(t0.toks) AS n_words,
+        |  COALESCE(iv.n_spans, 0) AS n_spans, t0.toks AS toks,
+        |  CASE WHEN iv.doc_id IS NULL THEN range(len(t0.toks))
+        |       ELSE list_filter(range(len(t0.toks)), i ->
+        |         len(list_filter(iv.ivs, v -> i >= v['s'] AND i <= v['e'])) = 0)
+        |  END AS keep
+        |  FROM t0 LEFT JOIN iv ON t0.doc_id = iv.doc_id)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_words - len(keep) AS BIGINT) AS n_removed,
+        |  CAST(n_spans AS BIGINT) AS n_spans,
+        |  COALESCE(array_to_string(list_transform(keep, i -> toks[i+1]), ' '),
+        |    '') AS text_clean
+        |FROM o ORDER BY doc_id""".stripMargin,
     // X29 curation funnel: each stage CTE reuses the formulation already
     // verified standalone (md5 fingerprint dedup, shingle-overlap
     // decontamination, micro-int quality score), chained per doc

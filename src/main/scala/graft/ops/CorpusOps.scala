@@ -344,6 +344,70 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** X78: span-level duplicate REMOVAL — the action face of X27's profile
+    * (Lee et al. 2022 §4, ExactSubstr: cut exact-duplicate substrings,
+    * keep one occurrence). Word-3-shingle granularity with POSITIONS:
+    * an occurrence of shingle `key` at position `p` of doc `d` is
+    * removable when the key occurs in ≥2 distinct docs and `d` is not the
+    * corpus-wide first doc containing it (keep rule: the min-doc_id owner
+    * keeps every occurrence — deterministic, no tie to break). Maximal
+    * runs of ≥ `minRun` consecutive removable positions become word
+    * intervals [start, end+2] (a run of L 3-shingles covers L+2 words);
+    * the doc's cleaned text is its surviving words joined by one space
+    * (output text is whitespace-normalized for ALL docs — part of the
+    * contract, matching the tokenize→rejoin round trip).
+    *
+    * Scale shape: positional-shingle explode is linear in corpus tokens;
+    * owner detection is ONE keyed groupBy on the shingle with map-side
+    * combine; the flag join is keyed on the same shingle; run merging is
+    * a per-doc window (bounded by document length, never corpus-sized);
+    * the interval list per doc is ≤ n_words/minRun entries. Never doc×doc,
+    * no driver state — the same keyed-shuffle budget as the dedup family.
+    */
+  def dedupSpans(docs: DataFrame, minRun: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksed = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+    val shingled = toksed.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> " +
+          "concat(lower(toks[i]), ' ', lower(toks[i+1]), ' ', lower(toks[i+2])))")))
+      .toDF("doc_id", "p", "key")
+    val owners = shingled.groupBy("key")
+      .agg(min(col("doc_id")).as("keeper"), countDistinct(col("doc_id")).as("df"))
+    val flagged = shingled.join(owners, Seq("key"))
+      .filter(col("df") >= 2 && col("doc_id") > col("keeper"))
+      .select("doc_id", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val runs = flagged
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("p")).as("s"), (max(col("p")) + 2).as("e"),
+        count(lit(1)).as("rl"))
+      .filter(col("rl") >= minRun)
+    val ivs = runs.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        count(lit(1)).as("n_spans"))
+    toksed.join(ivs, Seq("doc_id"), "left")
+      .withColumn("keep",
+        when(col("ivs").isNull, expr("sequence(0, size(toks) - 1)"))
+          .otherwise(expr("filter(sequence(0, size(toks) - 1), " +
+            "i -> size(filter(ivs, v -> i >= v.s AND i <= v.e)) = 0)")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        (size(col("toks")) - size(col("keep"))).cast("long").as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        array_join(expr("transform(keep, i -> toks[i])"), " ").as("text_clean"))
+  }
+
+  /** Oracle face of X78 at minRun = 5 (runs of ≥5 shingles = ≥7 words —
+    * proportionate to the fixture's 10-100-word docs; Lee et al. use 50
+    * tokens on web-scale docs). The DuckDB oracle replays the full chain:
+    * positional shingles, min-doc_id keep rule, gaps-and-islands run
+    * merge, interval union, and the word-level string surgery. */
+  def qDedupSpans(s: SparkSession, sf: String): DataFrame =
+    dedupSpans(tWide(s, sf, "documents"), minRun = 5).orderBy("doc_id")
+
   /** Stratified split audit: per (lang, split) doc counts and char volume —
     * the sanity report run after assignment to confirm strata balance. */
   def qSplitStratified(s: SparkSession, sf: String): DataFrame =

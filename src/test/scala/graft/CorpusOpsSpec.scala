@@ -233,4 +233,70 @@ class CorpusOpsSpec extends SparkTestBase {
       "dedup stage dropped more than the corpus' exact-dup count")
     assert(t.map(x => x._2 - x._3).sum > 0L, "decontamination stage dropped nothing")
   }
+
+  test("dedup spans: copied span removed from the later doc, keeper intact") {
+    // doc 1 is w1..w9 alone; doc 2 embeds the identical 9-word span (= 7
+    // consecutive duplicated 3-shingles >= minRun 5) between unique words;
+    // doc 3 shares nothing and carries doubled whitespace
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val df = Seq(
+      (1L, span, "en", "s0", span.length.toLong),
+      (2L, s"uno dos tres $span quatro cinco seis", "en", "s0", 1L),
+      (3L, "nothing  shared   here at all", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.dedupSpans(df, minRun = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_clean") == span, "keeper doc modified")
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(1).getAs[String]("text_clean") == "uno dos tres quatro cinco seis")
+    assert(out(1).getAs[Long]("n_removed") == 9L)
+    assert(out(1).getAs[Long]("n_spans") == 1L)
+    // untouched doc comes back whitespace-normalized (the documented contract)
+    assert(out(2).getAs[String]("text_clean") == "nothing shared here at all")
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("dedup spans: fixture output matches an independent driver replay") {
+    // the whole chain (positions, keep rule, run merge, surgery)
+    // re-implemented in plain Scala over the collected sf0.001 corpus —
+    // independent of both the Spark formulation and the DuckDB oracle
+    val minRun = 5
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .sortBy(_._1)
+    val occs = for {
+      (id, toks) <- docs.toSeq
+      if toks.size >= 3
+      p <- 0 to toks.size - 3
+    } yield (toks.slice(p, p + 3)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).mkString(" "), id, p)
+    val stats = occs.groupBy(_._1).map { case (k, os) =>
+      k -> ((os.map(_._2).min, os.map(_._2).distinct.size))
+    }
+    val flagged = occs.filter { case (k, id, _) =>
+      val (keeper, df) = stats(k); df >= 2 && id > keeper
+    }.groupBy(_._2).map { case (id, os) => id -> os.map(_._3).toSet }
+    val expected = docs.map { case (id, toks) =>
+      val fl = flagged.getOrElse(id, Set.empty[Int]).toSeq.sorted
+      val runs = fl.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (h :: t), p) if h.head == p - 1 => (p :: h) :: t
+        case (acc, p) => List(p) :: acc
+      }.map(_.reverse).reverse
+      val ivs = runs.filter(_.size >= minRun).map(r => (r.head, r.last + 2))
+      val removed = ivs.flatMap { case (s, e) => s to e }.toSet
+      val kept = toks.indices.filterNot(removed)
+      (id, toks.size.toLong, (toks.size - kept.size).toLong,
+        ivs.size.toLong, kept.map(toks).mkString(" "))
+    }
+    val got = CorpusOps.qDedupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"doc ${e._1}") }
+    // the corpus must actually exercise removal at this SF, and the
+    // min-doc_id keeper must never lose a word
+    assert(got.exists(_._3 > 0L), "no spans removed at sf0.001 — dead test")
+    assert(got.head._3 == 0L, "corpus-min doc_id had words removed")
+  }
 }

@@ -340,6 +340,9 @@ class PlanSpec extends SparkTestBase {
       // (bounded k-row reads) and builds its collection artifact
       "q_nl_semantic_ground",
       "q_rm3_rescore",         // bounded feedback terms from the first pass
+      // same bounded first-pass reads since the r16 index-probe rework
+      // (<=fbDocs ids + <=topN expansion terms become pushed-down literals)
+      "q_rm3_expansion",
       "q_pruned_scan", "q_pruned_scan_rule", // footer-stats index build
       "q_pack_sequences",      // bounded packing offsets
       "q_bpe_encode",          // vocab-sized merge list drives the encode fold
