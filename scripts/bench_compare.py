@@ -43,8 +43,13 @@ norm = {q: r / drift for q, r in ratios.items()}
 print(f"shared {len(shared)}: {sa:.1f}s -> {sb:.1f}s "
       f"(total ratio {sb/sa:.3f}, median per-query ratio {med:.3f}, "
       f"median normalized {statistics.median(norm.values()):.3f})")
+# conservative AND-rule: the sentinel is a pure-CPU probe, so dividing by
+# its full ratio over-corrects queries dominated by fixed scheduler/IO
+# latency (which doesn't speed up with the box). A real mover must cross
+# the threshold in BOTH the raw and the normalized view.
 movers = [(q, norm[q]) for q in norm
-          if (norm[q] > 1.5 or norm[q] < 0.67) and max(qa[q], qb[q]) > 0.3]
+          if ((norm[q] > 1.5 and ratios[q] > 1.5) or
+              (norm[q] < 0.67 and ratios[q] < 0.67)) and max(qa[q], qb[q]) > 0.3]
 for q, r in sorted(movers, key=lambda x: -x[1]):
     print(f"  {q}: {qa[q]:.2f} -> {qb[q]:.2f} "
           f"(raw {ratios[q]:.2f}x, normalized {r:.2f}x)")

@@ -363,6 +363,18 @@ object CorpusOps {
     * a per-doc window (bounded by document length, never corpus-sized);
     * the interval list per doc is ≤ n_words/minRun entries. Never doc×doc,
     * no driver state — the same keyed-shuffle budget as the dedup family.
+    *
+    * Two shuffle economies (same tricks as the PPJoin path):
+    *  - shingles travel as 64-bit xxhash64 keys, not strings, through the
+    *    owner groupBy AND the flag join (~4× fewer shuffle bytes; the
+    *    per-pair collision odds at even 10⁹ distinct shingles are ~1e-2
+    *    corpus-wide aggregate, ~0 at any tested SF — the dedup family's
+    *    accepted tradeoff, certified by the string-keyed oracle);
+    *  - the df ≥ 2 distinct-docs condition is NOT computed: `doc_id >
+    *    keeper` already implies it (the keeper is a DIFFERENT doc holding
+    *    the same key), and df ≥ 2 adds nothing for keeper-doc occurrences
+    *    (never removable under the keep rule). Dropping it removes a
+    *    two-phase countDistinct over the corpus-token stream.
     */
   def dedupSpans(docs: DataFrame, minRun: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -373,10 +385,10 @@ object CorpusOps {
         "transform(sequence(0, size(toks) - 3), i -> " +
           "concat(lower(toks[i]), ' ', lower(toks[i+1]), ' ', lower(toks[i+2])))")))
       .toDF("doc_id", "p", "key")
-    val owners = shingled.groupBy("key")
-      .agg(min(col("doc_id")).as("keeper"), countDistinct(col("doc_id")).as("df"))
-    val flagged = shingled.join(owners, Seq("key"))
-      .filter(col("df") >= 2 && col("doc_id") > col("keeper"))
+      .select(col("doc_id"), col("p"), xxhash64(col("key")).as("k"))
+    val owners = shingled.groupBy("k").agg(min(col("doc_id")).as("keeper"))
+    val flagged = shingled.join(owners, Seq("k"))
+      .filter(col("doc_id") > col("keeper"))
       .select("doc_id", "p")
     val w = Window.partitionBy("doc_id").orderBy("p")
     val runs = flagged
