@@ -304,8 +304,14 @@ object DedupOps {
         least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"))
   }
 
+  // driverFastPathMax: the union-find cutoff in EDGES. 500k edges collect
+  // to ~8 MB of longs (tens of MB as Rows) — the same order as a broadcast
+  // side, safe on any realistically-sized driver, and it keeps graphs that
+  // are large-for-a-fixpoint but trivial-for-a-driver (the r16 x64 corpus
+  // emits 51k verified pairs) off the multi-round scheduler path. Graphs
+  // past the cap are genuinely distributed-sized and take the fixpoint.
   def connectedComponents(edges: DataFrame, maxIter: Int = 40,
-      jumpAfter: Int = 8, driverFastPathMax: Long = 20000L): DataFrame = {
+      jumpAfter: Int = 8, driverFastPathMax: Long = 500000L): DataFrame = {
     import org.apache.spark.sql.GraftCheckpointUtils.unpersistCheckpoint
     // SMALL-GRAPH FAST PATH: a near-dup pair graph is usually orders of
     // magnitude smaller than its corpus (7 pairs from 5k docs at sf0.1);
@@ -322,9 +328,18 @@ object DedupOps {
     // directly in specs and by any cap-exceeding graph — remains the
     // 100 TB route.
     val rawCap = (driverFastPathMax / 2).toInt // sym doubles the edge count
-    val head = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .limit(rawCap + 1).collect()
+    // materialize the edge list ONCE, before anything reads it: the
+    // upstream edge query may be expensive (the banded embedding pair join,
+    // the n-gram pair join), and without this it ran up to THREE times —
+    // once for the fast-path probe and twice inside the symmetrize union
+    // (r16 x64 profile: the pair join dominated all three). The probe and
+    // sym both read the checkpointed blocks now; mat is freed as soon as
+    // its one consumer is materialized.
+    val mat = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    val head = mat.limit(rawCap + 1).collect()
     if (head.length <= rawCap) {
+      unpersistCheckpoint(mat)
       val s = edges.sparkSession
       import s.implicits._
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -344,14 +359,12 @@ object DedupOps {
       val labels = nodes.toSeq.sorted.map(n => (n, find(n)))
       return labels.toDF("node", "label")
     }
-    // materialize the symmetrized edge list ONCE — the upstream edge query
-    // may be expensive (e.g. the n-gram pair join), and every round reuses
-    // it. (The fast-path probe above already re-ran `edges` once; a graph
-    // this size is headed into a multi-round fixpoint where that probe is
-    // noise.)
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrized edge list, persisted for the fixpoint rounds — built
+    // from the materialized blocks, not by re-running the edge query
+    val sym = mat.select(col("src"), col("dst"))
+      .union(mat.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    unpersistCheckpoint(mat) // sym is materialized; the raw blocks are free
     // ROUND-0 CONTRACTION: near-dup pair graphs are forests of near-cliques
     // (every LSH/prefix bucket emits all its in-bucket pairs), so one
     // min-neighbor aggregation — l0(v) = min(v, neighbors(v)) — collapses

@@ -430,7 +430,12 @@ object Relational {
     val revenue = sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
       (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
       .cast("double")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // SHJ hint: the default SortMergeJoin sorts the fact side — tens of
+    // millions of lineitem rows at the x64 octave, n log n in corpus size
+    // on fixed cores. Hashing the (filtered, much smaller) orders side is
+    // linear and its per-partition build shrinks as reducers scale with a
+    // real cluster; measured r16: x64 8.9 -> 3.9 s, x64/x16 4.5x -> 2.4x.
+    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
       .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
