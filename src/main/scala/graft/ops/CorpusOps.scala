@@ -326,13 +326,21 @@ object CorpusOps {
     * shingles against the dup-key set on the same key. Never doc×doc, and
     * no driver-side state, so the shape holds at 100 TB. */
   def qDupNgramSpans(s: SparkSession, sf: String): DataFrame = {
+    // shingles are DISTINCT per doc (WordShingles contract), so each
+    // (doc, key) row is unique after the explode: count(1) per key IS the
+    // document frequency — no countDistinct expansion. And the keys travel
+    // as 64-bit hashes through both the df groupBy and the semi join
+    // (r16: isolated 5.2 -> 2.6 s x16, 19.1 -> 7.8 s x64; the dedup
+    // family's accepted collision tradeoff, certified by the string-keyed
+    // oracle).
     val sh = DedupOps.withShingles(tWide(s, sf, "documents"))
       .select(col("doc_id"), explode(col("sh")).as("key"))
-    val dupKeys = sh.groupBy("key")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .select(col("doc_id"), xxhash64(col("key")).as("k"))
+    val dupKeys = sh.groupBy("k")
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-      .select("key")
-    val perDoc = sh.join(dupKeys, Seq("key"), "left_semi")
+      .select("k")
+    val perDoc = sh.join(dupKeys, Seq("k"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_shingles"))
     sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       .join(perDoc, Seq("doc_id"), "left")
