@@ -242,10 +242,20 @@ class CorpusOpsSpec extends SparkTestBase {
     val df = Seq(
       (1L, span, "en", "s0", span.length.toLong),
       (2L, s"uno dos tres $span quatro cinco seis", "en", "s0", 1L),
-      (3L, "nothing  shared   here at all", "en", "s0", 1L))
+      (3L, "nothing  shared   here at all", "en", "s0", 1L),
+      // below the shingle floor (<3 words): must pass through untouched
+      (4L, "tiny doc", "en", "s0", 1L),
+      (5L, "alpha", "en", "s0", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = CorpusOps.dedupSpans(df, minRun = 5)
       .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    assert(out(3).getAs[String]("text_clean") == "tiny doc"
+      && out(3).getAs[Long]("n_removed") == 0L)
+    // a 1-word doc sharing its word with a keeper's span stays whole —
+    // it emits no shingle, so it can never be flagged
+    assert(out(4).getAs[String]("text_clean") == "alpha"
+      && out(4).getAs[Long]("n_removed") == 0L)
     assert(out(0).getAs[String]("text_clean") == span, "keeper doc modified")
     assert(out(0).getAs[Long]("n_removed") == 0L)
     assert(out(1).getAs[String]("text_clean") == "uno dos tres quatro cinco seis")
