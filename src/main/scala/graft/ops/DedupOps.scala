@@ -337,7 +337,12 @@ object DedupOps {
     // its one consumer is materialized.
     val mat = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint()
-    val head = mat.limit(rawCap + 1).collect()
+    // every path below frees mat exactly once; a throw before its planned
+    // unpersist must not pin the blocks for the app's lifetime (the same
+    // failure-path discipline as propagate())
+    val head =
+      try mat.limit(rawCap + 1).collect()
+      catch { case t: Throwable => unpersistCheckpoint(mat); throw t }
     if (head.length <= rawCap) {
       unpersistCheckpoint(mat)
       val s = edges.sparkSession
@@ -361,10 +366,11 @@ object DedupOps {
     }
     // symmetrized edge list, persisted for the fixpoint rounds — built
     // from the materialized blocks, not by re-running the edge query
-    val sym = mat.select(col("src"), col("dst"))
-      .union(mat.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    unpersistCheckpoint(mat) // sym is materialized; the raw blocks are free
+    val sym =
+      try mat.select(col("src"), col("dst"))
+        .union(mat.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      finally unpersistCheckpoint(mat) // eager: sym is materialized (or threw)
     // ROUND-0 CONTRACTION: near-dup pair graphs are forests of near-cliques
     // (every LSH/prefix bucket emits all its in-bucket pairs), so one
     // min-neighbor aggregation — l0(v) = min(v, neighbors(v)) — collapses
