@@ -175,6 +175,73 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Per-doc curation-stage flags shared by [[qContamination]],
+    * [[qCurationFunnel]], and [[qDropReasons]] — the three release-report
+    * faces previously each re-ran the SAME three corpus-scale stages
+    * (md5 exact-dedup keep rule, eval-shingle decontamination semi-join,
+    * quality scoring), so a bench pass paid the funnel 3×. The stages are
+    * deterministic pure functions of the corpus, so they follow the
+    * write-once artifact lifecycle (ensureBigramLm/ensureSq8): one
+    * content-fingerprinted per-doc flag table (corpus-ROW-sized — the
+    * token-scale work happens only at build), and every face becomes a
+    * probe: scan + keyed agg or projection. A regenerated corpus maps to
+    * a new fingerprint dir; the DuckDB oracles replay full stage logic,
+    * so a stale artifact would hash-mismatch. */
+  private def buildCurationStages(s: SparkSession, sf: String, outDir: String): Unit = {
+    val docs = tWide(s, sf, "documents").filter(col("doc_id") % 97 =!= 0)
+    val keepDedup = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val benchKeys = DedupOps.withShingles(
+        t(s, sf, "documents").filter(col("doc_id") % 97 === 0))
+      .select(explode(col("sh")).as("key")).distinct()
+    val contaminated = DedupOps.withShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("key"))
+      .join(benchKeys, Seq("key"), "left_semi")
+      .select("doc_id").distinct()
+    val quality = TextOps.qualityPerDoc(docs)
+      .filter(col("quality_e6") >= 500000).select("doc_id")
+    docs.select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      .join(keepDedup.withColumn("s1", lit(1L)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("ct", lit(1L)), Seq("doc_id"), "left")
+      .join(quality.withColumn("q", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("s1").isNotNull.as("dedup_keep"),
+        col("ct").isNotNull.as("contaminated"),
+        col("q").isNotNull.as("quality_pass"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$outDir/stages")
+  }
+
+  private val stagesSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, source STRING, n_chars BIGINT, dedup_keep BOOLEAN, " +
+      "contaminated BOOLEAN, quality_pass BOOLEAN")
+
+  def ensureCurationStages(s: SparkSession, sf: String): String = {
+    val base = new java.io.File("target/curation_stages")
+    val src = new java.io.File(s"$sf/documents.parquet")
+    val fpTag = ArtifactStore.fingerprint(src, "cur-v1")
+    val dir = new java.io.File(base,
+      "sf" + sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fpTag)
+    def committed = new java.io.File(dir, "_GRAFT_OK").exists()
+    if (!committed) {
+      val tmp = new java.io.File(base,
+        s"${dir.getName}.tmp.${java.util.UUID.randomUUID}")
+      buildCurationStages(s, sf, tmp.toString)
+      new java.io.File(tmp, "_GRAFT_OK").createNewFile()
+      ArtifactStore.install(base, dir, tmp, () => committed)
+      if (!committed)
+        sys.error(s"curation-stage artifact at $dir could not be installed")
+    }
+    dir.toString
+  }
+
+  private def curationStages(s: SparkSession, sf: String): DataFrame =
+    s.read.schema(stagesSchema)
+      .parquet(s"${ensureCurationStages(s, sf)}/stages")
+
   /** Benchmark decontamination — the eval-set overlap check a training
     * corpus runs before release: flag every corpus document sharing ANY
     * word-3-shingle with the held-out set (here every 97th doc stands in
@@ -183,23 +250,14 @@ object CorpusOps {
     * is linear in corpus shingles with a shuffle keyed on the shingle —
     * never a doc×doc comparison, and an eval set of millions of shingles
     * still just partitions the join (broadcast is an optimization when it
-    * fits, not a requirement). Exact and oracle-checked per source. */
-  def qContamination(s: SparkSession, sf: String): DataFrame = {
-    val docs = tWide(s, sf, "documents")
-    val benchKeys = DedupOps.withShingles(docs.filter(col("doc_id") % 97 === 0))
-      .select(explode(col("sh")).as("key")).distinct()
-    val contaminated = DedupOps.withShingles(docs.filter(col("doc_id") % 97 =!= 0))
-      .select(col("doc_id"), explode(col("sh")).as("key"))
-      .join(benchKeys, Seq("key"), "left_semi")
-      .select("doc_id").distinct()
-      .withColumn("c", lit(1L))
-    docs.filter(col("doc_id") % 97 =!= 0).select("doc_id", "source")
-      .join(contaminated, Seq("doc_id"), "left")
+    * fits, not a requirement). Exact and oracle-checked per source; served
+    * from the per-doc stage artifact (one flag-table scan + keyed agg). */
+  def qContamination(s: SparkSession, sf: String): DataFrame =
+    curationStages(s, sf)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(coalesce(col("c"), lit(0L))).as("n_contaminated"))
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
       .orderBy("source")
-  }
 
   /** X29: end-to-end curation funnel — the chained survivor report a
     * corpus release tracks per source: raw → exact dedup (keep the lowest
@@ -214,32 +272,16 @@ object CorpusOps {
     * full release pipeline runs as ONE lazy plan (stage flags never
     * materialize per-doc intermediates to the driver). */
   def qCurationFunnel(s: SparkSession, sf: String): DataFrame = {
-    val docs = tWide(s, sf, "documents").filter(col("doc_id") % 97 =!= 0)
-    val keepDedup = docs.groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val benchKeys = DedupOps.withShingles(
-        t(s, sf, "documents").filter(col("doc_id") % 97 === 0))
-      .select(explode(col("sh")).as("key")).distinct()
-    val contaminated = DedupOps.withShingles(docs)
-      .select(col("doc_id"), explode(col("sh")).as("key"))
-      .join(benchKeys, Seq("key"), "left_semi")
-      .select("doc_id").distinct()
-    val quality = TextOps.qualityPerDoc(docs)
-      .filter(col("quality_e6") >= 500000).select("doc_id")
-    docs.select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
-      .join(keepDedup.withColumn("s1", lit(1L)), Seq("doc_id"), "left")
-      .join(contaminated.withColumn("ct", lit(1L)), Seq("doc_id"), "left")
-      .join(quality.withColumn("q", lit(1L)), Seq("doc_id"), "left")
-      .groupBy("source")
+    val st = curationStages(s, sf)
+    val surv = col("dedup_keep") && !col("contaminated")
+    st.groupBy("source")
       .agg(
         count(lit(1)).as("n_raw"),
-        sum(when(col("s1").isNotNull, 1L).otherwise(0L)).as("n_after_dedup"),
-        sum(when(col("s1").isNotNull && col("ct").isNull, 1L).otherwise(0L))
-          .as("n_after_decontam"),
-        sum(when(col("s1").isNotNull && col("ct").isNull && col("q").isNotNull,
-          1L).otherwise(0L)).as("n_final"),
-        sum(when(col("s1").isNotNull && col("ct").isNull && col("q").isNotNull,
-          col("n_chars")).otherwise(0L)).as("chars_final"))
+        sum(when(col("dedup_keep"), 1L).otherwise(0L)).as("n_after_dedup"),
+        sum(when(surv, 1L).otherwise(0L)).as("n_after_decontam"),
+        sum(when(surv && col("quality_pass"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(surv && col("quality_pass"), col("n_chars")).otherwise(0L))
+          .as("chars_final"))
       .orderBy("source")
   }
 
@@ -290,30 +332,14 @@ object CorpusOps {
     * the same doc_id-keyed left joins, so the lineage table costs what the
     * funnel costs — linear in corpus tokens, one output row per raw doc,
     * and the per-doc reasons are ORACLE-HASHED, not just counted. */
-  def qDropReasons(s: SparkSession, sf: String): DataFrame = {
-    val docs = tWide(s, sf, "documents").filter(col("doc_id") % 97 =!= 0)
-    val keepDedup = docs.groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val benchKeys = DedupOps.withShingles(
-        t(s, sf, "documents").filter(col("doc_id") % 97 === 0))
-      .select(explode(col("sh")).as("key")).distinct()
-    val contaminated = DedupOps.withShingles(docs)
-      .select(col("doc_id"), explode(col("sh")).as("key"))
-      .join(benchKeys, Seq("key"), "left_semi")
-      .select("doc_id").distinct()
-    val quality = TextOps.qualityPerDoc(docs)
-      .filter(col("quality_e6") >= 500000).select("doc_id")
-    docs.select(col("doc_id"), col("source"))
-      .join(keepDedup.withColumn("s1", lit(1L)), Seq("doc_id"), "left")
-      .join(contaminated.withColumn("ct", lit(1L)), Seq("doc_id"), "left")
-      .join(quality.withColumn("q", lit(1L)), Seq("doc_id"), "left")
+  def qDropReasons(s: SparkSession, sf: String): DataFrame =
+    curationStages(s, sf)
       .select(col("doc_id"), col("source"),
-        when(col("s1").isNull, "duplicate")
-          .when(col("ct").isNotNull, "contaminated")
-          .when(col("q").isNull, "low_quality")
+        when(!col("dedup_keep"), "duplicate")
+          .when(col("contaminated"), "contaminated")
+          .when(!col("quality_pass"), "low_quality")
           .otherwise("kept").as("reason"))
       .orderBy("doc_id")
-  }
 
   /** X27: duplicated-shingle span profile — the exact substring-duplication
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -405,19 +431,45 @@ object CorpusOps {
       .agg(min(col("p")).as("s"), (max(col("p")) + 2).as("e"),
         count(lit(1)).as("rl"))
       .filter(col("rl") >= minRun)
-    val ivs = runs.groupBy("doc_id")
+    // Adjacent runs of shingle positions produce OVERLAPPING word
+    // intervals once each is extended +2 words (runs separated by one or
+    // two unflagged positions touch in word space), so merge them into
+    // disjoint sorted intervals — gaps-and-islands again, one level up:
+    // ordered by s, a new island starts where s exceeds the running max
+    // of every prior e. Linear in span count (the window is per-doc and
+    // span-level, never word-level). n_spans stays the PRE-merge run
+    // count — the contract counts duplicated runs, not surgery cuts.
+    val ws = Window.partitionBy("doc_id").orderBy("s", "e")
+    val merged = runs
+      .withColumn("pmax",
+        max(col("e")).over(ws.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(ws))
+      .groupBy("doc_id", "island")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"),
+        count(lit(1)).as("nr"))
+    val ivs = merged.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
-        count(lit(1)).as("n_spans"))
+        sum(col("nr")).as("n_spans"))
+    // Surgery is ONE sorted sweep over the disjoint intervals: the kept
+    // words are exactly the inter-interval gaps, so slice each gap out of
+    // `toks` and flatten — O(words + spans) per doc, vs the old
+    // per-word × per-span containment filter (O(words × spans), quadratic
+    // on boilerplate-heavy web docs where spans ~ words / minRun).
     toksed.join(ivs, Seq("doc_id"), "left")
-      .withColumn("keep",
-        when(col("ivs").isNull, expr("sequence(0, size(toks) - 1)"))
-          .otherwise(expr("filter(sequence(0, size(toks) - 1), " +
-            "i -> size(filter(ivs, v -> i >= v.s AND i <= v.e)) = 0)")))
+      .withColumn("miv",
+        coalesce(col("ivs"), expr("cast(array() as array<struct<s:int,e:int>>)")))
+      .withColumn("kept", expr(
+        "flatten(zip_with(" +
+          "concat(array(0), transform(miv, v -> v.e + 1)), " +
+          "concat(transform(miv, v -> v.s - 1), array(size(toks) - 1)), " +
+          "(a, b) -> slice(toks, a + 1, greatest(b - a + 1, 0))))"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_words"),
-        (size(col("toks")) - size(col("keep"))).cast("long").as("n_removed"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        array_join(expr("transform(keep, i -> toks[i])"), " ").as("text_clean"))
+        array_join(col("kept"), " ").as("text_clean"))
   }
 
   /** Oracle face of X78 at minRun = 5 (runs of ≥5 shingles = ≥7 words —

@@ -83,45 +83,56 @@ object DedupOps {
         round(inter / (size(col("sa")) + size(col("sb")) - inter), 6).as("jaccard"))
   }
 
-  /** Reorders each doc's distinct-shingle array into the PPJoin canonical
-    * order: ascending global document frequency (ties broken by shingle
-    * value — a total order, as prefix-filter correctness requires). The
-    * frequency table is itself distributed (groupBy shingle), never
-    * collected: at 100 TB the distinct-shingle set is unbounded, so this is
-    * a (shingle)-keyed join + per-doc rebuild, two bounded-key shuffles. */
-  def freqOrderedShingles(docsWithSource: DataFrame): DataFrame = {
-    val exploded = docsWithSource.select(col("doc_id"), col("source"),
-      explode(col("sh")).as("key"))
-    // document frequency via groupBy + SHUFFLE-HASH join back, not a
-    // window and not a sort-merge join: the df table partial-aggregates
-    // map-side down to its distinct keys before its exchange, and the
-    // `shuffle_hash` hint streams the exploded side against a hashed build
-    // of that (always far smaller) aggregated side — NO per-partition sort
-    // of the exploded corpus on either side. The window formulation this
-    // replaces sorted every key partition of the exploded rows; an
-    // unhinted join sort-merges both sides. Measured at sf0.1: full pair
-    // pipeline 2.1-3.0 s → 1.2-1.5 s. Scale shape: build side per
-    // partition is bounded by |vocabulary| / numPartitions 16-byte
-    // entries (the standard SHJ build-side condition — the aggregated
-    // side is the small side by construction); the stream side is never
-    // sorted or buffered, and a hot shingle costs its row count, not a
-    // sort of it.
-    val dfreq = exploded.groupBy("key").agg(count(lit(1)).as("df"))
-    exploded.join(dfreq.hint("shuffle_hash"), Seq("key"))
-      .groupBy("doc_id", "source")
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("key")))),
-        e => e.getField("key")).as("sh"))
-  }
-
-  /** Each doc's prefix join keys under its current `sh` order: the first
-    * `n - ceil(t*n) + 1` shingles, with the doc's shingle count `n` and the
-    * key's 0-based position `pos` in the full ordered array riding along
-    * for the downstream length and positional filters. */
+  /** Each doc's PPJoin prefix join keys, derived straight from its plain
+    * (any-element-order) distinct-shingle array: the first
+    * `plen = n - ceil(t*n) + 1` positions of the doc's array under the
+    * canonical order, with the doc's shingle count `n` and each key's
+    * 0-based position `pos` in that full order riding along for the
+    * downstream length/positional/suffix filters.
+    *
+    * Canonical order: ascending PER-SOURCE document frequency, ties by
+    * key — a total order within each source, which is all prefix-filter
+    * correctness requires (pairs are blocked per source; docs from
+    * different sources are never compared). Per-source df is also the
+    * sharper PPJoin order: "rare" is judged within the comparison
+    * universe, so a key that is common globally but unique inside a
+    * source still counts as that source's hapax.
+    *
+    * Frequency is a (source, key)-keyed groupBy joined back with a
+    * SHUFFLE-HASH hint (the aggregated df side is the small side by
+    * construction; the exploded side is streamed, never sorted — the
+    * window formulation sorted every key partition, a sort-merge join
+    * would sort both sides). Per-source HAPAX keys (df = 1) are dropped
+    * right after that join, BEFORE the per-doc rebuild and the bucket
+    * shuffle: a df-1 key can only ever form a singleton bucket that the
+    * `size >= 2` filter discards after paying full shuffle+sort cost —
+    * measured at the x64 octave, 70% of all prefix rows. Dropping them is
+    * lossless (no pair can share a key only one doc in the source holds)
+    * and position-exact: ascending-df order packs hapax at the FRONT of
+    * every doc's array, so the full-order position of the i-th surviving
+    * key is `h + i` with `h = n - |surviving|`, and every downstream
+    * positional bound is unchanged.
+    *
+    * At 100 TB nothing here is collected or broadcast: df is a keyed
+    * aggregation, the join is keyed on (source, key), the per-doc rebuild
+    * is keyed on doc — all map-side-combinable, all linear in corpus
+    * shingles. */
   def prefixKeys(shingled: DataFrame, threshold: Double): DataFrame = {
-    val plen = (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1)
-      .cast("int")
-    shingled.select(col("doc_id"), col("source"), size(col("sh")).as("n"),
-      posexplode(slice(col("sh"), lit(1), plen)).as(Seq("pos", "key")))
+    val exploded = shingled.select(col("doc_id"), col("source"),
+      size(col("sh")).as("n"), explode(col("sh")).as("key"))
+    val dfreq = exploded.groupBy("source", "key")
+      .agg(count(lit(1)).as("df"))
+    val plen = (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int")
+    exploded.join(dfreq.hint("shuffle_hash"), Seq("source", "key"))
+      .filter(col("df") >= 2)
+      .groupBy(col("doc_id"), col("source"), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("key")))).as("shd"))
+      .withColumn("h", (col("n") - size(col("shd"))).cast("int"))
+      .select(col("doc_id"), col("source"), col("n"), col("h").as("h0"),
+        posexplode(slice(expr("transform(shd, e -> e.key)"), lit(1),
+          greatest(plen - col("h"), lit(0)))).as(Seq("pos0", "key")))
+      .select(col("doc_id"), col("source"), col("n"),
+        (col("pos0") + col("h0")).as("pos"), col("key"))
   }
 
   /** N-gram Jaccard near-dup (EXACT, prefix-filter blocked): the
@@ -137,11 +148,11 @@ object DedupOps {
     * A intersect B's prefix), so the blocking is LOSSLESS for ANY total
     * order — the oracle runs the plain all-pairs formulation and the hash
     * match proves no pair was dropped. The canonical order used is the
-    * PPJoin standard, ascending global shingle frequency
-    * (`freqOrderedShingles`), so prefixes hold each doc's RAREST shingles:
-    * a globally common shingle lands in few prefixes, and the hot
+    * PPJoin standard, ascending shingle frequency WITHIN the source (see
+    * [[prefixKeys]]), so prefixes hold each doc's rarest-in-universe
+    * shingles: a common shingle lands in few prefixes, and the hot
     * (source, key) buckets a lexicographic order produces shrink
-    * (DedupOpsSpec measures the drop). Join-key cardinality grows with the
+    * (OpsSpec measures the drop). Join-key cardinality grows with the
     * corpus, never per-source quadratically. */
   /** The exact-path candidate pairs BEFORE materialization — split out so
     * PlanSpec can audit the generation plan (bucket-local aggregation +
@@ -151,10 +162,14 @@ object DedupOps {
   def ngramCandidatePairs(s: SparkSession, sf: String,
       threshold: Double): DataFrame =
     candidatePairs(
-      freqOrderedShingles(withShingles(tWide(s, sf, "documents"), "source")),
+      withShingles(tWide(s, sf, "documents"), "source")
+        .withColumn("sh", transform(col("sh"), x => xxhash64(x))),
       threshold)
 
-  /** Candidate pairs from a freq-ordered shingle table (doc_id, source, sh).
+  /** Candidate pairs from a plain shingle table (doc_id, source, sh) — the
+    * canonical ordering, per-source frequencies, and hapax skip all happen
+    * inside [[prefixKeys]]; the caller's arrays stay untouched (the verify
+    * join reads them order-blind).
     *
     * Pairs are generated bucket-locally (groupBy (source, key) + in-bucket
     * combinations), not by self-joining the prefix subtree: the
@@ -170,14 +185,23 @@ object DedupOps {
     * lossless):
     *  - AllPairs length filter: jaccard >= t forces |A∩B| >= t·|A∪B| >=
     *    t·max(|A|,|B|), and |A∩B| <= min(|A|,|B|), so min·5 >= max·2.
-    *  - PPJoin positional filter (Xiao et al., WWW'08): with both arrays in
-    *    the same total order, the first element common to A and B is also
-    *    the first shared PREFIX key (any common element smaller than a
-    *    both-prefix element is itself in both prefixes, arrays being
-    *    sorted), so min-over-shared-keys of each side's 0-based position
-    *    (pa, pb) locates it exactly, and |A∩B| <= min(na−pa, nb−pb). The
-    *    threshold needs |A∩B| >= t/(1+t)·(na+nb) = 2/7·(na+nb), so any
-    *    pair with 7·min(na−pa, nb−pb) < 2·(na+nb) is dead on arrival. */
+    *  - PPJoin positional + suffix filter (Xiao et al., WWW'08): with both
+    *    arrays in the same total order, let k* be the LAST (order-maximal)
+    *    key in both prefixes, at 0-based positions mpa in A and mpb in B.
+    *    Every common element x <= k* is itself in both prefixes (x's
+    *    position on each side is <= that side's position of k*, which is
+    *    inside the prefix), so the count of shared prefix keys `cnt`
+    *    counts ALL of A∩B up to k* exactly; common elements past k* sit
+    *    strictly after mpa and mpb on their sides, so at most
+    *    min(na−mpa−1, nb−mpb−1) of them exist. Hence
+    *    |A∩B| <= cnt + min(na−mpa−1, nb−mpb−1). The threshold needs
+    *    |A∩B| >= t/(1+t)·(na+nb) = 2/7·(na+nb), so any pair with
+    *    7·(cnt + min(na−mpa−1, nb−mpb−1)) < 2·(na+nb) is dead on arrival.
+    *    This dominates the weaker first-shared-key bound
+    *    min(na−min pa, nb−min pb): cnt <= mpa−min pa+1 positions can hold
+    *    shared keys, so cnt + na−mpa−1 <= na−min pa always — every pair
+    *    the old filter killed dies here too, plus the pairs whose shared
+    *    prefix keys are sparse between first and last. */
   def candidatePairs(fo: DataFrame, threshold: Double): DataFrame = {
     require(threshold == 0.4,
       "integer-exact pair filters are derived for t = 2/5; re-derive the " +
@@ -195,8 +219,10 @@ object DedupOps {
       .filter(least(col("na"), col("b.n")) * 5 >= greatest(col("na"), col("b.n")) * 2)
       .groupBy(col("source"), col("id_a"), col("b.doc_id").as("id_b"))
       .agg(first(col("na")).as("na"), first(col("b.n")).as("nb"),
-        min(col("pa")).as("pa"), min(col("b.pos")).as("pb"))
-      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) * 7 >=
+        count(lit(1)).as("cnt"),
+        max(col("pa")).as("mpa"), max(col("b.pos")).as("mpb"))
+      .filter((col("cnt") +
+        least(col("na") - col("mpa") - 1, col("nb") - col("mpb") - 1)) * 7 >=
         (col("na") + col("nb")) * 2)
       .select("source", "id_a", "id_b")
   }
@@ -207,18 +233,21 @@ object DedupOps {
     // corpus otherwise runs it single-task (profiled: 2× 0.3-0.8 s of the
     // pair build was ONE core shingling while 31 idled)
     val docs = tWide(s, sf, "documents")
-    // ONE corpus-scale materialization: the freq-ordered shingle table
-    // serves the prefix side AND both verify sides (array_intersect is
-    // order-blind, so the canonical order costs the verify nothing and the
-    // plain-shingle re-pass + semi-join prune of the previous design
-    // disappear along with their blocking checkpoint). The persisted blocks
-    // are doc-count-sized shingle arrays — the same volume any single
-    // shingle pass already materializes in shuffle files; localCheckpoint
-    // storage spills to disk, so at 100 TB this is a disk-backed temp of
-    // the operator's own working set, not an extra corpus copy.
+    // ONE corpus-scale materialization: the PLAIN hashed shingle table
+    // serves the prefix side AND both verify sides. It is checkpointed
+    // BEFORE any ordering work — array_intersect is order-blind and
+    // prefixKeys derives the canonical order internally from the exploded
+    // stream, so the old design's per-doc freq-ordered array rebuild
+    // (a corpus-wide (source,key) join + doc-keyed re-aggregation feeding
+    // the checkpoint) vanished from the materialization path entirely:
+    // the checkpoint is now a pure map-side projection of the scan
+    // (shingle kernel + xxhash64), no shuffle at all. The persisted
+    // blocks are doc-count-sized shingle arrays; localCheckpoint storage
+    // spills to disk, so at 100 TB this is a disk-backed temp of the
+    // operator's own working set, not an extra corpus copy.
     //
     // Shingles travel as 64-BIT HASHES from here on: every downstream
-    // stage (the df window's exchange, the prefix-key groupBy, the
+    // stage (the df groupBy, the prefix-key bucket shuffle, the
     // checkpointed arrays, the verify intersect) moves 8-byte longs
     // instead of ~25-byte strings — at 100 TB that is the difference
     // between shuffling the corpus text twice and shuffling a fingerprint
@@ -226,9 +255,9 @@ object DedupOps {
     // unless two distinct shingles collide in 64 bits (~n²/2⁶⁴ ≈ 1e-9 at
     // 260k corpus shingles — and deterministic for a pinned corpus, so
     // the DuckDB string-side oracle stays an exact gate, not a flaky one).
-    val hashed = withShingles(docs, "source")
+    val fo = withShingles(docs, "source")
       .withColumn("sh", transform(col("sh"), x => xxhash64(x)))
-    val fo = freqOrderedShingles(hashed).localCheckpoint()
+      .localCheckpoint()
     // single consumer — the verify join below — so candidates need no
     // checkpoint of their own
     val cands = candidatePairs(fo, threshold)

@@ -59,10 +59,14 @@ object Relational {
 
   /** R7: equi-join on the inferred key (`duckdb_util.py:184-225`,
     * `multi_file_util.py:8-31`), aggregated per segment. Customer is the
-    * small dimension — broadcast it so orders never shuffles. */
+    * small dimension, but the broadcast is a MEASURED decision, not a
+    * forced hint: Spark's size threshold / AQE picks BroadcastHashJoin
+    * while customer fits (PlanSpec pins that it does at sf0.1) and falls
+    * back to a shuffle join when a 100 TB customer wouldn't — a forced
+    * `broadcast()` has no fallback and OOMs the driver at scale. */
   def qJoinOrdersCustomer(s: SparkSession, sf: String): DataFrame =
     t(s, sf, "orders")
-      .join(broadcast(t(s, sf, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, sf, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("revenue"))
       .orderBy("c_mktsegment")
@@ -435,8 +439,19 @@ object Relational {
     // on fixed cores. Hashing the (filtered, much smaller) orders side is
     // linear and its per-partition build shrinks as reducers scale with a
     // real cluster; measured r16: x64 8.9 -> 3.9 s, x64/x16 4.5x -> 2.4x.
+    // Sizing assumption the hint encodes (unlike broadcast, SHJ has no
+    // size-based fallback): the build side's per-partition slice —
+    // |filtered orders| / spark.sql.shuffle.partitions rows — must fit in
+    // executor memory. Partitions here track cores
+    // (SPARK_GRAFT_SHUFFLE_PARTITIONS overrides); a cluster run sizes
+    // partitions to the date-filtered orders volume, or drops the hint
+    // and lets SortMergeJoin spill.
+    // The dimension side is NOT hinted: AQE turns the filtered customer
+    // join into a broadcast when it measures small (PlanSpec pins this at
+    // sf0.1) and keeps a shuffle join when it doesn't — a forced
+    // broadcast() of a table-derived frame has no such fallback.
     li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
       .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)

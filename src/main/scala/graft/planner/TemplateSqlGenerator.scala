@@ -350,6 +350,68 @@ object TemplateSqlGenerator extends SqlGenerator {
       case _ => None
     }
 
+    // derived-measure phrases (the reference prompt contract allows any
+    // SQL expression as a measure, `langgraph_pipeline.py:482-485` — a
+    // real catalog hits "revenue = price × (1 − discount)" immediately):
+    //   "product of A and B"        → (A * B)
+    //   "ratio of A to B"           → (A / B)
+    //   "difference of|between A and B" → (A - B)
+    //   "A times one minus B"       → (A * (1 - B))   (net-revenue idiom)
+    // Both operands must resolve to numeric columns of the chosen table;
+    // an unresolved phrase degrades to the single-column rule above (the
+    // grammar's degrade-don't-crash contract). Takes precedence over the
+    // single-column rule when present — the phrase IS the measure.
+    val exprMeasure: Option[(String, String)] = agg match {
+      case Some((_, true)) =>
+        def colStarting(j: Int): Option[(Col, Int)] =
+          tab.cols.collectFirst(Function.unlift { c =>
+            if (c.numeric && c.parts.nonEmpty &&
+              toks.slice(j, j + c.parts.size) == c.parts)
+              Some((c, c.parts.size))
+            else if (c.numeric && c.stripped.nonEmpty &&
+              toks.slice(j, j + c.stripped.size) == c.stripped)
+              Some((c, c.stripped.size))
+            else None
+          })
+        def slug(c: Col): String =
+          (if (c.stripped.nonEmpty) c.stripped else c.parts).mkString("_")
+        toks.indices.to(LazyList).map { i =>
+          toks(i) match {
+            case op @ ("product" | "ratio" | "difference")
+                if toks.lift(i + 1).exists(w => w == "of" || w == "between") =>
+              for {
+                (a, la) <- colStarting(i + 2)
+                sep = i + 2 + la
+                _ <- toks.lift(sep).filter(w => w == "and" || w == "to")
+                (b, _) <- colStarting(sep + 1)
+              } yield op match {
+                case "product" =>
+                  (s"(${ref(a.name)} * ${ref(b.name)})",
+                    s"product_${slug(a)}_${slug(b)}")
+                case "ratio" =>
+                  (s"(${ref(a.name)} / ${ref(b.name)})",
+                    s"ratio_${slug(a)}_${slug(b)}")
+                case _ =>
+                  (s"(${ref(a.name)} - ${ref(b.name)})",
+                    s"diff_${slug(a)}_${slug(b)}")
+              }
+            case _ =>
+              colStarting(i).flatMap { case (a, la) =>
+                val j = i + la
+                if (toks.lift(j).contains("times") &&
+                  toks.lift(j + 1).contains("one") &&
+                  toks.lift(j + 2).contains("minus"))
+                  colStarting(j + 3).map { case (b, _) =>
+                    (s"(${ref(a.name)} * (1 - ${ref(b.name)}))",
+                      s"net_${slug(a)}_${slug(b)}")
+                  }
+                else None
+              }
+          }
+        }.collectFirst { case Some(m) => m }
+      case _ => None
+    }
+
     // filters: "<col> is|equals <word>", "<col> over|above|... <number>",
     // "<col> between <a> and <b>" / "<col> from <a> to <b>", negation
     // ("<col> is not <v>", "<col> not <v>", "excluding <col> [is] <v>").
@@ -485,9 +547,11 @@ object TemplateSqlGenerator extends SqlGenerator {
     val (selectAgg, aggAlias) = agg match {
       case Some(("COUNT", _)) => (Some("count(*) AS n"), Some("n"))
       case Some((fn, _)) =>
-        measure.map(m =>
+        exprMeasure.map { case (e, sl) =>
+          (s"$fn($e) AS ${fn.toLowerCase}_$sl", s"${fn.toLowerCase}_$sl")
+        }.orElse(measure.map(m =>
           (s"$fn(${ref(m.name)}) AS ${fn.toLowerCase}_${m.name}",
-            s"${fn.toLowerCase}_${m.name}")) match {
+            s"${fn.toLowerCase}_${m.name}"))) match {
           case Some((s, a)) => (Some(s), Some(a))
           case None => (None, None)
         }

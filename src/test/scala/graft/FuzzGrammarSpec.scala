@@ -651,4 +651,62 @@ class FuzzGrammarSpec extends SparkTestBase {
       assert(spark.sql(gen).collect().nonEmpty, s"[join case $idx] empty result")
     }
   }
+
+  // ---- r16 task 7: derived-measure expressions -------------------------
+
+  test("60 derived-measure questions: product/ratio/difference/net phrases " +
+    "become expression measures; order-free aggregates row-checked") {
+    registered
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(771201)
+    val verbs = Seq(("total", "SUM"), ("average", "AVG"),
+      ("highest", "MAX"), ("lowest", "MIN"))
+    var nChecked = 0
+    (0 until 60).foreach { idx =>
+      val (vw, fn) = verbs(rnd.nextInt(4))
+      val grp = Seq(None, Some("status"), Some("region"))(rnd.nextInt(3))
+      val (phrase, exprSql, slug) = rnd.nextInt(4) match {
+        case 0 => ("product of amount and term months",
+          "(amount * term_months)", "product_amount_term_months")
+        case 1 => ("ratio of amount to term months",
+          "(amount / term_months)", "ratio_amount_term_months")
+        case 2 =>
+          val link = if (rnd.nextBoolean()) "of" else "between"
+          (s"difference $link amount and term months",
+            "(amount - term_months)", "diff_amount_term_months")
+        case _ => ("amount times one minus term months",
+          "(amount * (1 - term_months))", "net_amount_term_months")
+      }
+      val q = s"$vw $phrase for loans" + grp.map(g => s" per $g").getOrElse("")
+      val alias = s"${fn.toLowerCase}_$slug"
+      val exp = grp match {
+        case Some(g) =>
+          s"SELECT $g, $fn($exprSql) AS $alias FROM loans" +
+            s" GROUP BY $g ORDER BY $g ASC"
+        case None => s"SELECT $fn($exprSql) AS $alias FROM loans"
+      }
+      val gen = TemplateSqlGenerator.generate(q, loansCatalog)
+        .getOrElse(fail(s"[derived case $idx] generator None for <$q>"))
+      assert(gen == exp, s"[derived case $idx] <$q>\n gen: $gen\n exp: $exp")
+      // MAX/MIN are order-free over exact doubles — row-check them against
+      // an independent DataFrame formulation (set compare: SQL's NULL
+      // group position is an ordering detail, not a value)
+      if (fn == "MAX" || fn == "MIN") {
+        val m = if (fn == "MAX") max(expr(exprSql)) else min(expr(exprSql))
+        val want = grp match {
+          case Some(g) => spark.table("loans").groupBy(g).agg(m)
+            .collect().map(r => (Option(r.get(0)), r.getDouble(1))).toSet
+          case None => spark.table("loans").agg(m)
+            .collect().map(r => (Option.empty[Any], r.getDouble(0))).toSet
+        }
+        val got = spark.sql(gen).collect().map { r =>
+          if (grp.isDefined) (Option(r.get(0)), r.getDouble(1))
+          else (Option.empty[Any], r.getDouble(0))
+        }.toSet
+        assert(got == want, s"[derived case $idx] rows differ for <$q>")
+        nChecked += 1
+      }
+    }
+    assert(nChecked >= 10, s"too few row-checked derived cases: $nChecked")
+  }
 }

@@ -140,8 +140,7 @@ class OpsSpec extends SparkTestBase {
       if uni > 0 && inter / uni >= 0.4
     } yield (a, b)).toSet
     assert(expected.nonEmpty, "test corpus produced no qualifying pairs")
-    val fo = DedupOps.freqOrderedShingles(DedupOps.withShingles(docs, "source"))
-    val cands = DedupOps.candidatePairs(fo, 0.4)
+    val cands = DedupOps.candidatePairs(DedupOps.withShingles(docs, "source"), 0.4)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val missed = expected -- cands
@@ -186,12 +185,17 @@ class OpsSpec extends SparkTestBase {
     val docs = Tables.t(spark, sf, "documents")
     val base = DedupOps.withShingles(docs)
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
-    def maxBucket(shingled: org.apache.spark.sql.DataFrame): Long =
-      DedupOps.prefixKeys(shingled, 0.4)
-        .groupBy("source", "key").count()
-        .agg(max("count")).head.getLong(0)
-    val lexMax = maxBucket(base.withColumn("sh", array_sort(col("sh"))))
-    val freqMax = maxBucket(DedupOps.freqOrderedShingles(base))
+    // lexicographic baseline: the naive prefix explode (first plen keys of
+    // each value-sorted array) — the ordering prefixKeys replaced
+    val plen = (size(col("sh")) - ceil(size(col("sh")) * lit(0.4)) + 1)
+      .cast("int")
+    val lexMax = base.withColumn("sh", array_sort(col("sh")))
+      .select(col("source"), explode(slice(col("sh"), lit(1), plen)).as("key"))
+      .groupBy("source", "key").count()
+      .agg(max("count")).head.getLong(0)
+    val freqMax = DedupOps.prefixKeys(base, 0.4)
+      .groupBy("source", "key").count()
+      .agg(max("count")).head.getLong(0)
     // PPJoin's point: rare shingles fill the prefixes, so the worst bucket
     // (= the biggest single join task) must not grow — and should shrink
     info(s"max (source,key) prefix bucket: lex=$lexMax freq=$freqMax")

@@ -53,6 +53,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"dimension join must not sort-merge:\n$p")
   }
 
+  test("un-hinted dimension joins still broadcast at sf0.1 (r16 task 5)") {
+    // the forced broadcast() hints came off the table-derived customer
+    // frames; the size-threshold/AQE decision must still pick a broadcast
+    // at bench scale, and fall back (to SHJ/SMJ) only when the dimension
+    // genuinely outgrows the threshold
+    val big = "/root/testdata/sf0.1"
+    val p1 = plan(Relational.qJoinOrdersCustomer(spark, big))
+    assert(p1.contains("BroadcastHashJoin"), s"sf0.1 dim join lost broadcast:\n$p1")
+    val p2 = plan(Relational.qJoin3Revenue(spark, big))
+    assert(p2.contains("BroadcastHashJoin"), s"sf0.1 customer side lost broadcast:\n$p2")
+  }
+
   test("top-k lowers to TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.qTopk(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
