@@ -28,7 +28,7 @@ def sent_mean(art):
 
 
 sm_a, sm_b = sent_mean(a), sent_mean(b)
-if sm_a and sm_b:
+if sm_a is not None and sm_b is not None and sm_a > 0:
     drift = sm_b / sm_a
     print(f"sentinel: old {sm_a:.3f}s new {sm_b:.3f}s -> box drift "
           f"{drift:.3f}x (per-query ratios normalized by it)")
@@ -38,6 +38,17 @@ else:
     drift = med
     print(f"no sentinel in one artifact: using median ratio {med:.3f} "
           f"as the drift proxy")
+
+# The per-query AND-rule cannot flag a UNIFORM regression: a change that
+# slows all CPU-bound work also slows the sentinel, so normalized ratios
+# sit near 1.0 (and with the no-sentinel fallback a uniform move is
+# unflaggable by construction). Surface it as a total-vs-sentinel
+# divergence warning instead of silence.
+total_ratio = sb / sa if sa > 0 else float("nan")
+if total_ratio == total_ratio and abs(total_ratio - drift) > 0.25:
+    print(f"WARNING: total ratio {total_ratio:.3f} diverges from drift "
+          f"{drift:.3f} by >0.25 — global movement the per-query mover "
+          f"rule cannot attribute; inspect the totals, not just movers")
 
 norm = {q: r / drift for q, r in ratios.items()}
 print(f"shared {len(shared)}: {sa:.1f}s -> {sb:.1f}s "

@@ -235,6 +235,13 @@ object SparkEntry {
       (nlQuery("how many orders where custkey is not 1") _),
     "q_nl_range_filter" ->
       (nlQuery("how many orders where totalprice from 1000 to 5000") _),
+    // r16 task 7: derived-measure expression — the TPC-H net-revenue idiom
+    // price × (1 − discount) as a grammar-parsed measure phrase; MAX keeps
+    // the double exact (order-free), so the generated SQL hash-matches
+    "q_nl_expr_measure" ->
+      (nlQueryOn(Seq("lineitem"),
+        "highest extendedprice times one minus discount for lineitem " +
+          "per returnflag") _),
     // network family (r15): S6 streamed-GET URL source, V2 executor-side
     // batch-POST embedder, S9 streamed-PUT blob sink — real wire code
     // against the in-process loopback fixture (ops/NetOps.scala)
@@ -253,15 +260,18 @@ object SparkEntry {
     * with the LLM seam bound to its deterministic default. Questions are
     * chosen COUNT/MAX-only so every output value is exact (no double
     * sums to drift between engines). */
-  private def nlQuery(question: String)(s: SparkSession, sfDir: String): DataFrame = {
-    val catalog = Seq("orders", "customer")
-      .map(CatalogOps.profileTable(s, sfDir, _))
+  private def nlQueryOn(tables: Seq[String], question: String)(
+      s: SparkSession, sfDir: String): DataFrame = {
+    val catalog = tables.map(CatalogOps.profileTable(s, sfDir, _))
     catalog.foreach(e =>
       s.read.parquet(e.parquetPath).createOrReplaceTempView(e.logicalName))
     val text = catalog.map(_.describe).mkString("\n")
     s.sql(graft.planner.TemplateSqlGenerator.generate(question, text)
       .getOrElse(sys.error(s"template generator returned no SQL for: $question")))
   }
+
+  private def nlQuery(question: String)(s: SparkSession, sfDir: String): DataFrame =
+    nlQueryOn(Seq("orders", "customer"), question)(s, sfDir)
 
   // ---- oracle SQL (DuckDB dialect, same tables registered by name) ----
 
@@ -2195,6 +2205,13 @@ object SparkEntry {
     "q_nl_range_filter" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice BETWEEN 1000 AND 5000""".stripMargin,
+    // derived-measure face: the oracle IS the generated SQL (pinned by
+    // FuzzGrammarSpec's derived-measure cases); MAX of an IEEE-identical
+    // double expression is order-free, so values hash-match exactly
+    "q_nl_expr_measure" ->
+      """SELECT l_returnflag,
+        |MAX((l_extendedprice * (1 - l_discount))) AS max_net_extendedprice_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
     // X75 closed planner loop, aggregation mirror: DuckDB replays the
     // 1-row skew profile (rows + hot-key percent), re-derives the SAME
     // salted/plain decision, and checks the routed aggregate against the

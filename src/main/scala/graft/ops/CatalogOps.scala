@@ -152,7 +152,13 @@ object CatalogOps {
         // distinct over array columns isn't hashable; sketch via string.
         // min/max compare on the NATIVE type (string min of "9"/"24" would
         // order lexicographically) and only render the result as string.
-        approx_count_distinct(col(f.name).cast("string"), 0.01).as(s"${f.name}__ndist"),
+        // rsd 0.05, NOT 0.01: HLL precision 0.01 means p=14 → ~2.7k
+        // buffer words PER COLUMN, and on a wide table the aggregate's
+        // buffer schema reaches ~10⁵ fields where Catalyst planning goes
+        // quadratic — measured 20-27 s of pure planning per profiled
+        // table (BenchIngest found it; 0.47 s at rsd 0.05). A catalog
+        // cardinality sketch tolerates ±5% by definition.
+        approx_count_distinct(col(f.name).cast("string"), 0.05).as(s"${f.name}__ndist"),
         min(col(f.name)).cast("string").as(s"${f.name}__min"),
         max(col(f.name)).cast("string").as(s"${f.name}__max"))
     }

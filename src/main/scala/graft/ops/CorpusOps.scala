@@ -400,10 +400,22 @@ object CorpusOps {
     *
     * Two shuffle economies (same tricks as the PPJoin path):
     *  - shingles travel as 64-bit xxhash64 keys, not strings, through the
-    *    owner groupBy AND the flag join (~4× fewer shuffle bytes; the
-    *    per-pair collision odds at even 10⁹ distinct shingles are ~1e-2
-    *    corpus-wide aggregate, ~0 at any tested SF — the dedup family's
-    *    accepted tradeoff, certified by the string-keyed oracle);
+    *    owner groupBy AND the flag join (~4× fewer shuffle bytes; ~1e-2
+    *    expected colliding PAIRS corpus-wide at 10⁹ distinct shingles,
+    *    ~0 at any tested SF — the dedup family's accepted tradeoff,
+    *    certified by the string-keyed oracle). SCALE LIMIT of the
+    *    tradeoff: expectation grows as n²/2⁶⁵, so a full 100 TB corpus
+    *    (~10¹² distinct shingles) expects ~10⁴ colliding pairs. minRun
+    *    ≥ 5 still bounds WRONGFUL REMOVAL (an isolated collision cannot
+    *    fabricate a 5-shingle run, so surgery stays safe), but
+    *    [[qDupNgramSpans]]' per-doc dup-shingle COUNTS inflate by the
+    *    colliding keys. A run at that scale should either widen to
+    *    128-bit keys (concat of two seeded xxhash64 calls — double the
+    *    key bytes, expectation back to ~1e-15) or spot-check the hashed
+    *    counts with a sampled string-keyed audit: re-run the owner
+    *    groupBy on a 1% doc sample with raw string keys and compare
+    *    per-doc counts — any drift > the sketch bound localizes a
+    *    colliding key;
     *  - the df ≥ 2 distinct-docs condition is NOT computed: `doc_id >
     *    keeper` already implies it (the keeper is a DIFFERENT doc holding
     *    the same key), and df ≥ 2 adds nothing for keeper-doc occurrences

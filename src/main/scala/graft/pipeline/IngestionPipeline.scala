@@ -168,7 +168,9 @@ object IngestionPipeline {
     val cols = df.schema.fields.toSeq
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { fld =>
       Seq(sum(when(col(fld.name).isNull, 1L).otherwise(0L)).as(s"${fld.name}__nnull"),
-        approx_count_distinct(col(fld.name).cast("string"), 0.01).as(s"${fld.name}__ndist"))
+        // rsd 0.05 — see CatalogOps.profileTable: precision 0.01 costs
+        // 20-50 s of quadratic Catalyst planning per wide table
+        approx_count_distinct(col(fld.name).cast("string"), 0.05).as(s"${fld.name}__ndist"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     CatalogOps.TableEntry(table, parquetPath, row.getLong(0),
@@ -250,8 +252,21 @@ object IngestionPipeline {
     * chunk collections → catalog entries), honoring a matching resume
     * marker. Throws on any failure — `run` owns the per-file degrade. */
   private def processOne(spark: SparkSession, url: String, outDir: String,
-      chunkBudget: Int, resume: Boolean): Seq[(FileResult, CatalogOps.TableEntry)] = {
-    val local = fetch(url, s"$outDir/downloads")
+      chunkBudget: Int, resume: Boolean,
+      stageSink: (String, Double) => Unit = (_, _) => ())
+      : Seq[(FileResult, CatalogOps.TableEntry)] = {
+    // stage boundaries follow the pipeline's ACTIONS, because Spark fuses
+    // the lazy read→clean chain into the parquet write job: fetch and
+    // read_schema (CSV/xlsx schema work) are eager, read_clean_write is
+    // one job, profile and chunk_collection are jobs on the persisted
+    // parquet. BenchIngest aggregates these per mult level.
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      stageSink(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    val local = timed("fetch")(fetch(url, s"$outDir/downloads"))
     val localFile = new java.io.File(local)
     if (!localFile.exists())
       throw new java.io.FileNotFoundException(s"Local file not found: $local")
@@ -259,14 +274,14 @@ object IngestionPipeline {
     val marker = markerFile(outDir, url)
     val resumed = if (resume) readMarker(marker, url, fp, outDir) else None
     resumed.getOrElse {
-      val done = readTables(spark, local).map { case (table, df) =>
+      val done = timed("read_schema")(readTables(spark, local)).map { case (table, df) =>
         val pq = s"$outDir/parquet_files/$table.parquet"
-        IngestOps.writeParquetZstd(df, pq)
+        timed("read_clean_write")(IngestOps.writeParquetZstd(df, pq))
         val persisted = spark.read.parquet(pq)
-        val entry = profileEntry(persisted, table, pq)
+        val entry = timed("profile")(profileEntry(persisted, table, pq))
         val chunks = chunkTable(persisted, persisted.columns.head, chunkBudget,
           rowHint = Some(entry.rowCount))
-        writeCollection(chunks, table, outDir)
+        timed("chunk_collection")(writeCollection(chunks, table, outDir))
         (FileResult(url, table, pq, entry.rowCount), entry)
       }
       if (resume) writeMarker(marker, url, fp, done)
@@ -287,11 +302,12 @@ object IngestionPipeline {
     * per-input markers (see above). */
   def run(spark: SparkSession, inputs: Seq[String], outDir: String,
       chunkBudget: Int = 1000, sessionId: String = "graft",
-      timestamp: String = "", resume: Boolean = true): PipelineResult = {
+      timestamp: String = "", resume: Boolean = true,
+      stageSink: (String, Double) => Unit = (_, _) => ()): PipelineResult = {
     require(inputs.nonEmpty, "No input files provided") // validate_inputs_node
     Files.createDirectories(Paths.get(s"$outDir/parquet_files"))
     val outcomes = inputs.map { url =>
-      try Right(processOne(spark, url, outDir, chunkBudget, resume))
+      try Right(processOne(spark, url, outDir, chunkBudget, resume, stageSink))
       catch {
         case scala.util.control.NonFatal(e) =>
           Left(FailedFile(url, s"${e.getClass.getSimpleName}: " +

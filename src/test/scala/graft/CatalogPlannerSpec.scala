@@ -15,8 +15,11 @@ class CatalogPlannerSpec extends SparkTestBase {
     assert(nation.rowCount == 25)
     assert(nation.columns.map(_.name) == Seq("n_nationkey", "n_name", "n_regionkey"))
     assert(nation.columns.forall(_.nNulls == 0))
-    // HLL++ sketch at rsd=0.01: deterministic, measured exact at cardinality 25
-    assert(nation.columns.find(_.name == "n_nationkey").get.nDistinct == 25)
+    // HLL++ sketch at rsd=0.05 (r17: rsd 0.01 cost 20+ s of quadratic
+    // Catalyst planning per wide table — see CatalogOps.profileTable):
+    // deterministic, within the sketch's ±5% at cardinality 25
+    val nd = nation.columns.find(_.name == "n_nationkey").get.nDistinct
+    assert(nd >= 24 && nd <= 27, s"n_nationkey sketch out of band: $nd")
   }
 
   test("profile captures min/max rendered values") {

@@ -347,7 +347,7 @@ class PlanSpec extends SparkTestBase {
       // NL faces profile the catalog (CatalogOps stats pass) up front
       "q_nl_count_group", "q_nl_max_filter_group", "q_nl_topk_group",
       "q_nl_having_group", "q_nl_or_filter", "q_nl_not_filter",
-      "q_nl_range_filter",
+      "q_nl_range_filter", "q_nl_expr_measure",
       // the grounding face runs the whole retrieve→ground→SQL pipeline
       // (bounded k-row reads) and builds its collection artifact
       "q_nl_semantic_ground",
