@@ -1,0 +1,16 @@
+#!/bin/bash
+# Direct-java Scratch runner (no sbt startup): scripts/scratch.sh <mode> [args...]
+set -euo pipefail
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+cd /root/repo
+exec java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-24g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/test-classes:target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Scratch "$@"

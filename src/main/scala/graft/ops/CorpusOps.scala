@@ -432,10 +432,30 @@ object CorpusOps {
           "concat(lower(toks[i]), ' ', lower(toks[i+1]), ' ', lower(toks[i+2])))")))
       .toDF("doc_id", "p", "key")
       .select(col("doc_id"), col("p"), xxhash64(col("key")).as("k"))
-    val owners = shingled.groupBy("k").agg(min(col("doc_id")).as("keeper"))
-    val flagged = shingled.join(owners, Seq("k"))
+    // ONE explicit exchange on k serves both the owner aggregate and the
+    // flag join's probe side (identical repartition subtrees →
+    // ReusedExchange), so the shingle kernel — the pipeline's CPU head —
+    // runs ONCE instead of once per consumer. The shuffle-hash hint keeps
+    // the join off the two paths that broke at the x128 octave: the
+    // default plan BROADCAST the aggregated owners frame (its
+    // post-aggregation size estimate is tiny, its real size is
+    // distinct-shingle-count — corpus-sized, ~1 GB at x128 and unbounded
+    // at 100 TB), and the no-stats fallback is an SMJ that sorts the full
+    // shingle stream. SHJ builds per-partition hash maps of the owners
+    // rows already co-partitioned by the shared exchange (zero extra
+    // shuffles); per-partition build memory is that partition's distinct
+    // shingle share — partitions track cores locally and AQE sizes them
+    // to the stream at scale, the qJoin3Revenue sizing note applies.
+    val exk = shingled.repartition(col("k"))
+    val owners = exk.groupBy("k").agg(min(col("doc_id")).as("keeper"))
+    val flagged = exk.join(owners.hint("shuffle_hash"), Seq("k"))
       .filter(col("doc_id") > col("keeper"))
       .select("doc_id", "p")
+    // (an r17 experiment replaced this window cascade with one
+    // collect_list aggregation + a single array-HOF projection — fewer
+    // shuffles, no sorts — but interpreted per-element lambdas over
+    // the position stream measured ~2× the codegen'd cascade at x128;
+    // the cascade stays, the scale fixes live in the joins above/below)
     val w = Window.partitionBy("doc_id").orderBy("p")
     val runs = flagged
       .withColumn("grp", col("p") - row_number().over(w))
@@ -469,7 +489,12 @@ object CorpusOps {
     // `toks` and flatten — O(words + spans) per doc, vs the old
     // per-word × per-span containment filter (O(words × spans), quadratic
     // on boilerplate-heavy web docs where spans ~ words / minRun).
-    toksed.join(ivs, Seq("doc_id"), "left")
+    // shuffle_hash, same reason as the flag join: ivs is doc-count-sized
+    // (every doc holding a removable span), so the default broadcast of it
+    // is a corpus-scale driver collect at 100 TB; its window chain already
+    // left it partitioned on doc_id, so SHJ builds in place and only the
+    // probe (toksed) side moves.
+    toksed.join(ivs.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("miv",
         coalesce(col("ivs"), expr("cast(array() as array<struct<s:int,e:int>>)")))
       .withColumn("kept", expr(

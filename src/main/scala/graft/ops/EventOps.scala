@@ -15,7 +15,9 @@ object EventOps {
   /** C4: JSON extraction (`props` is a JSON string; the reference serializes
     * result frames to JSON — `langgraph_pipeline.py:31-37`). */
   def qJsonExtract(s: SparkSession, sf: String): DataFrame =
-    t(s, sf, "events").select(
+    // tWide: the JSON parse is per-row scan-stage work over a one-row-group
+    // file — widen so it parses cores-wide (see Tables.tWide)
+    tWide(s, sf, "events").select(
       col("event_id"),
       col("event_type"),
       get_json_object(col("props"), "$.k").as("k_str"),

@@ -115,7 +115,13 @@ object Relational {
     val discD  = col("l_discount").cast(DecimalType(4, 2))
     val taxD   = col("l_tax").cast(DecimalType(4, 2))
     val oneD   = lit(1).cast(DecimalType(3, 2))
-    val li = t(s, sf, "lineitem")
+    // tWide: a single-row-group parquet file scans as ONE split, and the
+    // partial aggregate (8 decimal sums per row — the query's whole cost)
+    // rides the scan stage, so it runs single-core no matter the executor
+    // size (profiled at sf0.1: one 1.2 s task, cores-1 idle). The widening
+    // exchange moves the (small by gate construction) table once and the
+    // partial agg then runs cores-wide; at scale the gate is the identity.
+    val li = tWide(s, sf, "lineitem")
     li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -220,7 +226,7 @@ object Relational {
     * swap in `approx_percentile` (t-digest, fixed-size sketch) — same query
     * shape, no oracle parity. */
   def qPercentiles(s: SparkSession, sf: String): DataFrame =
-    t(s, sf, "lineitem")
+    tWide(s, sf, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         round(expr("percentile(l_quantity, 0.5)") * 1000000, 0)
